@@ -1,0 +1,267 @@
+"""Weight-balanced quadtree tile grouping.
+
+Driver-side port of the reference's tile-group construction
+(jharris2268/osmquadtree-rust, src/sortblocks/quadtreetree.rs:1-397 and
+prepgraph.rs:104-156).  This runs on the *collected cell histogram* — a
+metadata-scale structure (<= a few million (cell, weight) rows even at
+planet scale) — so a faithful sequential implementation on the driver is
+the right Spark design: the data-scale work (histogram, routing, shuffle)
+stays in DataFrames, only the greedy grouping algorithm (which is
+inherently sequential and must match the reference exactly) is local.
+
+Weight of a block = nodes + 8*ways + 20*relations
+(src/elements/primitive_block.rs:134-136); default target = 40000, minimum
+= target/2 (utils/src/commands/sortblocks.rs:30-31, run_sortblocks.rs:78-91).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import qt_numpy as qtn
+
+NULL = 0xFFFFFFFF  # u32::MAX sentinel for parent/children pointers
+
+
+class QuadtreeTree:
+    """Prefix tree over cells with per-item weight (exact count) and total
+    (subtree count).  Mirrors quadtreetree.rs:60-215."""
+
+    __slots__ = ("qt", "parent", "weight", "total", "children", "count")
+
+    def __init__(self):
+        self.qt = [0]
+        self.parent = [NULL]
+        self.weight = [0]
+        self.total = [0]
+        self.children = [[NULL, NULL, NULL, NULL]]
+        self.count = 0
+
+    def __len__(self):
+        return len(self.qt)
+
+    def total_weight(self) -> int:
+        return self.total[0]
+
+    def add(self, qt: int, w: int) -> int:
+        """quadtreetree.rs:178-209; returns item index of the leaf."""
+        if qt < 0:
+            raise ValueError("can't add neg qt")
+        ti = 0
+        d = qt & 31
+        for i in range(d):
+            self.total[ti] += w
+            v = (qt >> (61 - 2 * i)) & 3
+            if self.children[ti][v] == NULL:
+                n = len(self.qt)
+                self.qt.append(_round(qt, i + 1))
+                self.parent.append(ti)
+                self.weight.append(0)
+                self.total.append(0)
+                self.children.append([NULL, NULL, NULL, NULL])
+                self.children[ti][v] = n
+            ti = self.children[ti][v]
+        if w > 0 and self.weight[ti] == 0:
+            self.count += 1
+        self.weight[ti] += w
+        self.total[ti] += w
+        return ti
+
+    def find_int(self, qt: int) -> int:
+        """Deepest existing item on the path of `qt` (quadtreetree.rs:110-126)."""
+        i = 0
+        for j in range(qt & 31):
+            v = (qt >> (61 - 2 * j)) & 3
+            if self.children[i][v] == NULL:
+                return i
+            i = self.children[i][v]
+        return i
+
+    def find(self, qt: int) -> int:
+        """Deepest weighted (group) ancestor, else root (quadtreetree.rs:128-142)."""
+        i = self.find_int(qt)
+        while True:
+            if self.weight[i] > 0:
+                return i
+            if self.parent[i] == NULL:
+                return i
+            i = self.parent[i]
+
+    def remove(self, qt: int) -> int:
+        """Detach the subtree at `qt`, subtracting its total from all
+        ancestors; returns the removed total (quadtreetree.rs:144-176)."""
+        i = self.find_int(qt)
+        w = self.total[i]
+        self.weight[i] = 0
+        self.total[i] = 0
+        self.children[i] = [NULL, NULL, NULL, NULL]
+        if self.parent[i] != NULL:
+            tp = self.parent[i]
+            for j in range(4):
+                if self.children[tp][j] == i:
+                    self.children[tp][j] = NULL
+            self.total[tp] -= w
+            while self.parent[tp] != NULL:
+                tp = self.parent[tp]
+                self.total[tp] -= w
+        return w
+
+    # -- preorder traversal (quadtreetree.rs:241-274) --
+    def next_item(self, ti: int, li: int = 0) -> int:
+        ch = self.children[ti]
+        for i in range(li, 4):
+            if ch[i] != NULL:
+                return ch[i]
+        return self.next_sibling(ti)
+
+    def next_sibling(self, ti: int) -> int:
+        p = self.parent[ti]
+        if p == NULL:
+            return NULL
+        ni = None
+        for i in range(4):
+            if self.children[p][i] == ti:
+                ni = i + 1
+                break
+        if ni is None:
+            raise AssertionError("should have found child")
+        if ni == 4:
+            return self.next_sibling(p)
+        return self.next_item(p, ni)
+
+    def leaves(self):
+        """(cell, weight) for every weighted item, in preorder."""
+        out = []
+        i = 0
+        while i != NULL:
+            if self.weight[i] > 0:
+                out.append((self.qt[i], self.weight[i]))
+            i = self.next_item(i, 0)
+        return out
+
+
+def _round(qt: int, level: int) -> int:
+    if (qt & 31) <= level:
+        return qt
+    q = qt >> (63 - 2 * level)
+    q <<= 63 - 2 * level
+    return q + level
+
+
+def _all_children_small(tree: QuadtreeTree, ti: int, mintarget: int) -> bool:
+    # quadtreetree.rs:306-315
+    for c in tree.children[ti]:
+        if c != NULL and tree.total[c] > mintarget:
+            return False
+    return True
+
+
+def _find_within(tree: QuadtreeTree, mintarget, maxtarget, absmintarget):
+    # quadtreetree.rs:317-355
+    res = []
+    if tree.total_weight() < mintarget:
+        res.append((0, tree.total_weight()))
+        return res
+    t = 0
+    while True:
+        if t == NULL:
+            return res
+        total = tree.total[t]
+        weight = tree.weight[t]
+        if total < mintarget:
+            t = tree.next_sibling(t)
+        elif weight > 0 and total <= maxtarget:
+            res.append((tree.qt[t], total))
+            t = tree.next_sibling(t)
+        elif weight > 0 and total == weight:
+            res.append((tree.qt[t], total))
+            t = tree.next_sibling(t)
+        elif weight > 0 and _all_children_small(tree, t, absmintarget):
+            res.append((tree.qt[t], total))
+            t = tree.next_sibling(t)
+        else:
+            t = tree.next_item(t, 0)
+
+
+def find_tree_groups(tree: QuadtreeTree, target: int, absmintarget: int) -> QuadtreeTree:
+    """Greedy weight-balanced grouping with the reference's exact +-50
+    relaxation schedule and final cell-order sort (quadtreetree.rs:357-397)."""
+    res = QuadtreeTree()
+    mintarget = target - 50
+    maxtarget = target + 50
+    all_groups = []
+    while tree.total_weight() > 0:
+        vv = _find_within(tree, mintarget, maxtarget, absmintarget)
+        if not vv:
+            mintarget = max(absmintarget, mintarget - 50)
+            maxtarget += 50
+        else:
+            for a, _ in vv:
+                b = tree.remove(a)
+                all_groups.append((a, b))
+    all_groups.sort()
+    for a, b in all_groups:
+        if b >= NULL:
+            raise ValueError(f"can't add {a} with weight {b}")
+        res.add(a, b)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing helpers
+# ---------------------------------------------------------------------------
+
+def build_tree_from_histogram(cells, weights, graph_level: int = qtn.QT_GRAPH_LEVEL) -> QuadtreeTree:
+    """Build the QuadtreeTree from a collected (cell, weight) histogram.
+
+    The reference rounds each element cell to `graph_level` before counting
+    (src/sortblocks/prepgraph.rs:53-101); callers should already have done
+    `groupBy(qt_round(qt, graph_level)).sum(weight)` in Spark and collected
+    the (small) result.  Cells must be added in ascending cell order to make
+    tree layout deterministic (BTreeMap iteration order in the reference).
+    """
+    tree = QuadtreeTree()
+    order = sorted(range(len(cells)), key=lambda i: cells[i])
+    for i in order:
+        if cells[i] < 0:
+            continue
+        tree.add(int(cells[i]), int(weights[i]))
+    return tree
+
+
+def group_lookup_arrays(groups: QuadtreeTree) -> np.ndarray:
+    """Group cells sorted ascending — the tile ordering the reference's
+    writer produces after `all.sort()` (quadtreetree.rs:389-396)."""
+    return np.array(sorted(c for c, _ in groups.leaves()), dtype=np.int64)
+
+
+def route_cells(element_cells: np.ndarray, group_cells: np.ndarray) -> np.ndarray:
+    """Vectorized `QuadtreeTree::find`: deepest group ancestor of each
+    element cell; cells with no group ancestor route to 0 (root).
+
+    group_cells must be sorted ascending.  Implementation: try each depth
+    from deepest group depth downward, matching `qt_round(cell, d)` against
+    the group set (hash lookups on metadata-scale arrays inside one numpy
+    batch — this is the broadcast side of a map-side join).
+    """
+    element_cells = np.asarray(element_cells, dtype=np.int64)
+    out = np.zeros(element_cells.shape, dtype=np.int64)
+    matched = np.zeros(element_cells.shape, dtype=bool)
+    if group_cells.size == 0:
+        return out
+    depths = np.unique(group_cells & 31)[::-1]  # deepest first
+    import pandas as pd
+
+    group_set = pd.Series(
+        np.arange(group_cells.size, dtype=np.int64), index=group_cells
+    )
+    for d in depths:
+        cand = qtn.qt_round(element_cells, int(d))
+        # only cells at least this deep can have an ancestor at depth d;
+        # qt_round returns identity for shallower cells which is fine (a
+        # group equal to the cell itself is a valid ancestor-or-self).
+        hit = pd.Index(cand[~matched]).isin(group_set.index)
+        idx = np.where(~matched)[0][hit]
+        out[idx] = cand[idx]
+        matched[idx] = True
+    return out
