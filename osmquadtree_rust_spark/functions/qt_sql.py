@@ -154,11 +154,14 @@ def qt_calculate_subquery(
     cols = ", ".join(passthrough)
     colsc = (cols + ", ") if cols else ""
     buf = repr(float(buffer))
-    # ln(0) raises in DuckDB, so pin the y=-90 pole (tan==0) to -inf, which
-    # is what IEEE ln(0) gives the reference; it then fails the range check
-    # in find_quad and the descent stops, identically in both engines.
+    # DuckDB's ln() raises on non-positive input where IEEE (and the
+    # reference) yield ln(0) = -inf (y = -90) and ln(<0) = NaN (y > 90,
+    # reachable via the +1e-7 degenerate-box widening).  Pin both: either
+    # way the value fails every find_quad branch and the descent stops at
+    # this level, identically to the numpy engine.
     merc = (
         "(CASE WHEN ({y}) <= -90.0 THEN CAST('-Infinity' AS DOUBLE) "
+        "WHEN ({y}) > 90.0 THEN CAST('NaN' AS DOUBLE) "
         "ELSE ln(tan(pi() * (1.0 + ({y}) / 90.0) / 4.0)) / pi() END)"
     )
 

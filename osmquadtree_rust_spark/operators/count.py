@@ -1,0 +1,76 @@
+"""Count/statistics operators (reference src/count.rs:34-622).
+
+The reference's mergeable accumulators (count, min/max id, min/max
+timestamp, bbox expand, refs/members totals) are exactly Spark's
+partial+final aggregates; `CountChange` is the same grouped by changetype.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def node_stats(nodes: DataFrame) -> DataFrame:
+    """count, id range, timestamp range, bbox (count.rs NodeCount)."""
+    aggs = [
+        F.count("*").alias("num"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    ]
+    if "timestamp" in nodes.columns:
+        aggs += [
+            F.min("timestamp").alias("min_ts"),
+            F.max("timestamp").alias("max_ts"),
+        ]
+    if "lon" in nodes.columns:
+        aggs += [
+            F.min("lon").alias("minlon"),
+            F.min("lat").alias("minlat"),
+            F.max("lon").alias("maxlon"),
+            F.max("lat").alias("maxlat"),
+        ]
+    return nodes.agg(*aggs)
+
+
+def way_stats(ways: DataFrame) -> DataFrame:
+    """adds refs totals / max len / ref range (count.rs WayCount)."""
+    aggs = [
+        F.count("*").alias("num"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum(F.size("refs")).alias("num_refs"),
+        F.max(F.size("refs")).alias("max_refs_len"),
+        F.min(F.array_min("refs")).alias("min_ref"),
+        F.max(F.array_max("refs")).alias("max_ref"),
+    ]
+    if "timestamp" in ways.columns:
+        aggs += [F.min("timestamp").alias("min_ts"), F.max("timestamp").alias("max_ts")]
+    return ways.agg(*aggs)
+
+
+def relation_stats(relations: DataFrame) -> DataFrame:
+    aggs = [
+        F.count("*").alias("num"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum(F.size("members")).alias("num_members"),
+        F.max(F.size("members")).alias("max_members_len"),
+        F.sum((F.size("members") == 0).cast("long")).alias("num_empty"),
+    ]
+    if "timestamp" in relations.columns:
+        aggs += [F.min("timestamp").alias("min_ts"), F.max("timestamp").alias("max_ts")]
+    return relations.agg(*aggs)
+
+
+def count_by_changetype(df: DataFrame) -> DataFrame:
+    """CountChange (count.rs:518-622)."""
+    return (
+        df.groupBy("changetype")
+        .agg(
+            F.count("*").alias("num"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("changetype")
+    )

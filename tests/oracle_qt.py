@@ -25,8 +25,11 @@ def coordinate_as_float(v: int) -> float:
 
 
 def latitude_mercator(y: float, scale: float) -> float:
+    # IEEE semantics of Rust's .tan().ln(): ln(0) = -inf, ln(<0) = NaN
     t = math.tan(math.pi * (1.0 + y / 90.0) / 4.0)
-    if t <= 0.0:
+    if t < 0.0:
+        return math.nan
+    if t == 0.0:
         return -math.inf
     return math.log(t) * scale / math.pi
 
@@ -259,12 +262,20 @@ def as_bbox(qt: int, buffer: float = 0.0):
 # assignment spec oracle (calcinmem.rs:151-242)
 # ---------------------------------------------------------------------------
 
-def calc_element_quadtrees(nodes, ways, relations, qt_level=18, qt_buffer=0.05):
+def calc_element_quadtrees(
+    nodes, ways, relations, qt_level=18, qt_buffer=0.05, missing_parent_zero=True
+):
     """nodes: {id: (lon,lat)}; ways: {id: [node_id,...]} (sorted-dict order);
     relations: {id: [(mem_type, mem_ref), ...]} with mem_type in
     {0:node,1:way,2:relation}.  Returns (nodeqts, wayqts, relqts) dicts.
     Mirrors calc_collected_data_quadtrees including the Gauss-Seidel
-    5-iteration rel->rel pass in ascending rel-id order."""
+    5-iteration rel->rel pass in ascending rel-id order.
+
+    missing_parent_zero: the reference's two calcqts paths diverge here —
+    the in-memory spec (calcinmem.rs:227-236) leaves relations whose parent
+    rel never resolves absent from the output, while the out-of-core path
+    used at planet scale (calculate.rs:825-841) folds cell 0 into them on
+    the 5th pass.  We standardize on the planet-scale behaviour."""
     wayqts = {}
     for w in sorted(ways):
         bx = [1800000000, 900000000, -1800000000, -900000000]
@@ -304,10 +315,12 @@ def calc_element_quadtrees(nodes, ways, relations, qt_level=18, qt_buffer=0.05):
                     expand(r, wayqts[rf])
                 elif ty == 2:
                     relrels.append((r, rf))
-    for _ in range(5):
+    for it in range(5):
         for a, b in relrels:
             if b in relqts:
                 expand(a, relqts[b])
+            elif missing_parent_zero and it == 4:
+                expand(a, 0)
     return nodeqts, wayqts, relqts
 
 

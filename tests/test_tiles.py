@@ -1,0 +1,81 @@
+"""Tile-grouping (QuadtreeTree / find_tree_groups) invariants + hand cases."""
+
+import numpy as np
+
+import oracle_qt as O
+from osmquadtree_rust_spark.functions import qt_numpy as Q
+from osmquadtree_rust_spark.operators import tiles as T
+
+
+def _hist(seed=5, n=5000):
+    rng = np.random.RandomState(seed)
+    lon = rng.randint(-1800000000, 1799999998, n)
+    lat = rng.randint(-900000000, 899999998, n)
+    cells = Q.qt_round(Q.calculate_point(lon, lat), 17)
+    vals, counts = np.unique(cells, return_counts=True)
+    return vals, counts
+
+
+def test_tree_add_totals():
+    vals, counts = _hist()
+    tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+    assert tree.total_weight() == counts.sum()
+    # every added cell is findable and weighted
+    for v, c in zip(vals[:50], counts[:50]):
+        i = tree.find_int(int(v))
+        assert tree.qt[i] == int(v)
+        assert tree.weight[i] == int(c)
+
+
+def test_find_tree_groups_partition_and_weights():
+    vals, counts = _hist()
+    total = counts.sum()
+    tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+    groups = T.find_tree_groups(tree, 400, 200)
+    leaves = groups.leaves()
+    assert sum(w for _, w in leaves) == total  # weight conservation
+    gcells = T.group_lookup_arrays(groups)
+    assert len(set(gcells.tolist())) == len(gcells)
+    # every input cell routes to exactly one group whose cell is an
+    # ancestor-or-self (or root 0)
+    routed = T.route_cells(vals, gcells)
+    for v, r in zip(vals, routed):
+        assert r == 0 or O.is_parent(int(r), int(v))
+
+
+def test_route_matches_tree_find():
+    vals, counts = _hist(seed=11, n=3000)
+    tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+    groups = T.find_tree_groups(tree, 300, 150)
+    gcells = T.group_lookup_arrays(groups)
+    routed = T.route_cells(vals, gcells)
+    for v, r in zip(vals.tolist(), routed.tolist()):
+        i = groups.find(v)
+        assert groups.qt[i] == r
+
+
+def test_small_hand_case():
+    # two sibling leaves under one parent, target big enough to merge them
+    a = O.from_string("AA")
+    b = O.from_string("AB")
+    tree = T.build_tree_from_histogram([a, b], [10, 10])
+    groups = T.find_tree_groups(tree, 100, 5)
+    leaves = groups.leaves()
+    # total 20 < mintarget=50 -> single group at root (find_within's
+    # under-target early return, quadtreetree.rs:323-327)
+    assert leaves == [(0, 20)]
+
+    tree = T.build_tree_from_histogram([a, b], [60, 60])
+    groups = T.find_tree_groups(tree, 100, 5)
+    cells = sorted(c for c, _ in groups.leaves())
+    # interior items ("A", root) have weight 0 and are never accepted
+    # (find_within only takes weight>0 items); both leaves qualify with
+    # 60 in [50, 150]
+    assert cells == sorted([a, b])
+
+
+def test_route_shallow_element_never_deep_group():
+    # element at depth 1 must not route to a depth-2 group
+    g = np.array(sorted([O.from_string("AA"), O.from_string("B")]), dtype=np.int64)
+    e = np.array([O.from_string("A")], dtype=np.int64)
+    assert T.route_cells(e, g)[0] == 0
