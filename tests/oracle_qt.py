@@ -199,6 +199,13 @@ def common_fold(qts) -> int:
     return res
 
 
+def from_string(s: str) -> int:
+    ans = 0
+    for i, ch in enumerate(s):
+        ans |= "ABCD".index(ch) << (61 - 2 * i)
+    return ans | len(s)
+
+
 def from_xyz(x: int, y: int, z: int) -> int:
     # quadtree.rs:392-406
     if z > 20:
