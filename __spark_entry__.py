@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: full tile-assignment pipeline on the sf0.001-
+                scale synthetic image-footprint table (footprint -> qt cell
+                -> weight-balanced tile via the find_tree_groups port).
+queries()     — one entry per implemented operator (SURVEY.md §2), each
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB SQL equivalents (osmquadtree_rust_spark.gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from osmquadtree_rust_spark import gate as _gate  # noqa: E402
+from osmquadtree_rust_spark import gate_text as _gate_text  # noqa: E402  (registers entries)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: tile assignment + per-tile rollup at smoke scale."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_rust_spark.plans import pipeline as P
+
+    assigned, _groups = P.tile_synthetic_images(spark, 6000, target=2000)
+    return (
+        assigned.groupBy("tile")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("qt").alias("min_qt"),
+            F.max("qt").alias("max_qt"),
+        )
+        .orderBy("tile")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec["spark"] for name, spec in _gate.GATE.items() if "spark" in spec}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {}
+    for name, spec in _gate.GATE.items():
+        if "oracle" in spec and "spark" in spec:
+            out[name] = spec["oracle"]()
+    return out

@@ -1,0 +1,104 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the end-to-end tile-assignment pipeline
+(footprint -> qt cell -> weight-balanced grouping -> routed tile) on the
+deterministic synthetic image-footprint table sized to the SF
+(images_per_sec reported alongside).  Run with SPARK_GRAFT_CPUS=8 and =32
+on the same input for the N -> 4N scaling-efficiency evidence
+(tools/bench_scaling.py automates that).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "600000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from osmquadtree_rust_spark import gate as G
+    from osmquadtree_rust_spark import gate_text  # noqa: F401 (registers)
+    from osmquadtree_rust_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+
+    # -- flagship: tiling pipeline over n_images synthetic footprints
+    from osmquadtree_rust_spark.plans import pipeline as P
+
+    t0 = time.time()
+    assigned, groups = P.tile_synthetic_images(spark, n_images, target=P.DEFAULT_TARGET)
+    force(assigned.select("id", "qt", "tile"))
+    t_tiling = time.time() - t0
+    times["tiling_pipeline"] = round(t_tiling, 3)
+
+    # -- spatial join: footprint cells joined back to tile polygons (PIP-free
+    #    equi-join on rounded cell, the co-located join pattern)
+    t0 = time.time()
+    from pyspark.sql import functions as F
+
+    from osmquadtree_rust_spark.functions import qt_spark as qs
+
+    cells = assigned.select("id", "qt", "tile")
+    per_tile = cells.groupBy("tile").agg(
+        F.count("*").alias("n"), qs.qt_common_agg("qt").alias("lca")
+    )
+    force(cells.join(F.broadcast(per_tile), "tile"))
+    times["tile_broadcast_join"] = round(time.time() - t0, 3)
+
+    # -- gate queries at data scale
+    bench_queries = [
+        "tpch_q1_pricing",
+        "qt_point_cells",
+        "qt_cell_histogram",
+        "way_bbox_qt",
+        "node_lca_qt",
+        "snapshot_merge",
+        "filter_bbox_poly",
+        "id_closure",
+        "minhash_signatures",
+        "simhash64",
+        "ann_dot_topk",
+    ]
+    for name in bench_queries:
+        fn = G.GATE[name]["spark"]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "tiling+spatial-join+ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "images": n_images,
+                "images_per_sec_tiling": round(n_images / t_tiling, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

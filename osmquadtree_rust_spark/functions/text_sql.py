@@ -1,0 +1,95 @@
+"""Dialect-neutral SQL expressions for text analysis.
+
+Shared by the Spark operators (via F.expr -> JVM codegen) and the DuckDB
+oracles, so both engines compute identical metrics.  All expressions use
+only arithmetic + length/replace/lower/substr/md5, which behave
+identically in Spark SQL and DuckDB.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCKDB = "duckdb"
+
+
+def token_count_sql(text: str) -> str:
+    """Whitespace token count as pure arithmetic: #spaces + 1 (0 for
+    empty strings)."""
+    return (
+        f"(CASE WHEN length({text}) = 0 THEN 0 "
+        f"ELSE length({text}) - length(replace({text}, ' ', '')) + 1 END)"
+    )
+
+
+def char_count_sql(text: str, ch: str) -> str:
+    """Occurrences of a single character."""
+    return f"(length({text}) - length(replace({text}, '{ch}', '')))"
+
+
+def word_occurrences_sql(text: str, word: str) -> str:
+    """Non-overlapping occurrences of ' word ' in ' text ' (both engines
+    use left-to-right non-overlapping replace)."""
+    padded = f"concat(' ', {text}, ' ')"
+    pat = f"' {word} '"
+    return (
+        f"((length({padded}) - length(replace({padded}, {pat}, ''))) "
+        f"/ {len(word) + 2})"
+    )
+
+
+def quality_score_sql(text: str) -> str:
+    """Deterministic quality heuristic scaled to millionths (BIGINT):
+    length component, punctuation ratio and mean token length.  FLOOR into
+    integer space — ROUND/CAST of doubles differ between engines
+    (half-up vs half-even) at exact half-decimals, FLOOR never does."""
+    toks = token_count_sql(text)
+    punct = f"({char_count_sql(text, '.')} + {char_count_sql(text, ',')})"
+    raw = (
+        f"(LEAST(1.0, CAST({toks} AS DOUBLE) / 64.0) * 0.5 "
+        f"+ LEAST(1.0, CAST({punct} AS DOUBLE) * 8.0 "
+        f"/ (CAST({toks} AS DOUBLE) + 1.0)) * 0.2 "
+        f"+ LEAST(1.0, (CAST(length({text}) AS DOUBLE) "
+        f"/ (CAST({toks} AS DOUBLE) + 1.0)) / 8.0) * 0.3)"
+    )
+    return f"CAST(FLOOR({raw} * 1000000.0) AS BIGINT)"
+
+
+_EN_MARKERS = ["the", "and", "of", "a", "to", "in"]
+
+
+def langid_score_sql(text: str, markers=None) -> str:
+    """English-marker token density x 1e6, as an integer (no float div
+    ambiguity)."""
+    markers = markers or _EN_MARKERS
+    occ = " + ".join(word_occurrences_sql(f"lower({text})", m) for m in markers)
+    toks = token_count_sql(text)
+    return f"CAST(FLOOR((({occ}) * 1000000.0) / ({toks} + 1)) AS BIGINT)"
+
+
+def md5_prefix_int_sql(s: str, dialect: str) -> str:
+    """First 15 hex digits of md5 as a BIGINT (60 bits) — a deterministic
+    cross-engine string hash / document fingerprint."""
+    if dialect == SPARK:
+        return f"CAST(conv(substr(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
+
+
+MINHASH_P = 2147483647
+# (a, b) pairs for the universal-hash family h_k(x) = (a*x + b) mod p
+MINHASH_COEFFS = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 362437),
+    (1664525, 1013904223),
+]
+
+
+def minhash_word_hash_sql(word: str, dialect: str) -> str:
+    return f"({md5_prefix_int_sql(word, dialect)} % {MINHASH_P})"
+
+
+def minhash_sigs_sql(wh: str) -> list[str]:
+    """k signature expressions over a word-hash column expression."""
+    return [
+        f"MIN(({a} * {wh} + {b}) % {MINHASH_P})" for a, b in MINHASH_COEFFS
+    ]

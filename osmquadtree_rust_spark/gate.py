@@ -1,0 +1,530 @@
+"""Correctness-gate query registry.
+
+Each entry pairs a Spark implementation (running the *engine* code paths:
+pandas-UDF cell encode, native bit-math aggregates, operator modules) with
+an independent DuckDB oracle SQL string over the same inputs.  Inputs are
+either the driver's parquet tables (region nation customer supplier part
+orders lineitem events documents embeddings) or deterministic `range(n)`
+synthetics whose derivation (sources/synth.py) is dialect-neutral SQL both
+engines evaluate identically.
+
+Column names and types are normalized on both sides (explicit CASTs) so
+the driver's row-count / schema / value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import geo_sql
+from .functions import qt_spark as qs
+from .functions import qt_sql as qsql
+from .operators import merge as M
+from .sources import synth
+
+GATE: dict[str, dict] = {}
+
+
+def _register(name):
+    def deco(fn):
+        GATE.setdefault(name, {})["spark"] = fn
+        return fn
+
+    return deco
+
+
+def _oracle(name):
+    def deco(fn):
+        GATE.setdefault(name, {})["oracle"] = fn
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# 1. TPC-H Q1 style pricing summary (baseline agg path)
+# ===========================================================================
+
+_Q1_SQL = """
+SELECT
+  l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+       AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+       * CAST(1.0 + l_tax AS DECIMAL(18,2)) AS DECIMAL(30,6))) AS DOUBLE)
+       AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@_register("tpch_q1_pricing")
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
+@_oracle("tpch_q1_pricing")
+def _q1_o() -> str:
+    return _Q1_SQL
+
+
+# ===========================================================================
+# 2. point cells: synthetic footprints on events -> qt level-18 point cells
+# ===========================================================================
+
+def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = synth.synth_geo_exprs("event_id")
+    return ev.withColumn("lon", F.expr(e["lon"])).withColumn("lat", F.expr(e["lat"]))
+
+
+_EV_SYNTH_SQL = None
+
+
+def _events_synth_sql() -> str:
+    e = synth.synth_geo_exprs("event_id")
+    return (
+        f"SELECT event_id, {e['lon']} AS lon, {e['lat']} AS lat, "
+        f"{e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat FROM events"
+    )
+
+
+@_register("qt_point_cells")
+def _qpc(spark, sf_dir):
+    pts = _events_points(spark, sf_dir)
+    return qs.with_point_qt(pts, "lon", "lat").select(
+        "event_id", F.col("qt").cast("long").alias("qt")
+    )
+
+
+@_oracle("qt_point_cells")
+def _qpc_o() -> str:
+    inner = qsql.qt_calculate_point_subquery(
+        _events_synth_sql(), "lon", "lat", "qt", ("event_id",)
+    )
+    return f"SELECT event_id, CAST(qt AS BIGINT) AS qt FROM ({inner}) q"
+
+
+@_register("qt_cell_histogram")
+def _qch(spark, sf_dir):
+    pts = _events_points(spark, sf_dir)
+    cells = qs.with_point_qt(pts, "lon", "lat")
+    return (
+        cells.withColumn("cell", qs.qt_round("qt", 17))
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("cell").cast("long"), F.col("cnt").cast("long"))
+    )
+
+
+@_oracle("qt_cell_histogram")
+def _qch_o() -> str:
+    inner = qsql.qt_calculate_point_subquery(
+        _events_synth_sql(), "lon", "lat", "qt", ("event_id",)
+    )
+    r17 = qsql.qt_round_sql("qt", 17)
+    return (
+        f"SELECT CAST({r17} AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM ({inner}) q GROUP BY 1"
+    )
+
+
+@_register("qt_footprint_cells")
+def _qfc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    e = synth.synth_geo_exprs("event_id")
+    fp = ev
+    for c in ("minlon", "minlat", "maxlon", "maxlat"):
+        fp = fp.withColumn(c, F.expr(e[c]))
+    return qs.with_bbox_qt(fp, "minlon", "minlat", "maxlon", "maxlat").select(
+        "event_id", F.col("qt").cast("long").alias("qt")
+    )
+
+
+@_oracle("qt_footprint_cells")
+def _qfc_o() -> str:
+    inner = qsql.qt_calculate_subquery(
+        _events_synth_sql(), "minlon", "minlat", "maxlon", "maxlat", "qt", ("event_id",)
+    )
+    return f"SELECT event_id, CAST(qt AS BIGINT) AS qt FROM ({inner}) q"
+
+
+# ===========================================================================
+# 3. flagship tile assignment on the fixed-size synthetic image table
+# ===========================================================================
+
+_TILE_N = 20000
+_TILE_TARGET = 4000
+
+
+@_register("tile_assignment")
+def _ta(spark, sf_dir):
+    from .plans import pipeline as P
+
+    assigned, _ = P.tile_synthetic_images(spark, _TILE_N, target=_TILE_TARGET)
+    return assigned.select(
+        F.col("id").cast("long").alias("img_id"),
+        F.col("qt").cast("long").alias("qt"),
+        F.col("tile").cast("long").alias("tile"),
+    )
+
+
+@_oracle("tile_assignment")
+def _ta_o() -> str:
+    # Independent evaluation path: cells via the DuckDB encode subquery;
+    # the (metadata-scale) group map is recomputed here with the
+    # find_tree_groups port from the DuckDB-computed histogram, then routed
+    # in SQL via a correlated deepest-ancestor lookup.
+    import duckdb
+
+    from .operators import tiles as T
+
+    e = synth.synth_geo_exprs("id")
+    base = (
+        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
+        f"FROM range({_TILE_N}) t(id)"
+    )
+    enc = qsql.qt_calculate_subquery(
+        base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("id",)
+    )
+    con = duckdb.connect()
+    r17 = qsql.qt_round_sql("qt", 17)
+    hist = con.execute(
+        f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({enc}) q GROUP BY 1"
+    ).fetchall()
+    tree = T.build_tree_from_histogram(
+        [int(c) for c, _ in hist], [int(w) for _, w in hist]
+    )
+    groups = T.find_tree_groups(tree, _TILE_TARGET, _TILE_TARGET // 2)
+    gcells = T.group_lookup_arrays(groups)
+    gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
+    rnd = (
+        "(CASE WHEN (q.qt & 31) <= g.d THEN q.qt "
+        "ELSE ((q.qt >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
+    )
+    return (
+        f"WITH enc AS ({enc}), groups(cell, d) AS (VALUES {gvals}) "
+        f"SELECT CAST(q.id AS BIGINT) AS img_id, CAST(q.qt AS BIGINT) AS qt, "
+        f"CAST(COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell "
+        f"ORDER BY g.d DESC LIMIT 1), 0) AS BIGINT) AS tile FROM enc q"
+    )
+
+
+# ===========================================================================
+# 4. way bbox -> cell, node LCA (calcqts semantics over lineitem/part keys)
+# ===========================================================================
+
+def _lineitem_edges(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("way_id"), F.col("l_partkey").alias("node_id")
+    )
+    e = synth.synth_geo_exprs("node_id")
+    return li.withColumn("lon", F.expr(e["lon"])).withColumn("lat", F.expr(e["lat"]))
+
+
+_EDGES_SQL = None
+
+
+def _edges_sql() -> str:
+    e = synth.synth_geo_exprs("node_id")
+    return (
+        f"SELECT way_id, node_id, {e['lon']} AS lon, {e['lat']} AS lat FROM "
+        f"(SELECT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem) __e"
+    )
+
+
+def _way_boxes_sql() -> str:
+    return (
+        f"SELECT way_id, MIN(lon) AS minlon, MIN(lat) AS minlat, "
+        f"MAX(lon) AS maxlon, MAX(lat) AS maxlat FROM ({_edges_sql()}) e GROUP BY way_id"
+    )
+
+
+@_register("way_bbox_qt")
+def _wbq(spark, sf_dir):
+    edges = _lineitem_edges(spark, sf_dir)
+    boxes = edges.groupBy("way_id").agg(
+        F.min("lon").alias("minlon"),
+        F.min("lat").alias("minlat"),
+        F.max("lon").alias("maxlon"),
+        F.max("lat").alias("maxlat"),
+    )
+    return qs.with_bbox_qt(boxes, "minlon", "minlat", "maxlon", "maxlat").select(
+        F.col("way_id").cast("long"), F.col("qt").cast("long").alias("qt")
+    )
+
+
+@_oracle("way_bbox_qt")
+def _wbq_o() -> str:
+    enc = qsql.qt_calculate_subquery(
+        _way_boxes_sql(), "minlon", "minlat", "maxlon", "maxlat", "qt", ("way_id",)
+    )
+    return f"SELECT CAST(way_id AS BIGINT) AS way_id, CAST(qt AS BIGINT) AS qt FROM ({enc}) q"
+
+
+@_register("node_lca_qt")
+def _nlq(spark, sf_dir):
+    edges = _lineitem_edges(spark, sf_dir)
+    boxes = edges.groupBy("way_id").agg(
+        F.min("lon").alias("minlon"),
+        F.min("lat").alias("minlat"),
+        F.max("lon").alias("maxlon"),
+        F.max("lat").alias("maxlat"),
+    )
+    wq = qs.with_bbox_qt(boxes, "minlon", "minlat", "maxlon", "maxlat").select(
+        "way_id", "qt"
+    )
+    return (
+        edges.select("way_id", "node_id")
+        .join(wq, "way_id")
+        .groupBy("node_id")
+        .agg(qs.qt_common_agg("qt").alias("qt"))
+        .select(F.col("node_id").cast("long"), F.col("qt").cast("long").alias("qt"))
+    )
+
+
+@_oracle("node_lca_qt")
+def _nlq_o() -> str:
+    enc = qsql.qt_calculate_subquery(
+        _way_boxes_sql(), "minlon", "minlat", "maxlon", "maxlat", "qt", ("way_id",)
+    )
+    agg = qsql.qt_common_agg_sql("qt")
+    return (
+        f"WITH wq AS ({enc}), ed AS (SELECT DISTINCT l_orderkey AS way_id, "
+        f"l_partkey AS node_id FROM lineitem) "
+        f"SELECT CAST(ed.node_id AS BIGINT) AS node_id, CAST({agg} AS BIGINT) AS qt "
+        f"FROM ed JOIN wq ON ed.way_id = wq.way_id GROUP BY ed.node_id"
+    )
+
+
+# ===========================================================================
+# 5. snapshot merge: latest-wins + Delete/Remove drop (combine_block.rs)
+# ===========================================================================
+
+@_register("snapshot_merge")
+def _sm(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("CAST((o_orderkey - (o_orderkey % 3)) / 3 AS BIGINT)").alias("id"),
+        F.expr("o_orderkey % 3").alias("snapshot"),
+        F.expr("CAST(o_orderkey % 6 AS BIGINT)").alias("changetype"),
+        F.col("o_totalprice").alias("val"),
+    )
+    snaps = [s.filter(F.col("snapshot") == i).drop("snapshot") for i in range(3)]
+    out = M.merge_changes(snaps[0], snaps[1:], keys=("id",))
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("val").cast("double"),
+        F.col("changetype").cast("long"),
+    )
+
+
+@_oracle("snapshot_merge")
+def _sm_o() -> str:
+    return """
+WITH s AS (
+  SELECT CAST((o_orderkey - (o_orderkey % 3)) / 3 AS BIGINT) AS id,
+         o_orderkey % 3 AS snap,
+         CAST(o_orderkey % 6 AS BIGINT) AS changetype,
+         o_totalprice AS val
+  FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY snap DESC) AS rn FROM s
+)
+SELECT id, CAST(val AS DOUBLE) AS val, CAST(0 AS BIGINT) AS changetype
+FROM r WHERE rn = 1 AND changetype NOT IN (1, 2)
+"""
+
+
+@_register("dedup_max_version")
+def _dmv(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("o_orderkey % 1000").alias("id"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_totalprice").alias("val"),
+    )
+    return M.dedup_max_version(s, keys=("id",), version_col="version").select(
+        F.col("id").cast("long"), F.col("version").cast("long"), F.col("val").cast("double")
+    )
+
+
+@_oracle("dedup_max_version")
+def _dmv_o() -> str:
+    return """
+WITH s AS (
+  SELECT o_orderkey % 1000 AS id, o_orderkey AS version, o_totalprice AS val
+  FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY version DESC) AS rn FROM s
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(version AS BIGINT) AS version,
+       CAST(val AS DOUBLE) AS val
+FROM r WHERE rn = 1
+"""
+
+
+# ===========================================================================
+# 6. count statistics (count.rs)
+# ===========================================================================
+
+@_register("count_stats")
+def _cs(spark, sf_dir):
+    pts = _events_points(spark, sf_dir)
+    return pts.agg(
+        F.count("*").cast("long").alias("num"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+        F.min("lon").cast("long").alias("minlon"),
+        F.min("lat").cast("long").alias("minlat"),
+        F.max("lon").cast("long").alias("maxlon"),
+        F.max("lat").cast("long").alias("maxlat"),
+    )
+
+
+@_oracle("count_stats")
+def _cs_o() -> str:
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS num, "
+        f"CAST(MIN(event_id) AS BIGINT) AS min_id, "
+        f"CAST(MAX(event_id) AS BIGINT) AS max_id, "
+        f"CAST(MIN(lon) AS BIGINT) AS minlon, CAST(MIN(lat) AS BIGINT) AS minlat, "
+        f"CAST(MAX(lon) AS BIGINT) AS maxlon, CAST(MAX(lat) AS BIGINT) AS maxlat "
+        f"FROM ({_events_synth_sql()}) e"
+    )
+
+
+@_register("count_by_changetype")
+def _cbc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("changetype", F.expr("CAST(event_id % 6 AS BIGINT)"))
+        .groupBy("changetype")
+        .agg(
+            F.count("*").cast("long").alias("num"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+    )
+
+
+@_oracle("count_by_changetype")
+def _cbc_o() -> str:
+    return (
+        "SELECT CAST(event_id % 6 AS BIGINT) AS changetype, "
+        "CAST(COUNT(*) AS BIGINT) AS num, CAST(MIN(event_id) AS BIGINT) AS min_id, "
+        "CAST(MAX(event_id) AS BIGINT) AS max_id FROM events GROUP BY 1"
+    )
+
+
+# ===========================================================================
+# 7. spatial filter: bbox + concave-polygon PIP (filter_elements.rs)
+# ===========================================================================
+
+_POLY_VX = [0.0, 40.0, 40.0, 20.0, 20.0, 0.0]
+_POLY_VY = [0.0, 0.0, 20.0, 20.0, 45.0, 45.0]
+_FILTER_BBOX = (-100000000, -100000000, 500000000, 500000000)
+
+
+@_register("filter_bbox_poly")
+def _fbp(spark, sf_dir):
+    from .operators import filter as FL
+
+    pts = _events_points(spark, sf_dir)
+    poly = FL.Poly(_POLY_VX, _POLY_VY)
+    out = FL.filter_points(pts, _FILTER_BBOX, poly)
+    return out.select(F.col("event_id").cast("long"))
+
+
+@_oracle("filter_bbox_poly")
+def _fbp_o() -> str:
+    bb = geo_sql.bbox_contains_point_sql(_FILTER_BBOX, "lon", "lat")
+    pip = geo_sql.pnpoly_sql(
+        _POLY_VX, _POLY_VY, "CAST(lon AS DOUBLE) * 0.0000001", "CAST(lat AS DOUBLE) * 0.0000001"
+    )
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id FROM ({_events_synth_sql()}) e "
+        f"WHERE {bb} AND {pip}"
+    )
+
+
+# ===========================================================================
+# 8. id-closure semi-joins (filter_elements.rs:298-376)
+# ===========================================================================
+
+_CLOSURE_BBOX = (0, -200000000, 400000000, 300000000)
+
+
+@_register("id_closure")
+def _ic(spark, sf_dir):
+    from .operators.filter import bbox_contains_point
+
+    edges = _lineitem_edges(spark, sf_dir)
+    in_nodes = (
+        edges.filter(bbox_contains_point(_CLOSURE_BBOX))
+        .select("node_id")
+        .distinct()
+    )
+    sel_ways = (
+        edges.join(in_nodes, "node_id", "left_semi").select("way_id").distinct()
+    )
+    exnodes = (
+        edges.join(sel_ways, "way_id", "left_semi")
+        .select("node_id")
+        .distinct()
+        .join(in_nodes, "node_id", "left_anti")
+    )
+    return (
+        in_nodes.select(F.lit("node").alias("cls"), F.col("node_id").cast("long").alias("id"))
+        .unionByName(
+            exnodes.select(F.lit("exnode").alias("cls"), F.col("node_id").cast("long").alias("id"))
+        )
+        .unionByName(
+            sel_ways.select(F.lit("way").alias("cls"), F.col("way_id").cast("long").alias("id"))
+        )
+    )
+
+
+@_oracle("id_closure")
+def _ic_o() -> str:
+    a, b, c, d = _CLOSURE_BBOX
+    return f"""
+WITH edges AS ({_edges_sql()}),
+in_nodes AS (
+  SELECT DISTINCT node_id FROM edges
+  WHERE lon >= {a} AND lat >= {b} AND lon <= {c} AND lat <= {d}
+),
+sel_ways AS (
+  SELECT DISTINCT way_id FROM edges WHERE node_id IN (SELECT node_id FROM in_nodes)
+),
+exnodes AS (
+  SELECT DISTINCT node_id FROM edges
+  WHERE way_id IN (SELECT way_id FROM sel_ways)
+    AND node_id NOT IN (SELECT node_id FROM in_nodes)
+)
+SELECT 'node' AS cls, CAST(node_id AS BIGINT) AS id FROM in_nodes
+UNION ALL
+SELECT 'exnode' AS cls, CAST(node_id AS BIGINT) AS id FROM exnodes
+UNION ALL
+SELECT 'way' AS cls, CAST(way_id AS BIGINT) AS id FROM sel_ways
+"""

@@ -1,0 +1,232 @@
+"""Gate entries for text analysis, dedup, similarity and multimodal ops.
+
+Registers into gate.GATE.  Text metrics share their exact SQL expression
+text with the DuckDB oracles (functions/text_sql.py); the ANN dot product
+uses identical left-to-right float accumulation on both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from .functions import text_sql as TS
+from .gate import GATE, _oracle, _register, _t
+from .operators import dedup as D
+from .operators import similarity as SIM
+from .operators import text as TX
+
+
+# ===========================================================================
+# text metrics
+# ===========================================================================
+
+@_register("text_metrics")
+def _tm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.with_token_count(docs)
+    out = TX.with_quality_score(out)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("quality").cast("long"),
+    )
+
+
+@_oracle("text_metrics")
+def _tm_o():
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({TS.token_count_sql('text')} AS BIGINT) AS n_tokens, "
+        f"CAST({TS.quality_score_sql('text')} AS BIGINT) AS quality FROM documents"
+    )
+
+
+@_register("langid_heuristic")
+def _lh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.with_langid(docs).select(
+        F.col("doc_id").cast("long"),
+        F.col("en_score").cast("long"),
+        F.col("lang_guess"),
+    )
+
+
+@_oracle("langid_heuristic")
+def _lh_o():
+    score = TS.langid_score_sql("text")
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({score} AS BIGINT) AS en_score, "
+        f"CASE WHEN {score} >= 20000 THEN 'en' ELSE 'other' END AS lang_guess "
+        f"FROM documents"
+    )
+
+
+@_register("token_stats_by_source")
+def _tsb(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_stats_by(docs, "source")
+
+
+@_oracle("token_stats_by_source")
+def _tsb_o():
+    toks = TS.token_count_sql("text")
+    return (
+        f"SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
+        f"CAST(SUM({toks}) AS BIGINT) AS total_tokens, "
+        f"CAST(ROUND(AVG({toks}), 6) AS DOUBLE) AS avg_tokens "
+        f"FROM documents GROUP BY source"
+    )
+
+
+@_register("doc_fingerprint")
+def _dfp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.with_fingerprint(docs).select(
+        F.col("doc_id").cast("long"), F.col("fp").cast("long")
+    )
+
+
+@_oracle("doc_fingerprint")
+def _dfp_o():
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({TS.md5_prefix_int_sql('text', TS.DUCKDB)} AS BIGINT) AS fp "
+        f"FROM documents"
+    )
+
+
+# ===========================================================================
+# dedup
+# ===========================================================================
+
+@_register("dedup_exact")
+def _de(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs)
+
+
+@_oracle("dedup_exact")
+def _de_o():
+    return (
+        "SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keeper, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY md5(text)"
+    )
+
+
+@_register("minhash_signatures")
+def _mh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs).select(
+        F.col("doc_id").cast("long"),
+        *[F.col(f"mh{i}").cast("long") for i in range(4)],
+    )
+
+
+@_oracle("minhash_signatures")
+def _mh_o():
+    wh = TS.minhash_word_hash_sql("w", TS.DUCKDB)
+    sigs = ", ".join(
+        f"CAST({s} AS BIGINT) AS mh{i}"
+        for i, s in enumerate(TS.minhash_sigs_sql("wh"))
+    )
+    return (
+        f"WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        f"FROM documents), wh AS (SELECT doc_id, {wh} AS wh FROM words "
+        f"WHERE length(w) > 0) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {sigs} FROM wh GROUP BY doc_id"
+    )
+
+
+@_register("simhash64")
+def _sh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash64(docs).select(
+        F.col("doc_id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+@_oracle("simhash64")
+def _sh_o():
+    wh_expr = TS.minhash_word_hash_sql("w", TS.DUCKDB)
+    sums = []
+    for i in range(32):
+        sums.append(
+            f"SUM(CASE WHEN ((wh >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        )
+        sums.append(
+            f"SUM(CASE WHEN ((wh2 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i + 32}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    return (
+        f"WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        f"FROM documents), wh0 AS (SELECT doc_id, {wh_expr} AS wh FROM words "
+        f"WHERE length(w) > 0), "
+        f"whx AS (SELECT doc_id, wh, (wh * 69069 + 362437) % {TS.MINHASH_P} AS wh2 FROM wh0), "
+        f"agg AS (SELECT doc_id, {', '.join(sums)} FROM whx GROUP BY doc_id) "
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg"
+    )
+
+
+# ===========================================================================
+# similarity / ANN
+# ===========================================================================
+
+_ANN_K = 50
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    """Deterministic query = embedding of the smallest vec_id (DuckDB read
+    keeps this cheap and engine-independent)."""
+    con = duckdb.connect()
+    row = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT 1"
+    ).fetchone()
+    return [float(x) for x in row[0]]
+
+
+@_register("ann_dot_topk")
+def _ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(sf_dir)
+    return SIM.brute_force_topk(emb, q, k=_ANN_K).select(
+        F.col("vec_id").cast("long"), (F.col("score") + F.lit(0.0)).alias("score")
+    )
+
+
+@_oracle("ann_dot_topk")
+def _ann_o():
+    # unrolled left-associative dot product — same accumulation order as
+    # Spark's aggregate() fold; query vector via scalar subqueries so the
+    # oracle needs no literal values
+    terms = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * q.q{i + 1}" for i in range(64)
+    )
+    qcols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS q{i + 1}" for i in range(64)
+    )
+    return (
+        f"WITH q AS (SELECT {qcols} FROM embeddings ORDER BY vec_id LIMIT 1) "
+        f"SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        f"ROUND({terms}, 6) + 0.0 AS score "
+        f"FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT {_ANN_K}"
+    )
+
+
+# ===========================================================================
+# multimodal (rows-only check: PNG decode is not SQL-expressible)
+# ===========================================================================
+
+@_register("image_decode_stats")
+def _ids(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, 64)
+    return MM.decode_stats(images)

@@ -1,0 +1,140 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash,
+n-gram Jaccard.
+
+Designed for the 100 TB case: signature computation is a map-side
+projection (no shuffle); candidate generation shuffles only (bucket, id)
+pairs; verification joins are restricted to LSH-candidate pairs instead of
+the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text_sql as TS
+
+
+def dedup_exact(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: hash-groupBy on content; keeper = min id."""
+    return df.groupBy(F.md5(F.col(key)).alias("content_hash")).agg(
+        F.min(id_col).cast("long").alias("keeper"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+
+
+def word_hashes(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, word-hash) pairs; hash is the cross-engine md5-prefix int."""
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return words.withColumn(
+        "wh", F.expr(TS.minhash_word_hash_sql("w", TS.SPARK))
+    ).select(id_col, "wh")
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k=4 MinHash signature columns mh0..mh3 per document."""
+    wh = word_hashes(df, text, id_col)
+    aggs = [
+        F.expr(sig).cast("long").alias(f"mh{i}")
+        for i, sig in enumerate(TS.minhash_sigs_sql("wh"))
+    ]
+    return wh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 2
+) -> DataFrame:
+    """Band the signature (rows-per-band = k/bands), bucket-join to emit
+    candidate pairs (a < b)."""
+    k = 4
+    rpb = k // bands
+    out = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rpb + j}") for j in range(rpb)]
+        bucket = F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias(
+            "bucket"
+        )
+        banded = sigs.select(F.col(id_col).alias("a"), bucket)
+        pairs = (
+            banded.alias("l")
+            .join(banded.alias("r"), "bucket")
+            .filter(F.col("l.a") < F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.a").alias("b"))
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact word-set Jaccard (n=1 shingles);
+    returns pairs with jaccard >= threshold."""
+    wh = word_hashes(df, text, id_col).distinct()
+    la = wh.select(F.col(id_col).alias("a"), F.col("wh").alias("wha"))
+    lb = wh.select(F.col(id_col).alias("b"), F.col("wh").alias("wha"))
+    sizes = wh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    joined = (
+        candidates.join(la, "a")
+        .join(lb, ["b", "wha"], "inner")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "jaccard"
+    )
+
+
+def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word hashes: per bit, sign of sum(+1/-1).
+
+    Computed as 64 conditional sums over the exploded word-hash column —
+    shuffles one row per doc (the aggregate), everything JVM-side.
+    """
+    wh = word_hashes(df, text, id_col)
+    # extend the 60-bit word hash to 64 deterministic bits via two mixes
+    wh = wh.withColumn(
+        "wh2", F.expr(f"(wh * 69069 + 362437) % {TS.MINHASH_P}")
+    )
+    bit_aggs = []
+    for i in range(32):
+        bit_aggs.append(
+            F.sum(F.when(F.expr(f"shiftright(wh, {i}) & 1") == 1, 1).otherwise(-1))
+            .alias(f"s{i}")
+        )
+        bit_aggs.append(
+            F.sum(F.when(F.expr(f"shiftright(wh2, {i}) & 1") == 1, 1).otherwise(-1))
+            .alias(f"s{i + 32}")
+        )
+    agg = wh.groupBy(id_col).agg(*bit_aggs)
+    expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    return agg.select(id_col, F.expr(expr).alias("simhash"))
+
+
+def dedup_keep_first(
+    df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop the higher id of each duplicate pair (transitive closure
+    approximated by one sweep — exact for pairwise-confirmed clusters
+    whose members all pair with the cluster minimum)."""
+    losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

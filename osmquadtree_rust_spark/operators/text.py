@@ -1,0 +1,47 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are native Spark SQL (JVM codegen, zero Python);
+the expression text is shared with the DuckDB oracles via
+functions/text_sql.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_sql as TS
+
+
+def with_token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.expr(TS.token_count_sql(text)).cast("long"))
+
+
+def with_quality_score(df: DataFrame, text: str = "text", out: str = "quality") -> DataFrame:
+    """Quality score in millionths (BIGINT, cross-engine exact)."""
+    return df.withColumn(out, F.expr(TS.quality_score_sql(text)).cast("long"))
+
+
+def with_langid(
+    df: DataFrame, text: str = "text", out: str = "en_score", threshold: int = 20000
+) -> DataFrame:
+    """n-gram-free language-ID heuristic: density of English marker words
+    (per-million).  `lang_guess` = 'en' above threshold."""
+    scored = df.withColumn(out, F.expr(TS.langid_score_sql(text)).cast("long"))
+    return scored.withColumn(
+        "lang_guess", F.when(F.col(out) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> DataFrame:
+    """64-bit-ish (60-bit) deterministic document fingerprint."""
+    return df.withColumn(out, F.expr(TS.md5_prefix_int_sql(text, TS.SPARK)))
+
+
+def token_stats_by(df: DataFrame, group: str = "source", text: str = "text") -> DataFrame:
+    toks = TS.token_count_sql(text)
+    return df.groupBy(group).agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum(F.expr(toks)).cast("long").alias("total_tokens"),
+        F.round(F.avg(F.expr(toks)), 6).cast("double").alias("avg_tokens"),
+    )
