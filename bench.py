@@ -56,8 +56,8 @@ def main():
     from osmquadtree_rust_spark.functions import qt_spark as qs
 
     cells = assigned.select("id", "qt", "tile")
-    per_tile = cells.groupBy("tile").agg(
-        F.count("*").alias("n"), qs.qt_common_agg("qt").alias("lca")
+    per_tile = qs.agg_lca(
+        cells, ["tile"], "qt", "lca", extra_aggs=(F.count("*").alias("n"),)
     )
     force(cells.join(F.broadcast(per_tile), "tile"))
     times["tile_broadcast_join"] = round(time.time() - t0, 3)

@@ -48,8 +48,32 @@ def qt_common(a: str, b: str) -> Column:
 def qt_common_agg(c: str) -> Column:
     """LCA aggregate: use in ``groupBy(...).agg(qt_common_agg("qt"))``.
     Compiles to min/max partial aggregates + a final bit-math projection —
-    fully JVM-side, shuffle carries 16 bytes per group."""
+    fully JVM-side, shuffle carries 16 bytes per group.
+
+    NOTE: this single-expression form textually inlines the min/max
+    aggregates ~50x, which whole-stage codegen turns into megabytes of
+    Java (30s+ janino compile).  Prefer ``agg_lca`` which splits the
+    aggregate from the projection."""
     return F.expr(qsql.qt_common_agg_sql(c, qsql.SPARK))
+
+
+def agg_lca(
+    df: DataFrame,
+    group_cols: list[str],
+    qt_col: str = "qt",
+    alias: str = "qt",
+    extra_aggs: tuple = (),
+) -> DataFrame:
+    """groupBy(group_cols) with an LCA(qt) aggregate, codegen-friendly:
+    the min/max run as one hash aggregate, the common() bit math runs as a
+    projection over the two simple result attributes."""
+    valid = F.when(F.col(qt_col) >= 0, F.col(qt_col))
+    out = df.groupBy(*group_cols).agg(
+        F.min(valid).alias("__lca_mn"), F.max(valid).alias("__lca_mx"), *extra_aggs
+    )
+    return out.withColumn(alias, qt_common("__lca_mn", "__lca_mx")).drop(
+        "__lca_mn", "__lca_mx"
+    )
 
 
 def qt_is_parent(a: str, b: str) -> Column:

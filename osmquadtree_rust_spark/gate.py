@@ -294,13 +294,9 @@ def _nlq(spark, sf_dir):
     wq = qs.with_bbox_qt(boxes, "minlon", "minlat", "maxlon", "maxlat").select(
         "way_id", "qt"
     )
-    return (
-        edges.select("way_id", "node_id")
-        .join(wq, "way_id")
-        .groupBy("node_id")
-        .agg(qs.qt_common_agg("qt").alias("qt"))
-        .select(F.col("node_id").cast("long"), F.col("qt").cast("long").alias("qt"))
-    )
+    return qs.agg_lca(
+        edges.select("way_id", "node_id").join(wq, "way_id"), ["node_id"], "qt", "qt"
+    ).select(F.col("node_id").cast("long"), F.col("qt").cast("long").alias("qt"))
 
 
 @_oracle("node_lca_qt")

@@ -75,12 +75,12 @@ def node_qts(
     if wqts is None:
         wqts = way_qts(nodes, ways, maxlevel, buffer)
     edges = way_node_edges(ways)
-    from_ways = (
-        edges.join(wqts.withColumnRenamed("id", "way_id"), "way_id")
-        .groupBy("node_id")
-        .agg(qs.qt_common_agg("qt").alias("qt"))
-        .withColumnRenamed("node_id", "id")
-    )
+    from_ways = qs.agg_lca(
+        edges.join(wqts.withColumnRenamed("id", "way_id"), "way_id"),
+        ["node_id"],
+        "qt",
+        "qt",
+    ).withColumnRenamed("node_id", "id")
     covered = nodes.join(from_ways, "id", "left_semi")
     uncovered = nodes.join(from_ways, "id", "left_anti")
     from_points = qs.with_point_qt(
@@ -120,11 +120,7 @@ def rel_qts(
         .join(wqts.withColumnRenamed("id", "mem_ref"), "mem_ref")
         .select("rel_id", "qt")
     )
-    base = (
-        node_side.unionByName(way_side)
-        .groupBy("rel_id")
-        .agg(qs.qt_common_agg("qt").alias("qt"))
-    )
+    base = qs.agg_lca(node_side.unionByName(way_side), ["rel_id"], "qt", "qt")
 
     empty = (
         relations.filter(F.size(F.coalesce(F.col("members"), F.array())) == 0)

