@@ -66,28 +66,50 @@ def latitude_un_mercator(d: np.ndarray, scale: float = 1.0) -> np.ndarray:
 
 def _find_quad(mx, my, Mx, My, buffer: float) -> np.ndarray:
     """Vectorized quadrant chooser; exact branch ladder of find_quad
-    (quadtree.rs:558-601). Returns int8 in {-1,0,1,2,3}."""
-    aMx, amx = np.abs(Mx), np.abs(mx)
-    aMy, amy = np.abs(My), np.abs(my)
-    out_of_range = (
+    (quadtree.rs:558-601). Returns int64 in {-1,0,1,2,3}.
+
+    Two-phase for throughput: the four strict-quadrant branches decide
+    almost every box; the buffer-tolerance ladder (which needs the |.|
+    comparisons) runs only on the residual rows, gathered/scattered.
+    """
+    out = np.full(mx.shape, -1, dtype=np.int64)
+    xneg = Mx <= 0.0
+    xpos = mx >= 0.0
+    ypos = my >= 0.0
+    yneg = My <= 0.0
+    in_range = ~(
         (mx < (-1.0 - buffer))
         | (my < (-1.0 - buffer))
         | (Mx > (1.0 + buffer))
         | (My > (1.0 + buffer))
     )
-    conds = [
-        out_of_range,
-        (Mx <= 0.0) & (my >= 0.0),
-        (mx >= 0.0) & (my >= 0.0),
-        (Mx <= 0.0) & (My <= 0.0),
-        (mx >= 0.0) & (My <= 0.0),
-        (Mx < buffer) & (aMx < amx) & (my > -buffer) & (aMy >= amy),
-        (mx > -buffer) & (aMx >= amx) & (my > -buffer) & (aMy >= amy),
-        (Mx < buffer) & (aMx < amx) & (My < buffer) & (aMy < amy),
-        (mx > -buffer) & (aMx >= amx) & (My < buffer) & (aMy < amy),
-    ]
-    choices = [-1, 0, 1, 2, 3, 0, 1, 2, 3]
-    return np.select(conds, choices, default=-1).astype(np.int8)
+    q = np.where(
+        xneg & ypos,
+        0,
+        np.where(
+            xpos & ypos,
+            1,
+            np.where(xneg & yneg, 2, np.where(xpos & yneg, 3, -1)),
+        ),
+    )
+    decided = q >= 0
+    out[in_range & decided] = q[in_range & decided]
+
+    rest = in_range & ~decided
+    if rest.any():
+        idx = np.where(rest)[0]
+        rmx, rmy, rMx, rMy = mx[idx], my[idx], Mx[idx], My[idx]
+        aMx, amx = np.abs(rMx), np.abs(rmx)
+        aMy, amy = np.abs(rMy), np.abs(rmy)
+        x0 = (rMx < buffer) & (aMx < amx)   # buffered west
+        x1 = (rmx > -buffer) & (aMx >= amx)  # buffered east
+        y0 = (rmy > -buffer) & (aMy >= amy)  # buffered north
+        y1 = (rMy < buffer) & (aMy < amy)   # buffered south
+        rq = np.where(
+            x0 & y0, 0, np.where(x1 & y0, 1, np.where(x0 & y1, 2, np.where(x1 & y1, 3, -1)))
+        )
+        out[idx] = rq
+    return out
 
 
 def calculate(
@@ -126,12 +148,12 @@ def calculate(
     for level in range(int(maxlevel)):
         q = _find_quad(mx, my, Mx, My, buffer)
         step = (~done) & (q >= 0)
-        q64 = q.astype(np.int64)
-        qt = np.where(step, qt + (np.where(step, q64, 0) << (61 - 2 * level)) + 1, qt)
+        qt = qt + np.where(step, ((q & 3) << (61 - 2 * level)) + 1, 0)
         done = done | (q < 0)
-        # recentre on the chosen quadrant and double (quadtree.rs:620-644)
-        dx = np.where((q == 0) | (q == 2), 0.5, -0.5)
-        dy = np.where((q == 2) | (q == 3), 0.5, -0.5)
+        # recentre on the chosen quadrant and double (quadtree.rs:620-644);
+        # values on done rows are garbage but never read
+        dx = 0.5 - (q & 1).astype(np.float64)
+        dy = ((q >> 1) & 1).astype(np.float64) - 0.5
         mx = 2.0 * (mx + dx)
         Mx = 2.0 * (Mx + dx)
         my = 2.0 * (my + dy)

@@ -22,6 +22,14 @@ SKEW_LON0 = 600000000
 SKEW_LAT0 = 400000000
 SKEW_SPAN = 10000000
 
+# Clustered distribution: 90% of rows scatter around N_HOTSPOTS "city"
+# centres with +-0.005 deg jitter (geo-tagged images cluster heavily in
+# reality).  This bounds the level-17 cell histogram to ~tens of cells per
+# hotspot regardless of row count — the property that keeps the
+# metadata-scale grouping step O(hotspots), not O(rows), at 10^12 images.
+N_HOTSPOTS = 4096
+JITTER = 100000  # 0.01 deg total span
+
 # Multipliers chosen so id * mult stays < 2^63 for id < 3.4e9 (no wrap in
 # either engine); the modulus spreads centres over the full planet.
 _MULT_LON = 2654435761
@@ -36,17 +44,18 @@ def synth_geo_exprs(id_col: str = "id") -> dict[str, str]:
     clipped footprint bbox in fixed-point int (minlon,minlat,maxlon,maxlat).
     """
     i = f"CAST({id_col} AS BIGINT)"
-    lon_u = f"(({i} * {_MULT_LON}) % 3600000000)"
-    lat_u = f"(({i} * {_MULT_LAT}) % 1800000000)"
+    hs = f"({i} % {N_HOTSPOTS})"
+    lon_c = f"((({hs} * {_MULT_LON}) % 3560000000) - 1770000000)"
+    lat_c = f"((({hs} * {_MULT_LAT}) % 1760000000) - 870000000)"
     lon = (
         f"(CASE WHEN {i} % 10 = 0 "
         f"THEN {SKEW_LON0} + (({i} * 97) % {SKEW_SPAN}) "
-        f"ELSE {lon_u} - 1800000000 END)"
+        f"ELSE {lon_c} + (({i} * 40503) % {JITTER}) - {JITTER // 2} END)"
     )
     lat = (
         f"(CASE WHEN {i} % 10 = 0 "
         f"THEN {SKEW_LAT0} + (({i} * 89) % {SKEW_SPAN}) "
-        f"ELSE {lat_u} - 900000000 END)"
+        f"ELSE {lat_c} + (({i} * 69069) % {JITTER}) - {JITTER // 2} END)"
     )
     w = f"(CASE {i} % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 128 END)"
     h = f"(CASE {i} % 4 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 48 ELSE 96 END)"
