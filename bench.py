@@ -56,14 +56,21 @@ def main():
     from osmquadtree_rust_spark.plans import pipeline as P
 
     ckpt_dir = tempfile.mkdtemp(prefix="bench_tiles_")
+    persist = os.environ.get("BENCH_PERSIST", "1") == "1"
+    noop_out = os.environ.get("BENCH_NOOP", "0") == "1"
     t0 = time.time()
-    assigned, groups = P.tile_synthetic_images(spark, n_images, target=P.DEFAULT_TARGET)
-    assigned.select("id", "qt", "tile").write.mode("overwrite").parquet(
-        f"{ckpt_dir}/cells"
+    assigned, groups = P.tile_synthetic_images(
+        spark, n_images, target=P.DEFAULT_TARGET, persist=persist
     )
+    out = assigned.select("id", "qt", "tile")
+    if noop_out:
+        force(out)
+    else:
+        out.write.mode("overwrite").parquet(f"{ckpt_dir}/cells")
     t_tiling = time.time() - t0
     times["tiling_pipeline"] = round(t_tiling, 3)
-    assigned.unpersist()
+    if persist:
+        assigned.unpersist()
 
     # -- spatial join: cells joined to broadcast per-tile rollup (the
     #    co-located broadcast-join pattern), reading the checkpoint
@@ -72,7 +79,7 @@ def main():
 
     from osmquadtree_rust_spark.functions import qt_spark as qs
 
-    cells = spark.read.parquet(f"{ckpt_dir}/cells")
+    cells = out if noop_out else spark.read.parquet(f"{ckpt_dir}/cells")
     per_tile = qs.agg_lca(
         cells, ["tile"], "qt", "lca", extra_aggs=(F.count("*").alias("n"),)
     )

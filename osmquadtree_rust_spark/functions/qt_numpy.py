@@ -294,7 +294,7 @@ def to_xyz(qt) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         y = np.where(act, (y << 1) | ((t >> 1) & 1), y)
     if qt.shape:
         return x, y, z
-    return x[0], y[0], z[0]
+    return x[0], y[0], z_[0]
 
 
 def as_string(qt: int) -> str:

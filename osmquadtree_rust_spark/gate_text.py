@@ -8,6 +8,8 @@ uses identical left-to-right float accumulation on both engines.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import functions as F
 
@@ -230,3 +232,57 @@ def _ids(spark, sf_dir):
 
     images = FX.images_spark_df(spark, 64)
     return MM.decode_stats(images)
+
+
+# ===========================================================================
+# kNN via cell-ring expansion (BASELINE generalization; exact)
+# ===========================================================================
+
+_KNN_K = 25
+_KNN_LEVEL = 8
+# query point: inside the dense skew region, so k neighbours exist within
+# a ring or two even at small SF
+_KNN_QLON = 605000000
+_KNN_QLAT = 405000000
+
+
+@_register("knn_ring")
+def _knn(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    from .gate import _events_points
+    from .operators import knn as K
+    from .functions import qt_numpy as qtn
+
+    pts = _events_points(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            qtn.calculate_point(
+                lon.to_numpy(np.int64), lat.to_numpy(np.int64), _KNN_LEVEL, 0.0
+            )
+        )
+
+    # persist: the ring loop filters this frame once per ring; at cluster
+    # scale the cell column is the table's bucket key instead
+    pts = pts.withColumn("cell", cell_udf("lon", "lat")).persist()
+    out = K.knn_search(
+        pts, _KNN_QLON, _KNN_QLAT, _KNN_K, level=_KNN_LEVEL, id_col="event_id"
+    )
+    pts.unpersist()
+    return out
+
+
+@_oracle("knn_ring")
+def _knn_o():
+    from .gate import _events_synth_sql
+
+    d = (
+        f"(CAST(lon - {_KNN_QLON} AS DOUBLE) * CAST(lon - {_KNN_QLON} AS DOUBLE)"
+        f" + CAST(lat - {_KNN_QLAT} AS DOUBLE) * CAST(lat - {_KNN_QLAT} AS DOUBLE))"
+    )
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS id, {d} AS dist_sq "
+        f"FROM ({_events_synth_sql()}) e ORDER BY dist_sq, event_id LIMIT {_KNN_K}"
+    )

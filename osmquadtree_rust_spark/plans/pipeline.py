@@ -182,10 +182,17 @@ def tile_synthetic_images(
     target: int = 4000,
     maxlevel: int = qtn.QT_MAX_LEVEL,
     buffer: float = qtn.QT_BUFFER,
+    persist: bool = True,
 ) -> tuple[DataFrame, np.ndarray]:
     """Flagship DAG on the deterministic synthetic image-footprint table:
-    range(n) -> footprint -> cell -> tile.  Returns (assigned df, groups)."""
-    base = spark.range(n)
+    range(n) -> footprint -> cell -> tile.  Returns (assigned df, groups).
+
+    persist=False recomputes the (CPU-cheap, embarrassingly-parallel)
+    encode for the routing pass instead of materializing it — the right
+    trade on memory-bandwidth-starved hosts."""
+    base = spark.range(n).select(F.col("id"))
     fp = with_synth_footprint(base, "id")
-    with_qt = qs.with_bbox_qt(fp, "minlon", "minlat", "maxlon", "maxlat", "qt", maxlevel, buffer)
-    return assign_tiles(with_qt, "qt", None, target)
+    with_qt = qs.with_bbox_qt(
+        fp, "minlon", "minlat", "maxlon", "maxlat", "qt", maxlevel, buffer
+    ).select("id", "qt")
+    return assign_tiles(with_qt, "qt", None, target, persist=persist)
