@@ -286,3 +286,69 @@ def _knn_o():
         f"SELECT CAST(event_id AS BIGINT) AS id, {d} AS dist_sq "
         f"FROM ({_events_synth_sql()}) e ORDER BY dist_sq, event_id LIMIT {_KNN_K}"
     )
+
+
+# ===========================================================================
+# MinHash + LSH near-dup pipeline end-to-end (signatures -> banded
+# candidates -> exact word-set Jaccard verify) on a corpus with planted
+# duplicates (documents unioned with itself under shifted ids)
+# ===========================================================================
+
+_DUP_SHIFT = 100000
+
+
+def _doubled_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select(
+        (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), F.col("text")
+    )
+    return docs.unionByName(dups)
+
+
+@_register("minhash_lsh_dedup")
+def _mld(spark, sf_dir):
+    docs = _doubled_docs(spark, sf_dir)
+    sigs = D.minhash_signatures(docs)
+    cand = D.minhash_lsh_candidates(sigs, bands=2)
+    pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.5)
+    return pairs.select(
+        F.col("a").cast("long"), F.col("b").cast("long"),
+        F.col("jaccard").cast("double"),
+    )
+
+
+@_oracle("minhash_lsh_dedup")
+def _mld_o():
+    wh = TS.minhash_word_hash_sql("w", TS.DUCKDB)
+    sigs = ", ".join(
+        f"{s} AS mh{i}" for i, s in enumerate(TS.minhash_sigs_sql("wh"))
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {_DUP_SHIFT}, text FROM documents
+),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+whm AS (SELECT doc_id, {wh} AS wh FROM words WHERE length(w) > 0),
+sigs AS (SELECT doc_id, {sigs} FROM whm GROUP BY doc_id),
+b0 AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r
+       ON l.mh0 = r.mh0 AND l.mh1 = r.mh1 AND l.doc_id < r.doc_id),
+b1 AS (SELECT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r
+       ON l.mh2 = r.mh2 AND l.mh3 = r.mh3 AND l.doc_id < r.doc_id),
+cand AS (SELECT DISTINCT a, b FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1) u),
+whd AS (SELECT DISTINCT doc_id, wh FROM whm),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM whd GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN whd wa ON wa.doc_id = c.a
+  JOIN whd wb ON wb.doc_id = c.b AND wb.wh = wa.wh
+  GROUP BY c.a, c.b
+)
+SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+       CAST(ROUND(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) >= 0.5
+"""
