@@ -524,3 +524,36 @@ SELECT 'exnode' AS cls, CAST(node_id AS BIGINT) AS id FROM exnodes
 UNION ALL
 SELECT 'way' AS cls, CAST(way_id AS BIGINT) AS id FROM sel_ways
 """
+
+
+# ===========================================================================
+# 9. windowed event aggregation (streaming shape on the static frame;
+#    hour buckets as epoch ints so both engines bucket identically)
+# ===========================================================================
+
+@_register("windowed_event_counts")
+def _wec(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "win_start",
+            F.expr("CAST(FLOOR(unix_timestamp(ts) / 3600) * 3600 AS BIGINT)"),
+        )
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+    )
+
+
+@_oracle("windowed_event_counts")
+def _wec_o() -> str:
+    return (
+        "SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS win_start, "
+        "event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY 1, 2"
+    )

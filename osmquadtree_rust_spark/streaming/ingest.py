@@ -1,0 +1,101 @@
+"""Streaming ingest of change files (Structured Streaming).
+
+The reference polls a replication endpoint and applies .osc.gz diffs in a
+driver loop (src/update/run_update.rs:51-164).  The Spark-native shape is
+a file-source stream: change files land in a directory, each micro-batch
+applies the merge (latest-wins + Delete/Remove drop) against the current
+snapshot via foreachBatch — exactly-once per file via the stream
+checkpoint, late/duplicate versions handled by the max-version dedup
+(read_xml.rs:554-591 ≙ dedup_max_version).
+
+Also provides the generic watermarked windowed aggregation for event
+streams (no analog in the reference, which has no streaming runtime —
+SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import dedup_max_version
+
+
+def stream_change_files(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    on_batch,
+):
+    """File-source stream over change parquet files; `on_batch(df, epoch)`
+    applies each micro-batch (typically a MERGE against the snapshot
+    store).  Runs with availableNow so callers control the drain."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+def apply_change_batch(
+    snapshot_path: str,
+    keys: tuple[str, ...] = ("id",),
+    version_col: str = "version",
+):
+    """Build a foreachBatch function that folds each change micro-batch
+    into the parquet snapshot at `snapshot_path` (latest-wins by version,
+    Delete/Remove drop)."""
+    from ..operators import merge as M
+
+    def on_batch(batch: DataFrame, epoch_id: int):
+        spark = batch.sparkSession
+        deduped = dedup_max_version(batch, keys, version_col)
+        import os
+
+        if os.path.exists(snapshot_path):
+            base = spark.read.parquet(snapshot_path)
+            merged = M.apply_changes(base, deduped, keys)
+        else:
+            merged = deduped.filter(
+                ~F.col("changetype").isin(M.DELETE, M.REMOVE)
+            ).withColumn("changetype", F.lit(M.NORMAL))
+        # write to a new snapshot dir then swap (parquet has no MERGE)
+        tmp = snapshot_path + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(snapshot_path):
+            shutil.rmtree(snapshot_path)
+        os.rename(tmp, snapshot_path)
+
+    return on_batch
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the standard late-data-safe
+    streaming aggregation; works on both static and streaming frames."""
+    groups = [F.window(F.col(ts_col), window)]
+    if group_col:
+        groups.append(F.col(group_col))
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(*groups)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *( [F.col(group_col)] if group_col else [] ),
+            "n",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    )
