@@ -1,0 +1,62 @@
+"""Filter-spec parsing (reference Bbox::from_str/from_str_alt,
+quadtree.rs:152-225): four ints, four floats, or `tile:x,y,z[:buffer]`."""
+
+from __future__ import annotations
+
+import math
+import re
+
+EARTH_WIDTH = 20037508.342789244
+
+
+def _coordinate_as_integer(v: float) -> int:
+    if v > 0.0:
+        return int(v * 1e7 + 0.5)
+    return int(v * 1e7 - 0.5)
+
+
+def _latitude_un_mercator(d: float, scale: float) -> float:
+    return (math.atan(math.exp(d * math.pi / scale)) * 4.0 / math.pi - 1.0) * 90.0
+
+
+def bbox_from_tile(x: float, y: float, z: float, buffer: float = 0.0):
+    """quadtree.rs:212-225 (note the reference's (2.0+buffer) span)."""
+    sz = (2.0 * EARTH_WIDTH / 256.0 / (2.0**z)) * 256.0
+    minx = -EARTH_WIDTH + (x - buffer) * sz
+    maxy = EARTH_WIDTH - (y - buffer) * sz
+    maxx = minx + (2.0 + buffer) * sz
+    miny = maxy - (2.0 + buffer) * sz
+    return (
+        _coordinate_as_integer(minx * 180.0 / EARTH_WIDTH),
+        _coordinate_as_integer(_latitude_un_mercator(miny, EARTH_WIDTH)),
+        _coordinate_as_integer(maxx * 180.0 / EARTH_WIDTH),
+        _coordinate_as_integer(_latitude_un_mercator(maxy, EARTH_WIDTH)),
+    )
+
+
+_FOUR_INTS = re.compile(r"(\-?[0-9]+),(\-?[0-9]+),(\-?[0-9]+),(\-?[0-9]+)")
+_FOUR_FLOATS = re.compile(
+    r"(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*)"
+)
+_TILE_SPEC = re.compile(
+    r"tile:(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*)(:(\-?[0-9]*\.?[0-9]*))?"
+)
+
+
+def bbox_from_str(spec: str):
+    """Accepts the reference's three syntaxes; ints are fixed-point 1e-7
+    degrees, floats are degrees.  Returns (minlon, minlat, maxlon, maxlat)."""
+    # reference precedence: ints, then floats, then tile spec
+    # (quadtree.rs:168-201, including its substring-search semantics)
+    m = _FOUR_INTS.search(spec)
+    if m:
+        return tuple(int(g) for g in m.groups())
+    m = _FOUR_FLOATS.search(spec)
+    if m:
+        return tuple(_coordinate_as_integer(float(g)) for g in m.groups())
+    m = _TILE_SPEC.search(spec)
+    if m:
+        x, y, z = float(m.group(1)), float(m.group(2)), float(m.group(3))
+        buf = float(m.group(5)) if m.group(5) else 0.0
+        return bbox_from_tile(x, y, z, buf)
+    raise ValueError(f"can't make bbox from {spec!r}")
