@@ -209,14 +209,34 @@ def _find_within(tree: QuadtreeTree, mintarget, maxtarget, absmintarget):
             t = tree.next_item(t, 0)
 
 
-def find_tree_groups(tree: QuadtreeTree, target: int, absmintarget: int) -> QuadtreeTree:
+def find_tree_groups(
+    tree: QuadtreeTree, target: int, absmintarget: int, max_sweeps: int = 2_000_000
+) -> QuadtreeTree:
     """Greedy weight-balanced grouping with the reference's exact +-50
-    relaxation schedule and final cell-order sort (quadtreetree.rs:357-397)."""
+    relaxation schedule and final cell-order sort (quadtreetree.rs:357-397).
+
+    max_sweeps is a divergence guard, not a semantic knob: the reference
+    loop relaxes the window by 50 per empty sweep, so histograms whose
+    weight sits only at deep leaves (no weighted interior cells to anchor
+    groups) would crawl for total_weight/50 sweeps; we raise instead of
+    silently burning hours.  (OSM-shaped data always has shallow weighted
+    cells from ways/relations; image corpora get them from large
+    footprints — see sources/synth.py.)
+    """
     res = QuadtreeTree()
     mintarget = target - 50
     maxtarget = target + 50
     all_groups = []
+    sweeps = 0
     while tree.total_weight() > 0:
+        sweeps += 1
+        if sweeps > max_sweeps:
+            raise RuntimeError(
+                f"find_tree_groups diverging: {sweeps} sweeps, "
+                f"{tree.total_weight()} weight left, window "
+                f"[{mintarget},{maxtarget}] — histogram likely has no "
+                f"weighted interior cells near the target scale"
+            )
         vv = _find_within(tree, mintarget, maxtarget, absmintarget)
         if not vv:
             mintarget = max(absmintarget, mintarget - 50)

@@ -59,15 +59,26 @@ def synth_geo_exprs(id_col: str = "id") -> dict[str, str]:
     )
     w = f"(CASE {i} % 4 WHEN 0 THEN 16 WHEN 1 THEN 32 WHEN 2 THEN 64 ELSE 128 END)"
     h = f"(CASE {i} % 4 WHEN 0 THEN 16 WHEN 1 THEN 24 WHEN 2 THEN 48 ELSE 96 END)"
+    # Footprint size mix (like real corpora: photos vs aerial strips vs
+    # whole-scene mosaics).  Large footprints produce *shallow* cells —
+    # the weighted interior nodes the reference's greedy grouper anchors
+    # on (exactly the role ways/relations play in OSM); without them a
+    # leaf-only histogram degenerates find_tree_groups into an
+    # O(total_weight/50) relaxation crawl.
+    mult = (
+        f"(CASE WHEN {i} % 211 = 0 THEN 8000 "
+        f"WHEN {i} % 37 = 0 THEN 500 "
+        f"WHEN {i} % 7 = 0 THEN 20 ELSE 1 END)"
+    )
     return {
         "lon": lon,
         "lat": lat,
         "w": w,
         "h": h,
-        "minlon": f"GREATEST(({lon}) - {FOOTPRINT_SCALE} * {w}, -1800000000)",
-        "minlat": f"GREATEST(({lat}) - {FOOTPRINT_SCALE} * {h}, -900000000)",
-        "maxlon": f"LEAST(({lon}) + {FOOTPRINT_SCALE} * {w}, 1800000000)",
-        "maxlat": f"LEAST(({lat}) + {FOOTPRINT_SCALE} * {h}, 900000000)",
+        "minlon": f"GREATEST(({lon}) - {FOOTPRINT_SCALE} * {w} * {mult}, -1800000000)",
+        "minlat": f"GREATEST(({lat}) - {FOOTPRINT_SCALE} * {h} * {mult}, -900000000)",
+        "maxlon": f"LEAST(({lon}) + {FOOTPRINT_SCALE} * {w} * {mult}, 1800000000)",
+        "maxlat": f"LEAST(({lat}) + {FOOTPRINT_SCALE} * {h} * {mult}, 900000000)",
     }
 
 
