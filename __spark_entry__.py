@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from osmquadtree_rust_spark import gate as _gate  # noqa: E402
 from osmquadtree_rust_spark import gate_text as _gate_text  # noqa: E402  (registers entries)
+from osmquadtree_rust_spark.shipping import ensure_shipped  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     from osmquadtree_rust_spark.plans import pipeline as P
 
+    ensure_shipped(spark)
     assigned, _groups = P.tile_synthetic_images(spark, 6000, target=2000)
     return (
         assigned.groupBy("tile")
@@ -41,7 +43,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec["spark"] for name, spec in _gate.GATE.items() if "spark" in spec}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_shipped(spark)  # --py-files pattern for foreign sessions
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {
+        name: wrap(spec["spark"])
+        for name, spec in _gate.GATE.items()
+        if "spark" in spec
+    }
 
 
 def oracle_sql() -> dict[str, str]:
