@@ -352,3 +352,55 @@ JOIN sz sa ON sa.doc_id = inter.a
 JOIN sz sb ON sb.doc_id = inter.b
 WHERE CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) >= 0.5
 """
+
+
+# ===========================================================================
+# spatial join: points x tile polygons via broadcast bbox-tree + pnpoly
+# ===========================================================================
+
+def _polys():
+    from .functions import qt_numpy as qtn
+
+    out = []
+    pid = 0
+    for path in ("AB", "CAD", "BDC", "DAB", "ABCD"):
+        cell = 0
+        for i, ch in enumerate(path):
+            cell |= "ABCD".index(ch) << (61 - 2 * i)
+        cell |= len(path)
+        a, b, c, d = (int(v) * 1e-7 for v in qtn.as_bbox(np.int64(cell), 0.05))
+        out.append((pid, [a, c, c, a], [b, b, d, d]))
+        pid += 1
+    # concave L-shape and a chevron
+    out.append((pid, [0.0, 40.0, 40.0, 20.0, 20.0, 0.0], [0.0, 0.0, 20.0, 20.0, 45.0, 45.0]))
+    pid += 1
+    out.append((pid, [-60.0, -40.0, -20.0, -40.0], [-10.0, 20.0, -10.0, 40.0]))
+    return out
+
+
+@_register("pip_spatial_join")
+def _psj(spark, sf_dir):
+    from .gate import _events_points
+    from .operators import spatial_join as SJ
+
+    pts = _events_points(spark, sf_dir)
+    return SJ.pip_join(pts, _polys(), id_col="event_id").select(
+        F.col("id").cast("long"), F.col("poly_id").cast("long")
+    )
+
+
+@_oracle("pip_spatial_join")
+def _psj_o():
+    from .functions import geo_sql
+    from .gate import _events_synth_sql
+
+    parts = []
+    for pid, vx, vy in _polys():
+        pip = geo_sql.pnpoly_sql(
+            vx, vy, "CAST(lon AS DOUBLE) * 0.0000001", "CAST(lat AS DOUBLE) * 0.0000001"
+        )
+        parts.append(
+            f"SELECT CAST(event_id AS BIGINT) AS id, CAST({pid} AS BIGINT) AS poly_id "
+            f"FROM ({_events_synth_sql()}) e WHERE {pip}"
+        )
+    return " UNION ALL ".join(parts)
