@@ -557,3 +557,48 @@ def _wec_o() -> str:
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
         "FROM events GROUP BY 1, 2"
     )
+
+
+# ===========================================================================
+# 10. classified dataset diff (compareelements.rs analog)
+# ===========================================================================
+
+@_register("compare_datasets")
+def _cmp(spark, sf_dir):
+    from .operators import compare as CMP
+
+    o = _t(spark, sf_dir, "orders")
+    left = o.select(F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("val"))
+    right = (
+        o.filter("o_orderkey % 101 != 0")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.when(F.expr("o_orderkey % 97 = 0"), F.col("o_totalprice") + 1.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("val"),
+        )
+    )
+    diff = CMP.compare_datasets(left, right, keys=("id",), data_cols=("val",))
+    return CMP.compare_summary(diff)
+
+
+@_oracle("compare_datasets")
+def _cmp_o() -> str:
+    return """
+WITH l AS (SELECT o_orderkey AS id, o_totalprice AS val FROM orders),
+r AS (
+  SELECT o_orderkey AS id,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS val
+  FROM orders WHERE o_orderkey % 101 != 0
+),
+j AS (
+  SELECT COALESCE(l.id, r.id) AS id,
+         CASE WHEN r.id IS NULL THEN 'OnlyLeft'
+              WHEN l.id IS NULL THEN 'OnlyRight'
+              WHEN l.val != r.val THEN 'DifferentData'
+              ELSE 'Same' END AS cls
+  FROM l FULL OUTER JOIN r ON l.id = r.id
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY cls
+"""
