@@ -34,6 +34,47 @@ def bbox_from_tile(x: float, y: float, z: float, buffer: float = 0.0):
     )
 
 
+# --------------------------------------------------------------------------
+# timestamp parse/format (reference src/utils.rs:241-307)
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+
+_TS_FORMATS = (
+    "%Y-%m-%dT%H:%M:%S",   # TIMEFORMAT
+    "%Y-%m-%dT%H:%M:%SZ",  # TIMEFORMATZ
+    "%Y-%m-%dT%H-%M-%S",   # TIMEFORMAT_ALT
+    "%Y%m%d",              # DATEFORMAT (midnight)
+)
+
+
+def parse_timestamp(ts: str) -> int:
+    """Epoch seconds, accepting the reference's four formats in order."""
+    for fmt in _TS_FORMATS:
+        try:
+            d = _dt.datetime.strptime(ts, fmt)
+            return int(d.replace(tzinfo=_dt.timezone.utc).timestamp())
+        except ValueError:
+            continue
+    raise ValueError(f"can't read {ts!r}: use one of {_TS_FORMATS}")
+
+
+def timestamp_string(ts: int) -> str:
+    return _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+
+
+def timestamp_string_alt(ts: int) -> str:
+    return _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H-%M-%S"
+    )
+
+
+def date_string(ts: int) -> str:
+    return _dt.datetime.fromtimestamp(ts, _dt.timezone.utc).strftime("%Y%m%d")
+
+
 _FOUR_INTS = re.compile(r"(\-?[0-9]+),(\-?[0-9]+),(\-?[0-9]+),(\-?[0-9]+)")
 _FOUR_FLOATS = re.compile(
     r"(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*),(\-?[0-9]*\.?[0-9]*)"

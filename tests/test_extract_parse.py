@@ -54,3 +54,24 @@ def test_extract_end_to_end(spark):
 
     blocks = EX.regroup_blocks(out["nodes"], block_size=2).collect()
     assert {r.block for r in blocks} == {0, 1}
+
+
+def test_timestamp_parse_roundtrip():
+    from osmquadtree_rust_spark.functions.parse import (
+        date_string,
+        parse_timestamp,
+        timestamp_string,
+        timestamp_string_alt,
+    )
+
+    t = parse_timestamp("2020-06-01T12:34:56")
+    assert parse_timestamp("2020-06-01T12:34:56Z") == t
+    assert parse_timestamp("2020-06-01T12-34-56") == t
+    assert parse_timestamp("20200601") == t - (12 * 3600 + 34 * 60 + 56)
+    assert timestamp_string(t) == "2020-06-01T12:34:56"
+    assert timestamp_string_alt(t) == "2020-06-01T12-34-56"
+    assert date_string(t) == "20200601"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_timestamp("June 1st")
