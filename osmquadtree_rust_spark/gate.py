@@ -602,3 +602,87 @@ j AS (
 )
 SELECT cls, CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY cls
 """
+
+
+# ===========================================================================
+# 11. multi-join path: TPC-H Q5-style local-supplier revenue (broadcast
+#     dims -> SMJ facts; one dialect-neutral SQL for engine and oracle)
+# ===========================================================================
+
+_Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+       * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE)
+       AS revenue,
+  COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+@_register("tpch_q5_join_path")
+def _q5(spark, sf_dir):
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q5_SQL)
+
+
+@_oracle("tpch_q5_join_path")
+def _q5_o() -> str:
+    return _Q5_SQL
+
+
+# ===========================================================================
+# 12. embedding-cosine near-duplicate pairs (brute-force at test scale;
+#     the 100 TB path LSH-buckets first — operators/similarity.lsh_topk)
+# ===========================================================================
+
+_COS_THRESHOLD = 0.35
+
+
+@_register("embedding_neardup")
+def _end(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(l_emb, r_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "SQRT(aggregate({v}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("l_emb"))
+    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("r_emb"))
+    pairs = l.join(r, F.col("a") < F.col("b"))
+    cos = F.expr(
+        f"({dot}) / ({nrm.format(v='l_emb')} * {nrm.format(v='r_emb')})"
+    )
+    return (
+        pairs.withColumn("cos", F.round(cos, 6) + F.lit(0.0))
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .select(F.col("a").cast("long"), F.col("b").cast("long"), "cos")
+    )
+
+
+@_oracle("embedding_neardup")
+def _end_o() -> str:
+    dot = " + ".join(
+        f"CAST(l.embedding[{i+1}] AS DOUBLE) * CAST(r.embedding[{i+1}] AS DOUBLE)"
+        for i in range(64)
+    )
+    nrm = lambda t: "SQRT(" + " + ".join(
+        f"CAST({t}.embedding[{i+1}] AS DOUBLE) * CAST({t}.embedding[{i+1}] AS DOUBLE)"
+        for i in range(64)
+    ) + ")"
+    return (
+        f"SELECT CAST(l.vec_id AS BIGINT) AS a, CAST(r.vec_id AS BIGINT) AS b, "
+        f"ROUND(({dot}) / ({nrm('l')} * {nrm('r')}), 6) + 0.0 AS cos "
+        f"FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
+        f"WHERE ROUND(({dot}) / ({nrm('l')} * {nrm('r')}), 6) + 0.0 >= {_COS_THRESHOLD}"
+    )
