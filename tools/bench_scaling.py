@@ -24,7 +24,7 @@ def run(cpus: int) -> dict:
     # (encode/route) fraction dominates fixed costs; noop sink + no persist
     # because this sandbox's memory bandwidth (~2 GB/s measured) is the
     # binding resource, not CPU — see the note written into the report
-    env.setdefault("BENCH_IMAGES", "60000000")
+    env.setdefault("BENCH_IMAGES", "120000000")
     env.setdefault("BENCH_NOOP", "1")
     env.setdefault("BENCH_PERSIST", "0")
     out = subprocess.run(
