@@ -200,3 +200,52 @@ def run_update(
         route,
     ).withColumn("etype", F.lit(1))
     return node_delta.unionByName(way_delta), merged_nodes, merged_ways
+
+
+def run_update_relations(
+    relations: DataFrame,
+    change_rels: DataFrame,
+    node_qts: DataFrame,
+    way_qts: DataFrame,
+    changed_node_ids: DataFrame,
+    changed_way_ids: DataFrame,
+    stored: DataFrame,
+    group_cells: np.ndarray,
+) -> DataFrame:
+    """Relation leg of the micro-update: harvest relations touched by
+    changed members or changed themselves, recompute their cells (LCA +
+    5-pass rel->rel, operators.calcqts.rel_qts), emit the decision table."""
+    from ..operators import calcqts as C
+    from ..operators import merge as M
+    from ..plans.pipeline import make_route_udf
+
+    merged = M.apply_changes(
+        relations.withColumn("changetype", F.lit(0)), change_rels
+    )
+    touched = (
+        touched_rel_ids(merged, changed_node_ids, 0)
+        .unionByName(touched_rel_ids(merged, changed_way_ids, 1))
+        .unionByName(change_rels.select("id"))
+        .distinct()
+    )
+    # rel->rel propagation can touch ancestors of touched rels
+    for _ in range(5):
+        parents = touched_rel_ids(merged, touched, 2)
+        touched = touched.unionByName(parents).distinct()
+    sub = merged.join(touched, "id", "left_semi")
+    rq = C.rel_qts(sub, node_qts, way_qts)
+
+    route = make_route_udf(relations.sparkSession, group_cells)
+    rel_changes = change_rels.select("id", "changetype").unionByName(
+        touched.join(change_rels.select("id"), "id", "left_anti")
+        .select("id")
+        .withColumn("changetype", F.lit(NORMAL))
+    )
+    return update_decision_table(
+        rel_changes,
+        stored.filter(F.col("etype") == 2).select(
+            "id", F.col("qt").alias("qt_old"), "alloc"
+        ),
+        rq,
+        route,
+    ).withColumn("etype", F.lit(2))

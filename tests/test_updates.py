@@ -121,3 +121,42 @@ def test_update_way_harvest(spark):
     assert any(k[0] == 1 and k[1] == 10 for k in rows), rows
     way_rows = [(k, v) for k, v in rows.items() if k[0] == 1]
     assert any(k[2] in (UNCHANGED, REMOVE) for k, _ in way_rows)
+
+
+def test_update_relations_leg(spark):
+    group_cells = np.array(
+        sorted([O.from_string("A"), O.from_string("B")]), dtype=np.int64
+    )
+    a, b = O.from_string("A"), O.from_string("B")
+    rels = spark.createDataFrame(
+        [
+            (301, [{"mem_type": 0, "mem_ref": 1}]),
+            (302, [{"mem_type": 2, "mem_ref": 301}]),
+        ],
+        "id long, members array<struct<mem_type:int, mem_ref:long>>",
+    )
+    change_rels = spark.createDataFrame(
+        [],
+        "id long, members array<struct<mem_type:int, mem_ref:long>>, changetype int",
+    )
+    # node 1 moved from A to B: new node qt in B
+    nq_new = int(Q.calculate_point(np.array([900000000]), np.array([400000000]))[0])
+    node_qts = spark.createDataFrame([(1, nq_new)], "id long, qt long")
+    way_qts = spark.createDataFrame([], "id long, qt long")
+    changed_nodes = spark.createDataFrame([(1,)], "id long")
+    changed_ways = spark.createDataFrame([], "id long")
+    qa = int(Q.calculate_point(np.array([-900000000]), np.array([400000000]))[0])
+    stored = spark.createDataFrame(
+        [(2, 301, qa, a), (2, 302, qa, a)], "etype int, id long, qt long, alloc long"
+    )
+    delta = U.run_update_relations(
+        rels, change_rels, node_qts, way_qts, changed_nodes, changed_ways,
+        stored, group_cells,
+    )
+    rows = {(r.id, r.changetype): (r.tile, r.qt) for r in delta.collect()}
+    # both relations move A -> B: harvested Unchanged rows in B + Remove
+    # tombstones in A (rel 302 reached via the rel->rel harvest)
+    assert (301, UNCHANGED) in rows and rows[(301, UNCHANGED)][0] == b
+    assert (301, REMOVE) in rows and rows[(301, REMOVE)] == (a, 0)
+    assert (302, UNCHANGED) in rows and rows[(302, UNCHANGED)][0] == b
+    assert (302, REMOVE) in rows and rows[(302, REMOVE)] == (a, 0)
