@@ -129,3 +129,75 @@ def test_id_closure(spark):
     # 203 not selected (node 6 outside closure); 202 via rel-rel iter 1,
     # 205 via iter 2, 204 via iter 3
     assert sorted(r.id for r in res["relations"].collect()) == [201, 202, 204, 205]
+
+
+# ---------------------------------------------------------------------------
+# property tests: window-dedup merge == sequential sorted-merge oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),            # which snapshot
+            st.integers(1, 12),           # id
+            st.integers(0, 5),            # changetype
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_merge_property_vs_oracle(_spark_holder, rows):
+    spark = _spark_holder
+    import oracle_qt as O
+
+    # dedupe (snapshot, id) pairs — one version of an id per snapshot
+    seen = set()
+    clean = []
+    for s, i, ct in rows:
+        if (s, i) not in seen:
+            seen.add((s, i))
+            clean.append((s, i, ct))
+    snaps = []
+    for s in range(3):
+        data = sorted(
+            [(i, ct, f"v{s}_{i}") for (sx, i, ct) in clean if sx == s]
+        )
+        snaps.append(
+            spark.createDataFrame(
+                data or [(None, None, None)], "id long, changetype int, val string"
+            ).filter("id IS NOT NULL")
+        )
+    got = sorted(
+        (r.id, r.changetype, r.val)
+        for r in __import__(
+            "osmquadtree_rust_spark.operators.merge", fromlist=["merge_changes"]
+        ).merge_changes(snaps[0], snaps[1:]).collect()
+    )
+    # oracle: sequential sorted merges then apply
+    def rows_of(s):
+        return sorted(
+            [
+                {"id": i, "changetype": ct, "val": f"v{s}_{i}"}
+                for (sx, i, ct) in clean
+                if sx == s
+            ],
+            key=lambda e: e["id"],
+        )
+
+    merged = O.combine(rows_of(0), rows_of(1))
+    exp = O.apply_change(merged, rows_of(2))
+    exp = sorted((e["id"], e["changetype"], e["val"]) for e in exp)
+    assert got == exp
+
+
+import pytest as _pt
+
+
+@_pt.fixture(scope="module")
+def _spark_holder(spark):
+    return spark
