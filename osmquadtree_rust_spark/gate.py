@@ -686,3 +686,34 @@ def _end_o() -> str:
         f"FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
         f"WHERE ROUND(({dot}) / ({nrm('l')} * {nrm('r')}), 6) + 0.0 >= {_COS_THRESHOLD}"
     )
+
+
+# ===========================================================================
+# 13. geohash index (public-spec alternate hierarchical cell code; exact
+#     in both engines via integer bit math)
+# ===========================================================================
+
+@_register("geohash_cells")
+def _gh(spark, sf_dir):
+    from .functions import geohash as GH
+
+    pts = _events_points(spark, sf_dir)
+    g = F.expr(GH.geohash_int_sql("lon", "lat", 8, dialect="spark"))
+    out = pts.withColumn("gh", g)
+    # prefix bucket = first 4 chars = top 20 bits of the 40-bit code
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("gh").cast("long"),
+        F.expr("shiftright(gh, 20)").cast("long").alias("gh4"),
+    )
+
+
+@_oracle("geohash_cells")
+def _gh_o() -> str:
+    from .functions import geohash as GH
+
+    g = GH.geohash_int_sql("lon", "lat", 8)
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, CAST({g} AS BIGINT) AS gh, "
+        f"CAST(({g}) >> 20 AS BIGINT) AS gh4 FROM ({_events_synth_sql()}) e"
+    )

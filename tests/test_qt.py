@@ -100,3 +100,23 @@ def test_string_roundtrip():
         s = Q.as_string(int(c))
         assert Q.from_string(s) == int(c)
         assert len(s) == int(c) & 31
+
+
+def test_geohash_known_vectors():
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geohash as GH
+
+    # canonical vectors from the public geohash spec
+    assert GH.geohash_str_np(np.array([-56030000]), np.array([426050000]), 5) == ["ezs42"]
+    assert GH.geohash_str_np(np.array([104074400]), np.array([576491100]), 8) == [
+        "u4pruydq"
+    ]
+    # prefix property: deeper hash starts with shallower hash
+    lon = np.array([104074400]); lat = np.array([576491100])
+    g4 = GH.geohash_str_np(lon, lat, 4)[0]
+    g8 = GH.geohash_str_np(lon, lat, 8)[0]
+    assert g8.startswith(g4)
+    # clamping at the antimeridian / poles stays in range
+    v = GH.geohash_int_np(np.array([1800000000]), np.array([900000000]), 8)
+    assert 0 <= int(v[0]) < (1 << 40)
