@@ -90,13 +90,18 @@ def main():
     # -- gate queries at data scale
     bench_queries = [
         "tpch_q1_pricing",
+        "tpch_q5_join_path",
         "qt_point_cells",
         "qt_cell_histogram",
+        "geohash_cells",
         "way_bbox_qt",
         "node_lca_qt",
         "snapshot_merge",
         "filter_bbox_poly",
+        "pip_spatial_join",
         "id_closure",
+        "windowed_event_counts",
+        "compare_datasets",
         "minhash_signatures",
         "simhash64",
         "ann_dot_topk",
