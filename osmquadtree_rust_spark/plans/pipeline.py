@@ -154,8 +154,13 @@ def write_tiles(
     output paths).
     """
     salted = df
+    hot = {}
     if tile_weights:
-        hot = {int(t): int(np.ceil(w / salt_rows)) for t, w in tile_weights.items() if w > salt_threshold}
+        hot = {
+            int(t): int(np.ceil(w / salt_rows))
+            for t, w in tile_weights.items()
+            if w > salt_threshold
+        }
         if hot:
             mapping = F.create_map(
                 *[F.lit(x) for kv in hot.items() for x in kv]
@@ -165,7 +170,15 @@ def write_tiles(
                 "__salt", F.pmod(F.hash(*[F.col(c) for c in sort_cols]), nsalt)
             )
     if "__salt" in salted.columns:
-        salted = salted.repartition(F.col(tile_col), F.col("__salt")).drop("__salt")
+        # explicit partition count: AQE's post-shuffle coalescing would
+        # otherwise merge the salted splits right back into one task
+        n_parts = max(
+            sum(hot.values()) + max(len(tile_weights) - len(hot), 1),
+            df.sparkSession.sparkContext.defaultParallelism,
+        )
+        salted = salted.repartition(
+            n_parts, F.col(tile_col), F.col("__salt")
+        ).drop("__salt")
     else:
         salted = salted.repartition(F.col(tile_col))
     (

@@ -76,3 +76,27 @@ def test_write_tiles_salted(spark, tmp_path):
     assert back.count() == n
     got = {r.tile: r["count"] for r in back.groupBy("tile").count().collect()}
     assert got == {int(k): v for k, v in weights.items()}
+
+
+def test_salted_write_splits_hot_tile_files(spark, tmp_path):
+    """Dense-tile skew: the salted repartition must spread a hot tile
+    across multiple output files (tasks), cold tiles stay single-file."""
+    import glob
+
+    n = 20000
+    assigned, groups = P.tile_synthetic_images(spark, n, target=2000)
+    weights = {r.tile: r["count"] for r in assigned.groupBy("tile").count().collect()}
+    hot = max(weights, key=weights.get)
+    out = str(tmp_path / "salted")
+    P.write_tiles(
+        assigned.select("id", "qt", "tile"),
+        out,
+        sort_cols=("id",),
+        salt_threshold=weights[hot] - 1,  # only the hottest tile salts
+        tile_weights=weights,
+        salt_rows=max(weights[hot] // 4, 1),
+    )
+    hot_files = glob.glob(f"{out}/tile={hot}/*.parquet")
+    assert len(hot_files) >= 2, f"hot tile not split: {len(hot_files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == n
