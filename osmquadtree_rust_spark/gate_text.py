@@ -404,3 +404,75 @@ def _psj_o():
             f"FROM ({_events_synth_sql()}) e WHERE {pip}"
         )
     return " UNION ALL ".join(parts)
+
+
+# ===========================================================================
+# IVF ANN: deterministic coarse quantizer (centroids = first 8 vectors),
+# probe top-2 clusters, exact top-k inside — the bucketed scale path
+# ===========================================================================
+
+_IVF_K = 30
+_IVF_CLUSTERS = 8
+_IVF_PROBE = 2
+
+
+def _ivf_inputs(sf_dir: str):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {_IVF_CLUSTERS + 1}"
+    ).fetchall()
+    centroids = [[float(x) for x in r[1]] for r in rows[:_IVF_CLUSTERS]]
+    query = [float(x) for x in rows[_IVF_CLUSTERS][1]]
+    return centroids, query
+
+
+@_register("ivf_ann_topk")
+def _ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, query = _ivf_inputs(sf_dir)
+    out = SIM.ivf_topk(
+        emb, query, centroids, k=_IVF_K, n_probe=_IVF_PROBE
+    )
+    return out.select(
+        F.col("vec_id").cast("long"), (F.col("score") + F.lit(0.0)).alias("score")
+    )
+
+
+@_oracle("ivf_ann_topk")
+def _ivf_o():
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    centroids, query = _ivf_inputs(sf_dir)
+
+    def dot_lit(c):
+        return " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST({repr(float(v))} AS DOUBLE)"
+            for i, v in enumerate(c)
+        )
+
+    dots = [f"({dot_lit(c)})" for c in centroids]
+    branches = []
+    for j in range(len(centroids)):
+        conds = [f"{dots[j]} >= {dots[i]}" for i in range(len(centroids)) if i != j]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    assign = f"(CASE {' '.join(branches)} ELSE 0 END)"
+    probe_scores = [
+        (sum(float(a) * float(b) for a, b in zip(query, c)), j)
+        for j, c in enumerate(centroids)
+    ]
+    probe_ids = sorted(
+        j for _, j in sorted(((-s, j) for s, j in probe_scores))[:_IVF_PROBE]
+    )
+    qdot = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST({repr(float(v))} AS DOUBLE)"
+        for i, v in enumerate(query)
+    )
+    ids = ", ".join(str(j) for j in probe_ids)
+    return (
+        f"SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        f"ROUND({qdot}, 6) + 0.0 AS score FROM embeddings e "
+        f"WHERE {assign} IN ({ids}) "
+        f"ORDER BY score DESC, e.vec_id LIMIT {_IVF_K}"
+    )

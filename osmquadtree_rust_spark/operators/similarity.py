@@ -86,3 +86,55 @@ def lsh_topk(
         qb += (1 << p) if proj > 0 else 0
     cand = df.withColumn("__bucket", bucket).filter(F.col("__bucket") == qb)
     return brute_force_topk(cand.drop("__bucket"), query, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: deterministic coarse quantizer + cluster probe
+# ---------------------------------------------------------------------------
+
+def _dot_lit_expr(vec_col: str, centroid: list[float]) -> str:
+    arr = ", ".join(f"CAST({repr(float(v))} AS DOUBLE)" for v in centroid)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """Cluster id = argmax_j dot(vec, centroid_j); ties -> smallest j
+    (>= comparisons give earlier centroids priority)."""
+    dots = [_dot_lit_expr(vec_col, c) for c in centroids]
+    branches = []
+    for j in range(len(centroids)):
+        conds = [f"({dots[j]}) >= ({dots[i]})" for i in range(len(centroids)) if i != j]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    return f"(CASE {' '.join(branches)} ELSE 0 END)"
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 50,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: restrict the scan to the n_probe clusters whose centroids
+    score highest against the query, then exact top-k inside them.
+
+    At 100 TB the assignment expression is the partition/bucket key of the
+    embeddings table, so a probe reads only those buckets; here it's a
+    filter over the same expression (recall < 1 by design, exact within
+    the probed cells)."""
+    probe_scores = [
+        (sum(float(a) * float(b) for a, b in zip(query, c)), j)
+        for j, c in enumerate(centroids)
+    ]
+    probe = sorted(((-s, j) for s, j in probe_scores))[:n_probe]
+    probe_ids = sorted(j for _, j in probe)
+    assign = F.expr(ivf_assign_expr(vec_col, centroids))
+    cand = df.withColumn("__cluster", assign).filter(
+        F.col("__cluster").isin(probe_ids)
+    )
+    return brute_force_topk(cand.drop("__cluster"), query, k, vec_col, id_col)

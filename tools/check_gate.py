@@ -37,6 +37,8 @@ def norm(v):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # oracles that embed data-derived literals (ivf centroids) read this
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     import __spark_entry__ as E
     from osmquadtree_rust_spark.session import get_spark
