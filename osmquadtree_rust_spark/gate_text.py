@@ -313,7 +313,7 @@ def _mld(spark, sf_dir):
     pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.5)
     return pairs.select(
         F.col("a").cast("long"), F.col("b").cast("long"),
-        F.col("jaccard").cast("double"),
+        F.col("jaccard_ppm").cast("long"),
     )
 
 
@@ -346,7 +346,7 @@ inter AS (
   GROUP BY c.a, c.b
 )
 SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
-       CAST(ROUND(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i), 6) AS DOUBLE) AS jaccard
+       CAST(FLOOR(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) * 1000000.0) AS BIGINT) AS jaccard_ppm
 FROM inter
 JOIN sz sa ON sa.doc_id = inter.a
 JOIN sz sb ON sb.doc_id = inter.b

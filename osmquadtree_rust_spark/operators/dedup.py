@@ -90,14 +90,17 @@ def ngram_jaccard_pairs(
         .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
-            ),
+            "__raw", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        # FLOOR into millionths: ROUND(double, n) is half-up in Spark but
+        # half-even in DuckDB, and exact halves (e.g. jaccard = 1/128) are
+        # reachable — FLOOR is engine-independent
+        .withColumn(
+            "jaccard_ppm", F.floor(F.col("__raw") * 1000000.0).cast("long")
         )
     )
-    return joined.filter(F.col("jaccard") >= threshold).select(
-        "a", "b", "jaccard"
+    return joined.filter(F.col("__raw") >= threshold).select(
+        "a", "b", "jaccard_ppm"
     )
 
 
