@@ -717,3 +717,39 @@ def _gh_o() -> str:
         f"SELECT CAST(event_id AS BIGINT) AS event_id, CAST({g} AS BIGINT) AS gh, "
         f"CAST(({g}) >> 20 AS BIGINT) AS gh4 FROM ({_events_synth_sql()}) e"
     )
+
+
+# ===========================================================================
+# 14. way/relation count statistics (count.rs WayCount) over synthesized
+#     ways; the oracle expresses the same stats via the edge table
+# ===========================================================================
+
+@_register("way_stats")
+def _ws(spark, sf_dir):
+    from .operators import count as CN
+
+    li = _t(spark, sf_dir, "lineitem")
+    ways = (
+        li.groupBy(F.col("l_orderkey").alias("id"))
+        .agg(F.collect_list("l_partkey").alias("refs"))
+    )
+    return CN.way_stats(ways)
+
+
+@_oracle("way_stats")
+def _ws_o() -> str:
+    return """
+WITH per_way AS (
+  SELECT l_orderkey AS id, COUNT(*) AS n_refs,
+         MIN(l_partkey) AS mn, MAX(l_partkey) AS mx
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS num,
+       CAST(MIN(id) AS BIGINT) AS min_id,
+       CAST(MAX(id) AS BIGINT) AS max_id,
+       CAST(SUM(n_refs) AS BIGINT) AS num_refs,
+       CAST(MAX(n_refs) AS BIGINT) AS max_refs_len,
+       CAST(MIN(mn) AS BIGINT) AS min_ref,
+       CAST(MAX(mx) AS BIGINT) AS max_ref
+FROM per_way
+"""
