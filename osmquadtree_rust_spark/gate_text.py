@@ -476,3 +476,43 @@ def _ivf_o():
         f"WHERE {assign} IN ({ids}) "
         f"ORDER BY score DESC, e.vec_id LIMIT {_IVF_K}"
     )
+
+
+# ===========================================================================
+# S2 cell ids (public S2 algorithm in numpy; trig + Hilbert tables are not
+# SQL-expressible -> rows-only check; invariants are pytest-verified)
+# ===========================================================================
+
+@_register("s2_cells")
+def _s2c(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    from .functions import s2
+    from .gate import _events_points
+
+    pts = _events_points(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def s2_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = s2.s2_cell_id_fixed(
+            lon.to_numpy(np.int64), lat.to_numpy(np.int64)
+        )
+        return pd.Series(s2.to_signed(cid))
+
+    out = pts.withColumn("s2", s2_udf("lon", "lat"))
+    # level-10 rollup exercises parent + grouping
+    @F.pandas_udf(LongType())
+    def s2_parent10(cid: pd.Series) -> pd.Series:
+        from .functions import s2 as _s2
+
+        p = _s2.parent(_s2.from_signed(cid.to_numpy(np.int64)), 10)
+        return pd.Series(_s2.to_signed(p))
+
+    return (
+        out.withColumn("s2_l10", s2_parent10("s2"))
+        .select(
+            F.col("event_id").cast("long"),
+            F.col("s2").cast("long"),
+            F.col("s2_l10").cast("long"),
+        )
+    )
