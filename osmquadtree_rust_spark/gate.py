@@ -62,12 +62,12 @@ SELECT
        * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
        * CAST(1.0 + l_tax AS DECIMAL(18,2)) AS DECIMAL(30,6))) AS DOUBLE)
        AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-       / COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-       / COUNT(*), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-       / COUNT(*), 6) AS avg_disc,
+  CAST(FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       * 1000000.0 / COUNT(*)) AS BIGINT) AS avg_qty_ppm,
+  CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       * 1000000.0 / COUNT(*)) AS BIGINT) AS avg_price_ppm,
+  CAST(FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       * 1000000.0 / COUNT(*)) AS BIGINT) AS avg_disc_ppm,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

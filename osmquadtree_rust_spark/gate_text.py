@@ -78,7 +78,7 @@ def _tsb_o():
     return (
         f"SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
         f"CAST(SUM({toks}) AS BIGINT) AS total_tokens, "
-        f"CAST(ROUND(AVG({toks}), 6) AS DOUBLE) AS avg_tokens "
+        f"CAST(FLOOR(AVG({toks}) * 1000000.0) AS BIGINT) AS avg_tokens_ppm "
         f"FROM documents GROUP BY source"
     )
 

@@ -43,5 +43,6 @@ def token_stats_by(df: DataFrame, group: str = "source", text: str = "text") -> 
     return df.groupBy(group).agg(
         F.count("*").cast("long").alias("docs"),
         F.sum(F.expr(toks)).cast("long").alias("total_tokens"),
-        F.round(F.avg(F.expr(toks)), 6).cast("double").alias("avg_tokens"),
+        # FLOOR-ppm: cross-engine ROUND differs at exact halves
+        F.floor(F.avg(F.expr(toks)) * 1000000.0).cast("long").alias("avg_tokens_ppm"),
     )
