@@ -516,3 +516,46 @@ def _s2c(spark, sf_dir):
             F.col("s2_l10").cast("long"),
         )
     )
+
+
+# ===========================================================================
+# SimHash Hamming near-dup pairs on the planted-duplicate corpus
+# ===========================================================================
+
+@_register("simhash_neardup")
+def _shn(spark, sf_dir):
+    docs = _doubled_docs(spark, sf_dir)
+    sigs = D.simhash64(docs)
+    return D.simhash_neardup_pairs(sigs, max_hamming=3).select(
+        F.col("a").cast("long"), F.col("b").cast("long"), F.col("hamming").cast("long")
+    )
+
+
+@_oracle("simhash_neardup")
+def _shn_o():
+    wh_expr = TS.minhash_word_hash_sql("w", TS.DUCKDB)
+    sums = []
+    for i in range(32):
+        sums.append(f"SUM(CASE WHEN ((wh >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}")
+        sums.append(
+            f"SUM(CASE WHEN ((wh2 >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i + 32}"
+        )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + {_DUP_SHIFT}, text FROM documents
+),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
+wh0 AS (SELECT doc_id, {wh_expr} AS wh FROM words WHERE length(w) > 0),
+whx AS (SELECT doc_id, wh, (wh * 69069 + 362437) % {TS.MINHASH_P} AS wh2 FROM wh0),
+agg AS (SELECT doc_id, {', '.join(sums)} FROM whx GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg)
+SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b,
+       CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+"""

@@ -141,3 +141,21 @@ def dedup_keep_first(
     whose members all pair with the cluster minimum)."""
     losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance (bit_count of the
+    XOR — native in Spark and DuckDB).  At scale, band the signature into
+    (max_hamming+1) chunks first (pigeonhole: some chunk matches exactly)
+    so this becomes a bucket join; the quadratic form here is the
+    verification kernel."""
+    l = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    r = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    return (
+        l.join(r, F.col("a") < F.col("b"))
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
