@@ -639,53 +639,102 @@ def _q5_o() -> str:
 
 
 # ===========================================================================
-# 12. embedding-cosine near-duplicate pairs (brute-force at test scale;
-#     the 100 TB path LSH-buckets first — operators/similarity.lsh_topk)
+# 12. embedding-cosine near-duplicate pairs, LSH-banded (the 100 TB path:
+#     sign-LSH bands -> equi-join candidates -> exact cosine verify; no
+#     cross product anywhere).  Near-duplicates are planted by unioning a
+#     deterministically perturbed copy of each vector (delta integer-derived
+#     from (vec_id, dim), identical IEEE arithmetic in both engines), so the
+#     planted pairs sit at cos ~0.998 and random pairs below ~0.6.
 # ===========================================================================
 
-_COS_THRESHOLD = 0.35
+_EMB_SHIFT = 1000000
+_EMB_BANDS = 3
+_EMB_PLANES = 12
+_EMB_DIM = 64
+_EMB_THRESHOLD = 0.8
+_EMB_DELTA = "(((vec_id * 31 + {i} * 17) % 13) - 6) * 0.002"
+
+
+def _doubled_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    orig = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    delta = _EMB_DELTA.format(i="i")
+    pert = emb.select(
+        (F.col("vec_id") + _EMB_SHIFT).alias("vec_id"),
+        F.expr(
+            f"transform(embedding, (x, i) -> CAST(x AS DOUBLE) + {delta})"
+        ).alias("embedding"),
+    )
+    return orig.unionByName(pert)
 
 
 @_register("embedding_neardup")
 def _end(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    dot = (
-        "aggregate(zip_with(l_emb, r_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
-    nrm = (
-        "SQRT(aggregate({v}, CAST(0.0 AS DOUBLE), "
-        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    )
-    l = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("l_emb"))
-    r = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("r_emb"))
-    pairs = l.join(r, F.col("a") < F.col("b"))
-    cos = F.expr(
-        f"({dot}) / ({nrm.format(v='l_emb')} * {nrm.format(v='r_emb')})"
-    )
-    return (
-        pairs.withColumn("cos", F.round(cos, 6) + F.lit(0.0))
-        .filter(F.col("cos") >= _COS_THRESHOLD)
-        .select(F.col("a").cast("long"), F.col("b").cast("long"), "cos")
+    from .operators import similarity as SIM
+
+    emb = _doubled_embeddings(spark, sf_dir)
+    return SIM.cosine_neardup_pairs(
+        emb,
+        threshold=_EMB_THRESHOLD,
+        bands=_EMB_BANDS,
+        planes_per_band=_EMB_PLANES,
+        dim=_EMB_DIM,
     )
 
 
 @_oracle("embedding_neardup")
 def _end_o() -> str:
-    dot = " + ".join(
-        f"CAST(l.embedding[{i+1}] AS DOUBLE) * CAST(r.embedding[{i+1}] AS DOUBLE)"
-        for i in range(64)
+    from .operators.similarity import plane_weights
+
+    orig_elems = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(_EMB_DIM)
     )
-    nrm = lambda t: "SQRT(" + " + ".join(
-        f"CAST({t}.embedding[{i+1}] AS DOUBLE) * CAST({t}.embedding[{i+1}] AS DOUBLE)"
-        for i in range(64)
-    ) + ")"
-    return (
-        f"SELECT CAST(l.vec_id AS BIGINT) AS a, CAST(r.vec_id AS BIGINT) AS b, "
-        f"ROUND(({dot}) / ({nrm('l')} * {nrm('r')}), 6) + 0.0 AS cos "
-        f"FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id "
-        f"WHERE ROUND(({dot}) / ({nrm('l')} * {nrm('r')}), 6) + 0.0 >= {_COS_THRESHOLD}"
+    pert_elems = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) + " + _EMB_DELTA.format(i=i)
+        for i in range(_EMB_DIM)
     )
+
+    def bucket_sql(band: int) -> str:
+        parts = []
+        for j in range(_EMB_PLANES):
+            w = plane_weights(band * _EMB_PLANES + j, _EMB_DIM)
+            proj = " + ".join(f"e[{i + 1}] * {w[i]}" for i in range(_EMB_DIM))
+            parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id AS a, {b} AS band, CAST({bucket_sql(b)} AS BIGINT) AS bucket FROM demb"
+        for b in range(_EMB_BANDS)
+    )
+    dot = " + ".join(f"l.e[{i + 1}] * r.e[{i + 1}]" for i in range(_EMB_DIM))
+    nrm = lambda t: (
+        "SQRT("
+        + " + ".join(f"{t}.e[{i + 1}] * {t}.e[{i + 1}]" for i in range(_EMB_DIM))
+        + ")"
+    )
+    cos = f"(({dot}) / ({nrm('l')} * {nrm('r')}))"
+    return f"""
+WITH demb AS (
+  SELECT vec_id, [{orig_elems}] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e FROM embeddings
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT bl.a AS a, br.a AS b
+  FROM banded bl JOIN banded br
+    ON bl.band = br.band AND bl.bucket = br.bucket AND bl.a < br.a
+)
+SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+       CAST(FLOOR({cos} * 1000000.0) AS BIGINT) AS cos_ppm
+FROM cand c
+JOIN demb l ON l.vec_id = c.a
+JOIN demb r ON r.vec_id = c.b
+WHERE {cos} >= {_EMB_THRESHOLD}
+"""
 
 
 # ===========================================================================

@@ -198,7 +198,7 @@ def _ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(sf_dir)
     return SIM.brute_force_topk(emb, q, k=_ANN_K).select(
-        F.col("vec_id").cast("long"), (F.col("score") + F.lit(0.0)).alias("score")
+        F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
     )
 
 
@@ -206,7 +206,8 @@ def _ann(spark, sf_dir):
 def _ann_o():
     # unrolled left-associative dot product — same accumulation order as
     # Spark's aggregate() fold; query vector via scalar subqueries so the
-    # oracle needs no literal values
+    # oracle needs no literal values.  Order on the raw double (identical
+    # bits both engines); output FLOOR-ppm hardened.
     terms = " + ".join(
         f"CAST(e.embedding[{i + 1}] AS DOUBLE) * q.q{i + 1}" for i in range(64)
     )
@@ -216,8 +217,54 @@ def _ann_o():
     return (
         f"WITH q AS (SELECT {qcols} FROM embeddings ORDER BY vec_id LIMIT 1) "
         f"SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
-        f"ROUND({terms}, 6) + 0.0 AS score "
-        f"FROM embeddings e, q ORDER BY score DESC, e.vec_id LIMIT {_ANN_K}"
+        f"CAST(FLOOR(({terms}) * 1000000.0) AS BIGINT) AS score_ppm "
+        f"FROM embeddings e, q ORDER BY ({terms}) DESC, e.vec_id LIMIT {_ANN_K}"
+    )
+
+
+# ===========================================================================
+# hyperplane-LSH top-k: the bucket-pruned ANN path.  Deterministic integer
+# plane weights (similarity.plane_weights) make the bucket filter exactly
+# reproducible in DuckDB; scoring/tie-break mirrors ann_dot_topk.
+# ===========================================================================
+
+_LSH_K = 20
+_LSH_PLANES = 4
+
+
+@_register("lsh_topk")
+def _lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(sf_dir)
+    return SIM.lsh_topk(emb, q, k=_LSH_K, n_planes=_LSH_PLANES).select(
+        F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
+    )
+
+
+@_oracle("lsh_topk")
+def _lsh_o():
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    q = _query_vec(sf_dir)
+    qb = SIM.query_bucket(q, _LSH_PLANES)
+    bucket_parts = []
+    for j in range(_LSH_PLANES):
+        w = SIM.plane_weights(j, len(q))
+        proj = " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * {w[i]}" for i in range(len(q))
+        )
+        bucket_parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = "(" + " + ".join(bucket_parts) + ")"
+    qdot = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * CAST({repr(float(v))} AS DOUBLE)"
+        for i, v in enumerate(q)
+    )
+    return (
+        f"SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
+        f"CAST(FLOOR(({qdot}) * 1000000.0) AS BIGINT) AS score_ppm "
+        f"FROM embeddings e WHERE {bucket} = {qb} "
+        f"ORDER BY ({qdot}) DESC, e.vec_id LIMIT {_LSH_K}"
     )
 
 
@@ -435,7 +482,7 @@ def _ivf(spark, sf_dir):
         emb, query, centroids, k=_IVF_K, n_probe=_IVF_PROBE
     )
     return out.select(
-        F.col("vec_id").cast("long"), (F.col("score") + F.lit(0.0)).alias("score")
+        F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
     )
 
 
@@ -472,9 +519,10 @@ def _ivf_o():
     ids = ", ".join(str(j) for j in probe_ids)
     return (
         f"SELECT CAST(e.vec_id AS BIGINT) AS vec_id, "
-        f"ROUND({qdot}, 6) + 0.0 AS score FROM embeddings e "
+        f"CAST(FLOOR(({qdot}) * 1000000.0) AS BIGINT) AS score_ppm "
+        f"FROM embeddings e "
         f"WHERE {assign} IN ({ids}) "
-        f"ORDER BY score DESC, e.vec_id LIMIT {_IVF_K}"
+        f"ORDER BY ({qdot}) DESC, e.vec_id LIMIT {_IVF_K}"
     )
 
 

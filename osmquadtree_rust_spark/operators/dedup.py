@@ -143,18 +143,67 @@ def dedup_keep_first(
     return df.join(losers, id_col, "left_anti")
 
 
+def _chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) of the max_hamming+1 pigeonhole chunks covering
+    all 64 signature bits (widths differ by at most 1)."""
+    n = max_hamming + 1
+    widths = [64 // n + (1 if c < 64 % n else 0) for c in range(n)]
+    starts, s = [], 0
+    for w in widths:
+        starts.append(s)
+        s += w
+    return list(zip(starts, widths))
+
+
+def simhash_band_candidates(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs (a < b) whose signatures agree on at least one of
+    the max_hamming+1 pigeonhole chunks.  Complete: two signatures within
+    Hamming distance max_hamming differ in <= max_hamming chunks, so some
+    chunk matches exactly.  One explode + one equi-join on
+    (chunk_idx, chunk_val) — no cross product anywhere."""
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.expr(
+                    f"shiftright(simhash, {start}) & {(1 << width) - 1}"
+                ).alias("cv"),
+            )
+            for ci, (start, width) in enumerate(_chunk_layout(max_hamming))
+        ]
+    )
+    banded = (
+        sigs.select(F.col(id_col).alias("a"), F.explode(chunks).alias("c"))
+        .select("a", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["ci", "cv"])
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(F.col("l.a").alias("a"), F.col("r.a").alias("b"))
+        .distinct()
+    )
+
+
 def simhash_neardup_pairs(
     sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance (bit_count of the
-    XOR — native in Spark and DuckDB).  At scale, band the signature into
-    (max_hamming+1) chunks first (pigeonhole: some chunk matches exactly)
-    so this becomes a bucket join; the quadratic form here is the
-    verification kernel."""
-    l = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
-    r = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    XOR — native in Spark and DuckDB).
+
+    Scale path: pigeonhole banding generates candidates via an equi-join
+    (simhash_band_candidates), then the Hamming verify runs only on the
+    candidate set.  Result set is provably identical to the all-pairs
+    form (recall 1 by the pigeonhole argument), so test-scale oracles may
+    stay quadratic."""
+    cand = simhash_band_candidates(sigs, max_hamming, id_col)
+    ha = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
+    hb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
     return (
-        l.join(r, F.col("a") < F.col("b"))
+        cand.join(ha, "a")
+        .join(hb, "b")
         .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

@@ -42,28 +42,74 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by dot product (or cosine), deterministic tie-break by
     id.  At 100 TB this is the per-partition scan + global top-k pattern:
-    Spark's TakeOrderedAndProject keeps only k rows per partition."""
+    Spark's TakeOrderedAndProject keeps only k rows per partition.
+
+    Ordering uses the RAW double score (bit-identical across engines:
+    same fold order, IEEE mul/add); the output column is the FLOOR-ppm
+    hardened `score_ppm` (ROUND would risk half-up vs half-even
+    divergence against DuckDB oracles)."""
     d = F.expr(dot_expr(vec_col, query))
     if metric == "cosine":
         qn = sum(float(v) * float(v) for v in query) ** 0.5
         d = d / (F.expr(norm_expr(vec_col)) * F.lit(qn))
-    scored = df.select(F.col(id_col).cast("long"), F.round(d, 6).alias("score"))
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
-
-
-def hyperplane_bucket_expr(vec_col: str, n_planes: int = 8) -> str:
-    """Deterministic sign-LSH bucket: plane p weights dim i by
-    cos-free integer pattern sign(((i+1)*(p+3)) % 7 - 3) — reproducible
-    everywhere, no RNG.  Returns an int bucket in [0, 2^n_planes)."""
-    parts = []
-    for p in range(n_planes):
-        proj = (
-            f"aggregate(zip_with({vec_col}, "
-            f"transform(sequence(1, size({vec_col})), i -> ((i * {p + 3}) % 7) - 3), "
-            f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    scored = df.select(F.col(id_col).cast("long"), d.alias("__score"))
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.floor(F.col("__score") * 1000000.0).cast("long").alias("score_ppm"),
         )
-        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    )
+
+
+def plane_weights(p: int, dim: int) -> list[int]:
+    """Deterministic integer hyperplane weights in [-3, 3] for plane `p`
+    over `dim` dimensions (32-bit LCG seeded by the plane index — no RNG
+    state, reproducible in any engine as inlined literals)."""
+    x = (p * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+    out = []
+    for _ in range(dim):
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        out.append((x >> 16) % 7 - 3)
+    return out
+
+
+def plane_proj_expr(vec_col: str, weights: list[int]) -> str:
+    """Left-to-right fold of dot(vec, integer-literal weights): identical
+    IEEE accumulation order as an unrolled `v[1]*w1 + v[2]*w2 + ...` sum,
+    so DuckDB oracles agree bit-for-bit."""
+    arr = ", ".join(str(int(w)) for w in weights)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+
+
+def hyperplane_bucket_expr(
+    vec_col: str, n_planes: int = 8, dim: int = 64, first_plane: int = 0
+) -> str:
+    """Deterministic sign-LSH bucket over planes
+    [first_plane, first_plane + n_planes) with literal `plane_weights`.
+    Returns an int bucket in [0, 2^n_planes)."""
+    parts = []
+    for j in range(n_planes):
+        proj = plane_proj_expr(vec_col, plane_weights(first_plane + j, dim))
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
+
+
+def query_bucket(query: list[float], n_planes: int, first_plane: int = 0) -> int:
+    """Driver-side bucket of a literal query vector, same planes/order."""
+    qb = 0
+    for j in range(n_planes):
+        w = plane_weights(first_plane + j, len(query))
+        proj = 0.0
+        for x, wi in zip(query, w):
+            proj += float(x) * wi
+        if proj > 0:
+            qb += 1 << j
+    return qb
 
 
 def lsh_topk(
@@ -75,17 +121,83 @@ def lsh_topk(
     n_planes: int = 4,
 ) -> DataFrame:
     """ANN: restrict brute force to the query's hyperplane bucket (recall
-    < 1 by design; the scale path when a full scan is too expensive)."""
-    bucket = F.expr(hyperplane_bucket_expr(vec_col, n_planes))
-    # compute query bucket driver-side with the same integer planes
-    qb = 0
-    for p in range(n_planes):
-        proj = sum(
-            float(x) * (((i + 1) * (p + 3)) % 7 - 3) for i, x in enumerate(query)
-        )
-        qb += (1 << p) if proj > 0 else 0
+    < 1 by design; the scale path when a full scan is too expensive).  At
+    100 TB the bucket expression is the table's partition key, so this is
+    a partition-pruned scan, not a filter."""
+    bucket = F.expr(hyperplane_bucket_expr(vec_col, n_planes, len(query)))
+    qb = query_bucket(query, n_planes)
     cand = df.withColumn("__bucket", bucket).filter(F.col("__bucket") == qb)
     return brute_force_topk(cand.drop("__bucket"), query, k, vec_col, id_col)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 3,
+    planes_per_band: int = 12,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded (sign-LSH with
+    deterministic literal planes; band b uses planes
+    [b*planes_per_band, (b+1)*planes_per_band)).
+
+    Candidate generation is an equi-join on (band, bucket) — never a
+    cross product — and the exact cosine verify runs only on candidates.
+    Recall < 1 by design (standard near-dup LSH trade-off; raise `bands`
+    for higher recall); the candidate set is deterministic, so a DuckDB
+    oracle implementing the same banding matches exactly.
+
+    Output: (a, b, cos_ppm) with a < b and raw cosine >= threshold;
+    cos_ppm = FLOOR(cos * 1e6) is the engine-independent hardened value.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                hyperplane_bucket_expr(
+                    vec_col, planes_per_band, dim, first_plane=b * planes_per_band
+                )
+            ).cast("long").alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        df.select(F.col(id_col).alias("a"), F.explode(F.array(*band_structs)).alias("s"))
+        .select("a", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(F.col("l.a").alias("a"), F.col("r.a").alias("b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("l_emb"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("r_emb"))
+    dot = (
+        "aggregate(zip_with(l_emb, r_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "SQRT(aggregate({v}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    cos = F.expr(f"({dot}) / ({nrm.format(v='l_emb')} * {nrm.format(v='r_emb')})")
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("__cos", cos)
+        # raw-double compare is engine-exact (identical fold order, IEEE
+        # mul/add/div/sqrt); the *output* column is FLOOR-ppm hardened
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.col("a").cast("long"),
+            F.col("b").cast("long"),
+            F.floor(F.col("__cos") * 1000000.0).cast("long").alias("cos_ppm"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -100,15 +212,30 @@ def _dot_lit_expr(vec_col: str, centroid: list[float]) -> str:
     )
 
 
+def ivf_dots_expr(vec_col: str, centroids: list[list[float]]) -> str:
+    """array<double> of the C centroid dot products — each dot emitted
+    exactly once (O(C) expression size)."""
+    return "array(" + ", ".join(_dot_lit_expr(vec_col, c) for c in centroids) + ")"
+
+
 def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
     """Cluster id = argmax_j dot(vec, centroid_j); ties -> smallest j
-    (>= comparisons give earlier centroids priority)."""
-    dots = [_dot_lit_expr(vec_col, c) for c in centroids]
-    branches = []
-    for j in range(len(centroids)):
-        conds = [f"({dots[j]}) >= ({dots[i]})" for i in range(len(centroids)) if i != j]
-        branches.append(f"WHEN {' AND '.join(conds)} THEN {j}")
-    return f"(CASE {' '.join(branches)} ELSE 0 END)"
+    (array_position returns the FIRST occurrence of the max).
+
+    Argmax form: the dots array is materialized once and scanned by
+    array_max/array_position — O(C) expression size, unlike the previous
+    pairwise-CASE form whose O(C^2) re-inlined dot products blew up janino
+    codegen at realistic centroid counts (see CLAUDE.md)."""
+    dots = ivf_dots_expr(vec_col, centroids)
+    return (
+        f"(aggregate({dots}, "
+        f"named_struct('j', -1, 'best', CAST('-Infinity' AS DOUBLE), 'i', 0), "
+        f"(s, x) -> named_struct("
+        f"'j', CASE WHEN x > s.best THEN s.i ELSE s.j END, "
+        f"'best', CASE WHEN x > s.best THEN x ELSE s.best END, "
+        f"'i', s.i + 1), "
+        f"s -> s.j))"
+    )
 
 
 def ivf_topk(

@@ -59,15 +59,24 @@ def test_brute_force_topk_and_lsh(spark):
     )
     q = [float(x) for x in vecs[0]]
     top = SIM.brute_force_topk(df, q, k=10).collect()
-    dots = vecs.astype(np.float64) @ np.array(q, dtype=np.float64)
-    exp_order = np.lexsort((np.arange(300), -np.round(dots, 6)))[:10]
+    # numpy's fold order over contiguous float64 matches the engine's
+    # left-to-right aggregate() for these inputs
+    dots = np.array(
+        [
+            sum(float(x) * float(v) for x, v in zip(vecs[i], q))
+            for i in range(300)
+        ]
+    )
+    exp_order = np.lexsort((np.arange(300), -dots))[:10]
     got_ids = [r.vec_id for r in top]
     assert got_ids == [int(i) for i in exp_order]
+    score_map = {int(i): int(np.floor(dots[i] * 1e6)) for i in range(300)}
+    for r in top:
+        assert score_map[r.vec_id] == r.score_ppm
 
     lsh = SIM.lsh_topk(df, q, k=10, n_planes=3)
     got = lsh.collect()
     assert len(got) <= 10
     # every LSH hit must also be a true scored row with matching score
-    score_map = {int(i): round(float(dots[i]), 6) for i in range(300)}
     for r in got:
-        assert abs(score_map[r.vec_id] - r.score) < 1e-9
+        assert score_map[r.vec_id] == r.score_ppm
