@@ -112,23 +112,35 @@ def qt_from_xyz_sql(x: str, y: str, z: int, dialect: str = DUCKDB) -> str:
 
 def _find_quad_case(dialect: str) -> str:
     """Exact branch ladder of find_quad (quadtree.rs:558-601) over columns
-    __qtminx,__qtminy,__qtmaxx,__qtmaxy with buffer literal __buf."""
+    __qtminx,__qtminy,__qtmaxx,__qtmaxy with buffer literal __buf.
+
+    IEEE NaN semantics are emulated explicitly: the y columns can be NaN
+    (mercator of lat > 90, reachable via the +1e-7 degenerate-box widening
+    at the pole), and numpy/Rust comparisons with NaN are FALSE, but both
+    DuckDB and Spark SQL order NaN greater than everything, so every
+    `>`/`>=` whose NaN-able operand would make it spuriously TRUE is
+    guarded with NOT isnan(...).  The x columns are linear in lon and
+    never NaN."""
+    nn_miny = "NOT isnan(__qtminy) AND"
+    nn_maxy = "NOT isnan(__qtmaxy) AND"
     return (
         "(CASE "
         "WHEN __qtminx < (-1.0 - __buf) OR __qtminy < (-1.0 - __buf) "
-        "OR __qtmaxx > (1.0 + __buf) OR __qtmaxy > (1.0 + __buf) THEN -1 "
-        "WHEN __qtmaxx <= 0.0 AND __qtminy >= 0.0 THEN 0 "
-        "WHEN __qtminx >= 0.0 AND __qtminy >= 0.0 THEN 1 "
+        f"OR __qtmaxx > (1.0 + __buf) OR ({nn_maxy} __qtmaxy > (1.0 + __buf)) THEN -1 "
+        f"WHEN __qtmaxx <= 0.0 AND ({nn_miny} __qtminy >= 0.0) THEN 0 "
+        f"WHEN __qtminx >= 0.0 AND ({nn_miny} __qtminy >= 0.0) THEN 1 "
         "WHEN __qtmaxx <= 0.0 AND __qtmaxy <= 0.0 THEN 2 "
         "WHEN __qtminx >= 0.0 AND __qtmaxy <= 0.0 THEN 3 "
         "WHEN __qtmaxx < __buf AND abs(__qtmaxx) < abs(__qtminx) "
-        "AND __qtminy > -__buf AND abs(__qtmaxy) >= abs(__qtminy) THEN 0 "
+        f"AND ({nn_miny} __qtminy > -__buf) "
+        f"AND ({nn_maxy} abs(__qtmaxy) >= abs(__qtminy)) THEN 0 "
         "WHEN __qtminx > -__buf AND abs(__qtmaxx) >= abs(__qtminx) "
-        "AND __qtminy > -__buf AND abs(__qtmaxy) >= abs(__qtminy) THEN 1 "
+        f"AND ({nn_miny} __qtminy > -__buf) "
+        f"AND ({nn_maxy} abs(__qtmaxy) >= abs(__qtminy)) THEN 1 "
         "WHEN __qtmaxx < __buf AND abs(__qtmaxx) < abs(__qtminx) "
-        "AND __qtmaxy < __buf AND abs(__qtmaxy) < abs(__qtminy) THEN 2 "
+        f"AND __qtmaxy < __buf AND ({nn_miny} abs(__qtmaxy) < abs(__qtminy)) THEN 2 "
         "WHEN __qtminx > -__buf AND abs(__qtmaxx) >= abs(__qtminx) "
-        "AND __qtmaxy < __buf AND abs(__qtmaxy) < abs(__qtminy) THEN 3 "
+        f"AND __qtmaxy < __buf AND ({nn_miny} abs(__qtmaxy) < abs(__qtminy)) THEN 3 "
         "ELSE -1 END)"
     )
 

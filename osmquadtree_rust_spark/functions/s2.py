@@ -64,8 +64,11 @@ def lat_lng_to_xyz(lat_deg: np.ndarray, lng_deg: np.ndarray):
 
 
 def xyz_to_face_uv(x, y, z):
+    # canonical S2 LargestAbsComponent uses STRICT > comparisons, so tie
+    # points (|x| == |y|, e.g. lng=45 on the equator) prefer the later
+    # axis — required for interoperability with library-generated ids
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     comp = np.where(face == 0, x, np.where(face == 1, y, z))
     face = np.where(comp < 0, face + 3, face)
     u = np.empty_like(x)

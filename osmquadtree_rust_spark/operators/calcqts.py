@@ -81,7 +81,6 @@ def node_qts(
         "qt",
         "qt",
     ).withColumnRenamed("node_id", "id")
-    covered = nodes.join(from_ways, "id", "left_semi")
     uncovered = nodes.join(from_ways, "id", "left_anti")
     from_points = qs.with_point_qt(
         uncovered, "lon", "lat", "qt", maxlevel, buffer
@@ -128,9 +127,11 @@ def rel_qts(
     )
     base = base.unionByName(empty)
 
-    # rel->rel edges: metadata-scale; exact sequential 5-pass fixed point.
+    # rel->rel edges are metadata-scale (~1e5 at planet scale): collect the
+    # EDGE LIST only, then use broadcast semi/anti joins — never IN-lists of
+    # ids inlined into the plan, and never per-row driver round-trips.
     relrels = [
-        (r.rel_id, r.mem_ref)
+        (int(r.rel_id), int(r.mem_ref))
         for r in mems.filter(F.col("mem_type") == 2)
         .select("rel_id", "mem_ref")
         .collect()
@@ -138,12 +139,18 @@ def rel_qts(
     relrels.sort()  # ascending (a, member-order) == BTreeMap walk order
     if relrels:
         # only rels on a rel->rel edge need driver-side state; the rest of
-        # `base` (data-scale) never leaves the cluster
+        # `base` (data-scale) never leaves the cluster.  Harvest that state
+        # via a broadcast semi-join + Arrow (toPandas), not isin(list).
         touched = sorted({a for a, _ in relrels} | {b for _, b in relrels})
         a_ids = {a for a, _ in relrels}
+        touched_df = spark.createDataFrame(
+            [(t,) for t in touched], "rel_id long"
+        )
+        pdf = base.join(F.broadcast(touched_df), "rel_id", "left_semi").toPandas()
         state = {
-            r.rel_id: r.qt
-            for r in base.filter(F.col("rel_id").isin(touched)).collect()
+            int(k): int(v)
+            for k, v in zip(pdf["rel_id"], pdf["qt"])
+            if v is not None and not (isinstance(v, float) and v != v)
         }
         for it in range(5):
             for a, b in relrels:
@@ -158,12 +165,24 @@ def rel_qts(
             [(int(k), int(v)) for k, v in state.items() if k in a_ids],
             "rel_id long, qt long",
         )
-        out = base.filter(~F.col("rel_id").isin(list(a_ids))).unionByName(updated)
+        a_df = spark.createDataFrame([(a,) for a in sorted(a_ids)], "rel_id long")
+        out = base.join(F.broadcast(a_df), "rel_id", "left_anti").unionByName(
+            updated
+        )
     else:
         out = base
     if finalize:
+        # reference writes 0 for any non-positive result (calculate.rs:
+        # 846-855); agg_lca can yield NULL for a group with no valid
+        # member qt, which must also land on 0, not propagate NULL
         out = out.withColumn(
-            "qt", F.when(F.col("qt") < 0, F.lit(0)).otherwise(F.col("qt"))
+            "qt",
+            F.coalesce(
+                F.when(F.col("qt") < 0, F.lit(0).cast("long")).otherwise(
+                    F.col("qt")
+                ),
+                F.lit(0).cast("long"),
+            ),
         )
     return out.select(F.col("rel_id").alias("id"), "qt")
 

@@ -120,3 +120,37 @@ def test_geohash_known_vectors():
     # clamping at the antimeridian / poles stays in range
     v = GH.geohash_int_np(np.array([1800000000]), np.array([900000000]), 8)
     assert 0 <= int(v[0]) < (1 << 40)
+
+
+def test_duckdb_ladder_matches_numpy_at_poles():
+    """The DuckDB encode ladder must emulate IEEE NaN semantics: DuckDB
+    orders NaN greater than everything, so unguarded `>` / `>=` on the
+    mercator-y columns (NaN for lat > 90, reachable via the degenerate-box
+    +1e-7 widening at exactly +90) would spuriously take the out-of-range
+    branch and stop the descent at depth 0 where numpy/Rust descend."""
+    import duckdb
+
+    from osmquadtree_rust_spark.functions import qt_sql as S
+
+    lons = [-1800000000, -100000000, -1, 0, 1, 100000000, 1799999998]
+    lats = [-900000000, -899999999, -1, 0, 1, 899999999, 900000000]
+    pts = [(lon, lat) for lon in lons for lat in lats]
+    # extra regression case from ADVICE.md: depth-18 cell at the pole
+    pts.append((-100000000, 900000000))
+
+    lon_np = np.array([p[0] for p in pts], dtype=np.int64)
+    lat_np = np.array([p[1] for p in pts], dtype=np.int64)
+    expect = Q.calculate_point(lon_np, lat_np)
+
+    con = duckdb.connect()
+    base = " UNION ALL ".join(
+        f"SELECT {i} AS i, CAST({p[0]} AS BIGINT) AS lon, CAST({p[1]} AS BIGINT) AS lat"
+        for i, p in enumerate(pts)
+    )
+    sql = S.qt_calculate_point_subquery(base, "lon", "lat", "qt", ("i",))
+    got = dict(con.execute(f"SELECT i, qt FROM ({sql}) q").fetchall())
+    for i, p in enumerate(pts):
+        assert got[i] == int(expect[i]), (p, got[i], int(expect[i]))
+    # the pole point must actually descend (regression: oracle gave qt=0)
+    pole = Q.calculate_point(np.array([-100000000]), np.array([900000000]))[0]
+    assert int(pole) & 31 == 18
