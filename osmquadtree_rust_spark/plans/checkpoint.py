@@ -49,30 +49,55 @@ def write_tiles_checkpointed(
     """
     spark = df.sparkSession
     lineage: list[dict] = []
-    for b in range(n_batches):
-        out = _batch_dir(base, snapshot, b)
-        if os.path.exists(os.path.join(out, "_SUCCESS")):
-            continue  # resume: batch already committed
+    todo = [
+        b
+        for b in range(n_batches)
+        if not os.path.exists(os.path.join(_batch_dir(base, snapshot, b), "_SUCCESS"))
+    ]
+    if todo:
+        # ONE scan + ONE shuffle for all outstanding batches (the previous
+        # per-batch filter loop rescanned the full input n_batches times):
+        # stage everything partitioned by (__batch, tile), then commit each
+        # batch directory separately by rename + per-batch _SUCCESS marker,
+        # preserving batch-granular resume for later runs.
         t0 = time.time()
-        part = df.filter(F.pmod(F.col(tile_col), F.lit(n_batches)) == b)
+        staging = f"{base}/snapshot={snapshot}/_staging"
+        staged = df.withColumn(
+            "__batch", F.pmod(F.col(tile_col), F.lit(n_batches))
+        ).filter(F.col("__batch").isin(todo))
         (
-            part.repartition(F.col(tile_col))
+            staged.repartition(F.col(tile_col))
             .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
-            .partitionBy(tile_col)
-            .parquet(out)
+            .partitionBy("__batch", tile_col)
+            .parquet(staging)
         )
-        rec = {
-            "snapshot": snapshot,
-            "batch": b,
-            "n_batches": n_batches,
-            "wall_sec": round(time.time() - t0, 3),
-            "committed_at": "driver-clock",
-        }
-        lineage.append(rec)
-        _append_lineage(base, snapshot, rec)  # crash-safe: commit per batch
-        if fail_after_batch is not None and b >= fail_after_batch:
-            return lineage
+        stage_sec = round(time.time() - t0, 3)
+        import shutil
+
+        for b in todo:
+            src = f"{staging}/__batch={b}"
+            out = _batch_dir(base, snapshot, b)
+            if os.path.exists(out):
+                shutil.rmtree(out)  # partial leftovers from a crashed run
+            if os.path.exists(src):
+                os.replace(src, out)
+            else:
+                os.makedirs(out, exist_ok=True)  # batch had no rows
+            with open(os.path.join(out, "_SUCCESS"), "w"):
+                pass
+            rec = {
+                "snapshot": snapshot,
+                "batch": b,
+                "n_batches": n_batches,
+                "wall_sec": stage_sec,
+                "committed_at": "driver-clock",
+            }
+            lineage.append(rec)
+            _append_lineage(base, snapshot, rec)  # crash-safe: commit per batch
+            if fail_after_batch is not None and len(lineage) > fail_after_batch:
+                return lineage
+        shutil.rmtree(staging, ignore_errors=True)
 
     # metrics table: per-tile rows + bytes, from the committed files
     rows = (

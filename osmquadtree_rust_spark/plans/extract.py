@@ -68,13 +68,44 @@ def extract(
     return {"nodes": out_nodes, "ways": out_ways, "relations": out_rels}
 
 
-def regroup_blocks(df: DataFrame, block_size: int = EXTRACT_BLOCK_SIZE) -> DataFrame:
+def regroup_blocks(
+    df: DataFrame, block_size: int = EXTRACT_BLOCK_SIZE, bucket_shift: int = 21
+) -> DataFrame:
     """Stamp an output block index in global (id) order — the 8000-element
-    regrouping of the reference's extract writer (GroupBlocks)."""
+    regrouping of the reference's extract writer (GroupBlocks).
+
+    Scale shape: a global un-partitioned Window would force every row
+    through one task.  Instead, mirror the reference's own id>>21
+    bucketing (writetemp.rs:426): bucket rows by a DATA-derived coarse
+    key, count per bucket (metadata-scale), broadcast cumulative offsets,
+    and compute block = (bucket_offset + local_rank) / block_size with a
+    window partitioned by bucket — every stage is parallel, and the
+    bucket key is derived from the data so the two passes agree without
+    persisting.  Requires unique `id`s (true post-merge per type)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("id")
-    return df.withColumn(
-        "block",
-        ((F.row_number().over(w) - 1) / block_size).cast("long"),
+    spark = df.sparkSession
+    bkt = F.shiftright(F.col("id"), bucket_shift)
+    counts = sorted(
+        (int(r["__bkt"]), int(r["n"]))
+        for r in df.groupBy(bkt.alias("__bkt")).agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for b, n in counts:
+        offsets.append((b, acc))
+        acc += n
+    if not offsets:
+        return df.withColumn("block", F.lit(0).cast("long"))
+    off_df = spark.createDataFrame(offsets, "__bkt long, __off long")
+    w = Window.partitionBy("__bkt").orderBy("id")
+    return (
+        df.withColumn("__bkt", bkt)
+        .join(F.broadcast(off_df), "__bkt")
+        .withColumn(
+            "block",
+            F.floor(
+                (F.col("__off") + F.row_number().over(w) - 1) / block_size
+            ).cast("long"),
+        )
+        .drop("__bkt", "__off")
     )
