@@ -352,6 +352,74 @@ FROM r WHERE rn = 1 AND changetype NOT IN (1, 2)
 """
 
 
+# ===========================================================================
+# 5b. snapshot-as-of extract: write 4 timestamped snapshots through the
+#     checkpointed tile writer + filelist log, then read back "as of"
+#     T=200 with tile pruning (reference get_file_locs timestamp cut,
+#     filelist.rs:101-219).  The DuckDB oracle derives the same rows
+#     relationally from `orders`, so the entire write -> filelist ->
+#     as-of read -> latest-wins merge path is gated end-to-end.
+# ===========================================================================
+
+_ASOF_TS = 200
+_ASOF_TILES = range(8)
+
+
+def _asof_snapshots(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    s = o.select(
+        F.expr("CAST((o_orderkey - (o_orderkey % 4)) / 4 AS BIGINT)").alias("id"),
+        F.expr("o_orderkey % 4").alias("snap"),
+        F.expr(
+            "CASE WHEN o_orderkey % 4 = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(o_orderkey % 6 AS BIGINT) END"
+        ).alias("changetype"),
+        F.col("o_totalprice").alias("val"),
+    ).withColumn("tile", F.expr("CAST(id % 16 AS BIGINT)"))
+    return [s.filter(F.col("snap") == i).drop("snap") for i in range(4)]
+
+
+@_register("extract_as_of")
+def _asof(spark, sf_dir):
+    import tempfile
+
+    from .plans import checkpoint as CK
+
+    base = tempfile.mkdtemp(prefix="asof_gate_")
+    for i, snap in enumerate(_asof_snapshots(spark, sf_dir)):
+        CK.write_tiles_checkpointed(snap, base, f"s{i}", n_batches=2)
+        CK.append_filelist(base, f"s{i}", timestamp=i * 100,
+                           kind="base" if i == 0 else "change")
+    out = CK.read_snapshot_as_of(spark, base, _ASOF_TS, tiles=_ASOF_TILES)
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("tile").cast("long"),
+        F.col("val").cast("double"),
+        F.col("changetype").cast("long"),
+    )
+
+
+@_oracle("extract_as_of")
+def _asof_o() -> str:
+    return f"""
+WITH s AS (
+  SELECT CAST((o_orderkey - (o_orderkey % 4)) / 4 AS BIGINT) AS id,
+         o_orderkey % 4 AS snap,
+         CASE WHEN o_orderkey % 4 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(o_orderkey % 6 AS BIGINT) END AS changetype,
+         o_totalprice AS val
+  FROM orders
+), cut AS (
+  SELECT * FROM s WHERE snap * 100 <= {_ASOF_TS}
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY snap DESC) AS rn FROM cut
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(id % 16 AS BIGINT) AS tile,
+       CAST(val AS DOUBLE) AS val, CAST(0 AS BIGINT) AS changetype
+FROM r WHERE rn = 1 AND changetype NOT IN (1, 2) AND (id % 16) < 8
+"""
+
+
 @_register("dedup_max_version")
 def _dmv(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

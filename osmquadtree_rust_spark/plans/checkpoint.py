@@ -136,5 +136,62 @@ def read_snapshot(spark, base: str, snapshot: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# filelist / snapshot-as-of (reference filelist.rs)
+# ---------------------------------------------------------------------------
+
+def append_filelist(
+    base: str, snapshot: str, timestamp: int, kind: str = "change"
+) -> None:
+    """Append a snapshot entry to the store's filelist — the analog of the
+    reference's write_filelist (filelist.rs:40-44): an ordered log of
+    (snapshot, timestamp, base|change)."""
+    os.makedirs(base, exist_ok=True)
+    lpath = f"{base}/_filelist.json"
+    prior = []
+    if os.path.exists(lpath):
+        with open(lpath) as fh:
+            prior = json.load(fh)
+    prior.append({"snapshot": snapshot, "timestamp": int(timestamp), "kind": kind})
+    with open(lpath, "w") as fh:
+        json.dump(prior, fh, indent=1)
+
+
+def read_filelist(base: str) -> list[dict]:
+    lpath = f"{base}/_filelist.json"
+    if not os.path.exists(lpath):
+        return []
+    with open(lpath) as fh:
+        return json.load(fh)
+
+
+def read_snapshot_as_of(
+    spark, base: str, ts: int, tiles=None, tile_col: str = "tile"
+) -> DataFrame:
+    """Assemble current content as of timestamp `ts`: the base snapshot
+    plus every change snapshot with timestamp <= ts, folded latest-wins
+    with Delete/Remove tombstones dropped.
+
+    This is the reference's get_file_locs timestamp cut
+    (filelist.rs:101-219; check_entry_depth filelist.rs:110-115 enforces
+    entry.timestamp <= requested) combined with its per-tile pruning:
+    `tiles` (e.g. from operators.filter.classify_tiles over a bbox/poly)
+    becomes a partition filter on the tile directory column, so pruned
+    tiles are never read from storage."""
+    from ..operators import merge as M
+
+    entries = sorted(read_filelist(base), key=lambda e: e["timestamp"])
+    sel = [e for e in entries if e["timestamp"] <= int(ts)]
+    if not sel:
+        raise ValueError(f"no snapshots at or before timestamp {ts}")
+    frames = []
+    for e in sel:
+        df = read_snapshot(spark, base, e["snapshot"])
+        if tiles is not None:
+            df = df.filter(F.col(tile_col).isin([int(t) for t in tiles]))
+        frames.append(df)
+    return M.merge_changes(frames[0], frames[1:])
+
+
 def read_metrics(spark, base: str, snapshot: str) -> DataFrame:
     return spark.read.parquet(f"{base}/_metrics/snapshot={snapshot}")

@@ -60,3 +60,67 @@ def test_metrics_table(spark, tmp_path):
     exp = {r.tile: r["count"] for r in df.groupBy("tile").count().collect()}
     assert {t: v[0] for t, v in rows.items()} == exp
     assert all(v[1] and v[1] > 0 for v in rows.values())
+
+
+def test_snapshot_as_of(spark, tmp_path):
+    """Timestamp cut + tile pruning (reference get_file_locs,
+    filelist.rs:101-219): as-of T folds only snapshots with ts <= T,
+    latest-wins, tombstones dropped; pruned tiles never appear."""
+    import pytest
+
+    base = str(tmp_path / "store")
+    # base snapshot: ids 0..99 val=0, all Normal
+    s0 = spark.range(0, 100).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(0).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    # change @150: ids 0..49 val=1; id%10==0 -> Delete(1)
+    s1 = spark.range(0, 50).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("changetype"),
+        F.lit(1).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    # change @250: ids 0..19 val=2 resurrected Normal
+    s2 = spark.range(0, 20).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(2).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    for i, (snap, ts) in enumerate([(s0, 100), (s1, 150), (s2, 250)]):
+        CK.write_tiles_checkpointed(snap, base, f"s{i}", n_batches=2)
+        CK.append_filelist(base, f"s{i}", ts, "base" if i == 0 else "change")
+
+    # as of 100: just the base
+    r100 = {(r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 100).collect()}
+    assert r100 == {(i, 0) for i in range(100)}
+
+    # as of 200: base + s1; multiples of 10 under 50 deleted
+    r200 = {(r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 200).collect()}
+    exp = {(i, 1) for i in range(50) if i % 10 != 0} | {(i, 0) for i in range(50, 100)}
+    assert r200 == exp
+
+    # as of 300: s2 resurrects 0..19 with val=2
+    r300 = {(r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 300).collect()}
+    exp3 = (
+        {(i, 2) for i in range(20)}
+        | {(i, 1) for i in range(20, 50) if i % 10 != 0}
+        | {(i, 0) for i in range(50, 100)}
+    )
+    assert r300 == exp3
+
+    # tile pruning: only tiles {0,1} appear, and the scan reads fewer files
+    pruned = CK.read_snapshot_as_of(spark, base, 300, tiles=[0, 1])
+    rows = pruned.collect()
+    assert {r.tile for r in rows} == {0, 1}
+    assert {(r.id, r.val) for r in rows} == {t for t in exp3 if t[0] % 4 in (0, 1)}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "tile" in plan  # partition filter reached the scan
+
+    # before the first snapshot: error
+    with pytest.raises(ValueError):
+        CK.read_snapshot_as_of(spark, base, 50)
