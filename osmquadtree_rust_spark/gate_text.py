@@ -567,6 +567,43 @@ def _s2c(spark, sf_dir):
 
 
 # ===========================================================================
+# H3-style hex cells (public-spec aperture-7 algorithm in numpy; trig +
+# icosahedral projection are not SQL-expressible -> rows-only check;
+# invariants are pytest-verified in tests/test_h3.py, same strategy as S2)
+# ===========================================================================
+
+@_register("h3_cells")
+def _h3c(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    from .functions import h3
+    from .gate import _events_points
+
+    pts = _events_points(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def h3_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = h3.latlng_to_cell(
+            lon.to_numpy(np.int64), lat.to_numpy(np.int64), 9
+        )
+        return pd.Series(h3.to_signed(cid))
+
+    @F.pandas_udf(LongType())
+    def h3_parent7(cid: pd.Series) -> pd.Series:
+        from .functions import h3 as _h3
+
+        p = _h3.cell_to_parent(_h3.from_signed(cid.to_numpy(np.int64)), 7)
+        return pd.Series(_h3.to_signed(p))
+
+    out = pts.withColumn("h3", h3_udf("lon", "lat"))
+    return out.withColumn("h3_r7", h3_parent7("h3")).select(
+        F.col("event_id").cast("long"),
+        F.col("h3").cast("long"),
+        F.col("h3_r7").cast("long"),
+    )
+
+
+# ===========================================================================
 # SimHash Hamming near-dup pairs on the planted-duplicate corpus
 # ===========================================================================
 
