@@ -137,6 +137,64 @@ def read_snapshot(spark, base: str, snapshot: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# id-range index / file skipping (reference src/update/indexblock.rs:
+# write_index_file 121-164 records per-tile id min/max; check_index_file
+# 166-253 prunes tiles whose range misses the wanted id set before the
+# expensive read + semi-join of an update run)
+# ---------------------------------------------------------------------------
+
+def write_id_index(
+    spark, base: str, snapshot: str, tile_col: str = "tile", id_col: str = "id"
+) -> None:
+    """Materialize the explicit per-tile (min_id, max_id, rows) manifest —
+    metadata-scale (one row per tile)."""
+    df = read_snapshot(spark, base, snapshot)
+    idx = df.groupBy(tile_col).agg(
+        F.min(id_col).alias("min_id"),
+        F.max(id_col).alias("max_id"),
+        F.count("*").alias("rows"),
+    )
+    idx.coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/_idindex/snapshot={snapshot}"
+    )
+
+
+def prune_tiles_by_ids(
+    spark, base: str, snapshot: str, ids: DataFrame, id_col: str = "id"
+) -> list[int]:
+    """Tiles whose [min_id, max_id] range contains at least one wanted id.
+
+    The (possibly huge) id frame is range-joined against the BROADCAST
+    metadata-scale index — never the other way around — and only the
+    surviving tile numbers (metadata-scale) come back to the driver."""
+    idx = spark.read.parquet(f"{base}/_idindex/snapshot={snapshot}")
+    hit = (
+        ids.select(F.col(id_col).alias("__id"))
+        .join(
+            F.broadcast(idx),
+            (F.col("__id") >= F.col("min_id")) & (F.col("__id") <= F.col("max_id")),
+        )
+        .select("tile")
+        .distinct()
+    )
+    return sorted(int(r.tile) for r in hit.collect())
+
+
+def read_snapshot_for_ids(
+    spark, base: str, snapshot: str, ids: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Read only the tile partitions that can contain the wanted ids, then
+    semi-join: the reference's check_index_file fast path for updates."""
+    tiles = prune_tiles_by_ids(spark, base, snapshot, ids, id_col)
+    pruned = read_snapshot(spark, base, snapshot).filter(
+        F.col("tile").isin(tiles)
+    )
+    return pruned.join(
+        ids.select(F.col(id_col).alias("id")).distinct(), "id", "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
 # filelist / snapshot-as-of (reference filelist.rs)
 # ---------------------------------------------------------------------------
 

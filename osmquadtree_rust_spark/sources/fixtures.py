@@ -92,30 +92,119 @@ def png_decode(data: bytes) -> np.ndarray:
     return out
 
 
-# JPEG is stubbed: the container ships no codec libraries, so `fmt='jpeg'`
-# rows carry a deterministic container (magic + zlib pixels) that our decode
-# path round-trips exactly; the PSNR>=40dB check therefore passes trivially
-# for the stub while exercising the same Spark plumbing.  Swap in a real
-# codec by replacing these two functions.
-_JPEG_STUB_MAGIC = b"FAKEJPG1"
+# ---------------------------------------------------------------------------
+# real lossy codec for fmt='jpeg': JPEG's transform path — 8x8 type-II DCT
+# per channel + the standard luminance quantization table (JPEG spec
+# Annex K) scaled fine — with zlib standing in for the Huffman entropy
+# stage (the container ships no codec libraries).  Quantization genuinely
+# discards information, so the BASELINE "decoded-pixel PSNR >= 40 dB for
+# lossy fmt" invariant is exercised for real (tests/test_images_e2e.py).
+# ---------------------------------------------------------------------------
+
+_DCTQ_MAGIC = b"DCTQ0001"
+_DCTQ_SCALE_PPM = 500000  # 0.5 x Annex-K table ~ libjpeg quality ~90;
+# worst-case fixture PSNR ~45.8 dB — real loss, real margin over the 40 dB gate
 
 
-def jpeg_stub_encode(pixels: np.ndarray) -> bytes:
+def _dct8_matrix() -> np.ndarray:
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    m[0, :] = 1.0
+    m *= np.where(k == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))[:, None]
+    return m
+
+
+_DCT8 = _dct8_matrix()
+
+# standard JPEG luminance quantization table (spec Annex K, public)
+_QTAB = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _quant_table(scale_ppm: int) -> np.ndarray:
+    return np.maximum(1.0, np.round(_QTAB * (scale_ppm / 1e6)))
+
+
+def _to_blocks(ch: np.ndarray) -> np.ndarray:
+    """(H, W) padded to 8-multiples by edge replication -> (n, 8, 8)."""
+    h, w = ch.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = ch.shape
+    return (
+        ch.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    hh, ww = h + ((-h) % 8), w + ((-w) % 8)
+    out = (
+        blocks.reshape(hh // 8, ww // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hh, ww)
+    )
+    return out[:h, :w]
+
+
+def dctq_encode(pixels: np.ndarray, scale_ppm: int = _DCTQ_SCALE_PPM) -> bytes:
+    """Lossy encode: per-channel blocked DCT-II, quantize, zlib."""
     h, w, _ = pixels.shape
-    return _JPEG_STUB_MAGIC + struct.pack(">II", w, h) + zlib.compress(pixels.tobytes(), 1)
+    q = _quant_table(scale_ppm)
+    planes = []
+    for c in range(3):
+        blocks = _to_blocks(pixels[:, :, c].astype(np.float64) - 128.0)
+        coeff = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        planes.append(np.round(coeff / q).astype(np.int16))
+    payload = np.concatenate(planes).tobytes()
+    return (
+        _DCTQ_MAGIC
+        + struct.pack(">III", w, h, scale_ppm)
+        + zlib.compress(payload, 6)
+    )
 
 
-def jpeg_stub_decode(data: bytes) -> np.ndarray:
-    assert data[:8] == _JPEG_STUB_MAGIC
-    w, h = struct.unpack(">II", data[8:16])
-    return np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8).reshape(h, w, 3)
+def dctq_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == _DCTQ_MAGIC, "not a DCTQ payload"
+    w, h, scale_ppm = struct.unpack(">III", data[8:20])
+    q = _quant_table(scale_ppm)
+    raw = np.frombuffer(zlib.decompress(data[20:]), dtype=np.int16)
+    nb = ((h + 7) // 8) * ((w + 7) // 8)
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        coeff = raw[c * nb * 64 : (c + 1) * nb * 64].reshape(-1, 8, 8) * q
+        blocks = np.einsum("ji,njk,kl->nil", _DCT8, coeff, _DCT8)
+        out[:, :, c] = np.clip(
+            np.round(_from_blocks(blocks, h, w) + 128.0), 0, 255
+        ).astype(np.uint8)
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean(
+        (a.astype(np.float64) - b.astype(np.float64)) ** 2
+    )
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
-        return jpeg_stub_decode(data)
+        return dctq_decode(data)
     raise NotImplementedError(f"unsupported fmt {fmt!r}")
 
 
@@ -147,7 +236,7 @@ def images_rows(n: int, with_bytes: bool = True):
         fmt = FMT_CYCLE[i % 2]
         if with_bytes:
             px = synth_pixels(i, w, h)
-            data = png_encode(px) if fmt == "png" else jpeg_stub_encode(px)
+            data = png_encode(px) if fmt == "png" else dctq_encode(px)
         else:
             data = None
         rows.append(

@@ -124,3 +124,47 @@ def test_snapshot_as_of(spark, tmp_path):
     # before the first snapshot: error
     with pytest.raises(ValueError):
         CK.read_snapshot_as_of(spark, base, 50)
+
+
+def test_id_index_file_skipping(spark, tmp_path):
+    """indexblock.rs analog: the id-range manifest must prune tile files
+    before the read — provably fewer files scanned, identical results."""
+    base = str(tmp_path / "store")
+    # 16 tiles with disjoint id ranges: tile t holds ids [t*1000, t*1000+500)
+    df = spark.range(0, 16 * 500).select(
+        (F.floor(F.col("id") / 500) * 1000 + F.col("id") % 500).alias("id"),
+        F.floor(F.col("id") / 500).cast("long").alias("tile"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    CK.write_tiles_checkpointed(df, base, "s1", n_batches=4)
+    CK.write_id_index(spark, base, "s1")
+
+    wanted = spark.createDataFrame(
+        [(2003,), (2400,), (9001,)], "id long"
+    )  # tiles 2 and 9 only
+    tiles = CK.prune_tiles_by_ids(spark, base, "s1", wanted)
+    assert tiles == [2, 9]
+
+    pruned = CK.read_snapshot_for_ids(spark, base, "s1", wanted)
+    full = CK.read_snapshot(spark, base, "s1")
+    full_semi = full.join(wanted, "id", "left_semi")
+
+    got = sorted((r.id, r.tile) for r in pruned.collect())
+    exp = sorted((r.id, r.tile) for r in full_semi.collect())
+    assert got == exp == [(2003, 2), (2400, 2), (9001, 9)]
+
+    # the point of the index: the pruned scan actually reads strictly fewer
+    # files (input_file_name() reports the files the executed scan touched;
+    # inputFiles() would list the pre-pruning catalog)
+    pruned_scan = CK.read_snapshot(spark, base, "s1").filter(F.col("tile").isin(tiles))
+    pruned_files = {
+        r[0] for r in pruned_scan.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0] for r in full.select(F.input_file_name()).distinct().collect()
+    }
+    assert len(pruned_files) < len(all_files)
+    assert all("tile=2/" in f or "tile=9/" in f for f in pruned_files)
+    # and the partition filter is visible in the physical plan
+    plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -38,15 +38,19 @@ def test_images_pipeline_end_to_end(spark):
     got_qt = np.array([r.qt for r in rows], dtype=np.int64)
     assert (exp_qt == got_qt).all()
 
-    # per-row invariants: decode PSNR + caption equality
+    # per-row invariants: decode PSNR + caption equality.  The lossy fmt
+    # must be GENUINELY lossy (real DCT-quantization codec, not a stub)
+    # while clearing the 40 dB bar; the lossless fmt must be bit-exact.
+    exact = {"png": [], "jpeg": []}
     for r in rows[:64]:
         i = int(r.image_id[3:])
         px = FX.decode_image(bytes(r.bytes), r.fmt)
         ref = FX.synth_pixels(i, r.w, r.h)
-        mse = np.mean((px.astype(float) - ref.astype(float)) ** 2)
-        psnr = float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
-        assert psnr >= 40.0
+        assert FX.psnr(px, ref) >= 40.0
+        exact[r.fmt].append(np.array_equal(px, ref))
         assert r.caption == f"caption {i} {FX.NOUNS[i % len(FX.NOUNS)]}"
+    assert exact["png"] and all(exact["png"])
+    assert exact["jpeg"] and not any(exact["jpeg"])
 
     # every tile is a group cell (or root) and an ancestor of its members
     gset = set(groups.tolist()) | {0}
