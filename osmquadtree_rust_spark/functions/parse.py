@@ -19,6 +19,12 @@ def _latitude_un_mercator(d: float, scale: float) -> float:
     return (math.atan(math.exp(d * math.pi / scale)) * 4.0 / math.pi - 1.0) * 90.0
 
 
+def zoom(z: float) -> float:
+    """Web-mercator metres-per-pixel ladder (quadtree.rs:33):
+    2 * EARTH_WIDTH / 256 / 2^z."""
+    return 2.0 * EARTH_WIDTH / 256.0 / (2.0**z)
+
+
 def bbox_from_tile(x: float, y: float, z: float, buffer: float = 0.0):
     """quadtree.rs:212-225 (note the reference's (2.0+buffer) span)."""
     sz = (2.0 * EARTH_WIDTH / 256.0 / (2.0**z)) * 256.0

@@ -66,3 +66,18 @@ def compare_datasets(
 
 def compare_summary(diff: DataFrame) -> DataFrame:
     return diff.groupBy("cls").agg(F.count("*").cast("long").alias("n"))
+
+
+def iter_elements_flat(nodes: DataFrame, ways: DataFrame, relations: DataFrame):
+    """Ordered whole-dataset element iterator (reference
+    src/pbfformat/iterelementsflat.rs:13-146): yields
+    ('node'|'way'|'relation', Row) in (type, id) order — the
+    whole-planet-compare entry point.
+
+    Spark shape: a global sort per type (range exchange + local sort) and
+    toLocalIterator, which walks range partitions in ascending order and
+    holds only ONE partition on the driver at a time — the streaming
+    analog of the reference's channelled block iterator."""
+    for name, df in (("node", nodes), ("way", ways), ("relation", relations)):
+        for row in df.orderBy("id").toLocalIterator():
+            yield name, row

@@ -75,3 +75,17 @@ def test_fixed_point_rounding():
     assert OSC._as_fixed("-0.1000001") == -1000001
     assert OSC._as_fixed("0.00000005") == 1
     assert OSC._as_fixed("-0.00000005") == -1
+
+
+def test_iter_elements_flat(spark):
+    from osmquadtree_rust_spark.operators.compare import iter_elements_flat
+
+    nodes = spark.createDataFrame([(i, i * 10) for i in (5, 1, 3)], "id long, v long")
+    ways = spark.createDataFrame([(i, [i]) for i in (9, 2)], "id long, refs array<long>")
+    rels = spark.createDataFrame([(7, "x")], "id long, tag string")
+    got = [(t, r.id) for t, r in iter_elements_flat(nodes, ways, rels)]
+    assert got == [
+        ("node", 1), ("node", 3), ("node", 5),
+        ("way", 2), ("way", 9),
+        ("relation", 7),
+    ]

@@ -75,3 +75,12 @@ def test_timestamp_parse_roundtrip():
 
     with _pytest.raises(ValueError):
         parse_timestamp("June 1st")
+
+
+def test_zoom_ladder():
+    from osmquadtree_rust_spark.functions.parse import EARTH_WIDTH, zoom
+
+    # quadtree.rs:33: zoom(0) spans the world in 256px; halves per level
+    assert zoom(0) == 2.0 * EARTH_WIDTH / 256.0
+    for z in range(1, 19):
+        assert abs(zoom(z) * 2.0 - zoom(z - 1)) < 1e-9

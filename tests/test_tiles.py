@@ -79,3 +79,58 @@ def test_route_shallow_element_never_deep_group():
     g = np.array(sorted([O.from_string("AA"), O.from_string("B")]), dtype=np.int64)
     e = np.array([O.from_string("A")], dtype=np.int64)
     assert T.route_cells(e, g)[0] == 0
+
+
+def _mixed_hist(seed, n=4000):
+    """Histogram with weighted interior cells (footprint-style boxes of
+    mixed sizes, like sources/synth.py) — the shape find_tree_groups
+    needs to converge."""
+    rng = np.random.RandomState(seed)
+    lon = rng.randint(-1700000000, 1700000000, n)
+    lat = rng.randint(-850000000, 850000000, n)
+    size = rng.choice([100, 100000, 5000000, 80000000], n)
+    cells = Q.calculate(lon, lat, lon + size, lat + size)
+    cells = Q.qt_round(cells, 17)
+    vals, counts = np.unique(cells[cells >= 0], return_counts=True)
+    return vals, counts
+
+
+def test_groups_match_independent_oracle():
+    """The engine's vectorized path-compressed build + pointer-walk sweep
+    must produce EXACTLY the groups of an independent insertion-order
+    dict/recursive oracle (tests/oracle_tiles.py) — closes the oracle-
+    independence loop flagged in VERDICT r01 for tile_assignment."""
+    import oracle_tiles as OT
+
+    for seed, target, absmin in ((1, 400, 200), (2, 1000, 500), (3, 120, 60)):
+        vals, counts = _mixed_hist(seed)
+        tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+        got = sorted((int(c), int(w)) for c, w in
+                     T.find_tree_groups(tree, target, absmin).leaves())
+
+        otree = OT.OracleTree()
+        for v, c in zip(vals.tolist(), counts.tolist()):
+            otree.add(int(v), int(c))
+        exp = otree.find_tree_groups(target, absmin)
+        assert got == exp, f"seed={seed}: {len(got)} vs {len(exp)} groups"
+
+
+def test_routing_matches_independent_oracle():
+    import oracle_tiles as OT
+
+    vals, counts = _mixed_hist(7)
+    tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+    groups = T.find_tree_groups(tree, 400, 200)
+    gcells = T.group_lookup_arrays(groups)
+
+    gtree = OT.OracleTree()
+    for c, w in groups.leaves():
+        gtree.add(int(c), int(w))
+
+    rng = np.random.RandomState(8)
+    lon = rng.randint(-1800000000, 1799999998, 3000)
+    lat = rng.randint(-900000000, 899999998, 3000)
+    cells = Q.calculate_point(lon, lat)
+    routed = T.route_cells(cells, gcells)
+    for c, r in zip(cells.tolist(), routed.tolist()):
+        assert r == gtree.find(int(c))
