@@ -104,6 +104,8 @@ def main():
         "compare_datasets",
         "minhash_signatures",
         "simhash64",
+        "simhash_neardup",
+        "embedding_neardup",
         "ann_dot_topk",
     ]
     for name in bench_queries:
