@@ -119,10 +119,12 @@ def raster_to_points(rasters: DataFrame, threshold: int = 1) -> DataFrame:
     def vectorize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             outs = []
-            for _, row in pdf.iterrows():
-                tile = int(row["tile"])
-                size = int(row["size"])
-                px = FX.png_decode(bytes(row["png"]))[:, :, 0].astype(np.int64)
+            # zip over Arrow-backed columns (one codec call per raster is
+            # inherent; no pandas per-row Series construction)
+            for tile, size, png in zip(pdf["tile"], pdf["size"], pdf["png"]):
+                tile = int(tile)
+                size = int(size)
+                px = FX.png_decode(bytes(png))[:, :, 0].astype(np.int64)
                 minlon, minlat, maxlon, maxlat = (
                     int(v) for v in qtn.as_bbox(np.int64(tile), 0.05)
                 )
