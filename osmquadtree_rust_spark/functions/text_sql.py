@@ -21,6 +21,19 @@ def token_count_sql(text: str) -> str:
     )
 
 
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_sql(text: str, dialect: str) -> str:
+    """BPE-ish subword-unit count: alphabetic runs + digit runs + one
+    token per punctuation character (the pre-tokenizer split every BPE
+    implementation starts from).  The character-class regex evaluates
+    identically under Java regex (Spark) and RE2 (DuckDB)."""
+    if dialect == SPARK:
+        return f"size(regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0))"
+    return f"len(regexp_extract_all({text}, '{BPE_TOKEN_RE}'))"
+
+
 def char_count_sql(text: str, ch: str) -> str:
     """Occurrences of a single character."""
     return f"(length({text}) - length(replace({text}, '{ch}', '')))"

@@ -644,3 +644,121 @@ SELECT CAST(l.doc_id AS BIGINT) AS a, CAST(r.doc_id AS BIGINT) AS b,
 FROM sh l JOIN sh r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 """
+
+
+# ===========================================================================
+# BPE-ish subword token counting (regex pre-tokenizer; identical under
+# Java regex and RE2 for pure character classes)
+# ===========================================================================
+
+@_register("token_count_bpe")
+def _tcb(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.with_bpe_token_count(TX.with_token_count(docs))
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_subtokens").cast("long"),
+    )
+
+
+@_oracle("token_count_bpe")
+def _tcb_o():
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST({TS.token_count_sql('text')} AS BIGINT) AS n_tokens, "
+        f"CAST({TS.bpe_token_count_sql('text', TS.DUCKDB)} AS BIGINT) AS n_subtokens "
+        f"FROM documents"
+    )
+
+
+# ===========================================================================
+# per-label embedding centroids in exact integer space (k-means / IVF
+# training step; quantized so distributed partial sums are exact)
+# ===========================================================================
+
+@_register("label_centroids")
+def _lc(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.label_centroids(emb).select(
+        F.col("label").cast("long"),
+        F.col("dim").cast("long"),
+        F.col("sum_q").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
+@_oracle("label_centroids")
+def _lc_o():
+    return """
+SELECT CAST(label AS BIGINT) AS label, CAST(t.i AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM embeddings, range(0, 64) t(i)
+GROUP BY label, t.i
+"""
+
+
+# ===========================================================================
+# OSC change-file parse: deterministic XML generated from `orders`, parsed
+# by the real parser (sources/osc.py incl. max-version dedup and fixed-
+# point coordinate rounding); oracle derives the same rows relationally
+# ===========================================================================
+
+def _osc_xml(sf_dir: str) -> str:
+    con = duckdb.connect()
+    keys = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"ORDER BY o_orderkey"
+        ).fetchall()
+    ]
+    secs = {"create": [], "modify": [], "delete": []}
+    names = ["create", "modify", "delete"]
+    for k in keys:
+        nid = (k - (k % 2)) // 2
+        ver = k % 7
+        lon = ((k * 7919) % 3600000000) - 1800000000
+        lat = ((k * 104729) % 1800000000) - 900000000
+        secs[names[k % 3]].append(
+            f'<node id="{nid}" version="{ver}" '
+            f'lon="{lon / 1e7:.7f}" lat="{lat / 1e7:.7f}"/>'
+        )
+    body = "".join(
+        f"<{s}>{''.join(rows)}</{s}>" for s, rows in secs.items() if rows
+    )
+    return f"<osmChange>{body}</osmChange>"
+
+
+@_register("osc_parse")
+def _osc(spark, sf_dir):
+    from .sources import osc as OSC
+
+    nodes, _, _ = OSC.osc_to_dfs(spark, _osc_xml(sf_dir))
+    return nodes.select(
+        F.col("id").cast("long"),
+        F.col("version").cast("long"),
+        F.col("changetype").cast("long"),
+        F.col("lon").cast("long"),
+        F.col("lat").cast("long"),
+    )
+
+
+@_oracle("osc_parse")
+def _osc_o():
+    # changetype mapping: create=5, modify=4, delete=1 (operators/merge.py)
+    return """
+WITH s AS (
+  SELECT CAST((o_orderkey - (o_orderkey % 2)) / 2 AS BIGINT) AS id,
+         CAST(o_orderkey % 7 AS BIGINT) AS version,
+         CAST(CASE o_orderkey % 3 WHEN 0 THEN 5 WHEN 1 THEN 4 ELSE 1 END AS BIGINT)
+           AS changetype,
+         CAST((o_orderkey * 7919) % 3600000000 - 1800000000 AS BIGINT) AS lon,
+         CAST((o_orderkey * 104729) % 1800000000 - 900000000 AS BIGINT) AS lat
+  FROM orders
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY version DESC) AS rn FROM s
+)
+SELECT id, version, changetype, lon, lat FROM r WHERE rn = 1
+"""

@@ -200,6 +200,33 @@ def cosine_neardup_pairs(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-label embedding centroids in exact integer space (the k-means /
+    IVF training step of an embedding pipeline, distributable without
+    float-sum order sensitivity).
+
+    Float sums are not order-deterministic under distributed partial
+    aggregation, so the exact path quantizes each component to
+    FLOOR(x * quant) (engine-exact integer) and emits per-dimension
+    (sum_q, n); centroid_q = sum_q / n is exact rational.  One
+    posexplode + one hash aggregate — map-side combined, single shuffle.
+    """
+    return (
+        df.select(F.col(label_col), F.posexplode(vec_col).alias("dim", "__x"))
+        .withColumn("__q", F.floor(F.col("__x").cast("double") * quant).cast("long"))
+        .groupBy(label_col, "dim")
+        .agg(
+            F.sum("__q").alias("sum_q"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: deterministic coarse quantizer + cluster probe
 # ---------------------------------------------------------------------------

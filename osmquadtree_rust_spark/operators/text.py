@@ -17,6 +17,14 @@ def with_token_count(df: DataFrame, text: str = "text", out: str = "n_tokens") -
     return df.withColumn(out, F.expr(TS.token_count_sql(text)).cast("long"))
 
 
+def with_bpe_token_count(
+    df: DataFrame, text: str = "text", out: str = "n_subtokens"
+) -> DataFrame:
+    """BPE-ish subword-unit count (regex pre-tokenizer split); JVM-side
+    regexp, no Python."""
+    return df.withColumn(out, F.expr(TS.bpe_token_count_sql(text, TS.SPARK)))
+
+
 def with_quality_score(df: DataFrame, text: str = "text", out: str = "quality") -> DataFrame:
     """Quality score in millionths (BIGINT, cross-engine exact)."""
     return df.withColumn(out, F.expr(TS.quality_score_sql(text)).cast("long"))
