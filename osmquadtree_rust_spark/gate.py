@@ -190,13 +190,22 @@ def _ta(spark, sf_dir):
 
 @_oracle("tile_assignment")
 def _ta_o() -> str:
-    # Independent evaluation path: cells via the DuckDB encode subquery;
-    # the (metadata-scale) group map is recomputed here with the
-    # find_tree_groups port from the DuckDB-computed histogram, then routed
-    # in SQL via a correlated deepest-ancestor lookup.
+    # Fully independent evaluation path: cells via the DuckDB encode
+    # subquery; the (metadata-scale) group map via the INDEPENDENT
+    # insertion-order scalar oracle tree (tests/oracle_tiles.py — shares
+    # no code with operators/tiles.py) from the DuckDB-computed
+    # histogram; routing in SQL via a correlated deepest-ancestor lookup.
+    import os
+    import sys
+
     import duckdb
 
-    from .operators import tiles as T
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    import oracle_tiles as OT
 
     e = synth.synth_geo_exprs("id")
     base = (
@@ -212,11 +221,12 @@ def _ta_o() -> str:
     hist = con.execute(
         f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({enc}) q GROUP BY 1"
     ).fetchall()
-    tree = T.build_tree_from_histogram(
-        [int(c) for c, _ in hist], [int(w) for _, w in hist]
+    otree = OT.OracleTree()
+    for c, w in sorted(hist):
+        otree.add(int(c), int(w))
+    gcells = sorted(
+        c for c, _ in otree.find_tree_groups(_TILE_TARGET, _TILE_TARGET // 2)
     )
-    groups = T.find_tree_groups(tree, _TILE_TARGET, _TILE_TARGET // 2)
-    gcells = T.group_lookup_arrays(groups)
     gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
     rnd = (
         "(CASE WHEN (q.qt & 31) <= g.d THEN q.qt "
