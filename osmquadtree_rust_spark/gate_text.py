@@ -762,3 +762,43 @@ WITH s AS (
 )
 SELECT id, version, changetype, lon, lat FROM r WHERE rn = 1
 """
+
+
+# ===========================================================================
+# connected components over the near-dup pair graph (duplicate CLUSTERS,
+# not just pairs — transitive closure).  Spark: min-label propagation, one
+# shuffle per round, O(diameter) rounds.  Oracle: DuckDB recursive CTE
+# transitive closure (test-scale) over the same simhash pair derivation.
+# ===========================================================================
+
+@_register("dup_components")
+def _dcc(spark, sf_dir):
+    docs = _doubled_docs(spark, sf_dir)
+    sigs = D.simhash64(docs)
+    pairs = D.simhash_neardup_pairs(sigs, max_hamming=3)
+    comps = D.connected_components(docs.select("doc_id"), pairs)
+    return comps.select(
+        F.col("doc_id").cast("long"), F.col("comp").cast("long")
+    )
+
+
+@_oracle("dup_components")
+def _dcc_o():
+    pairs_sql = _shn_o()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+verts AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + {_DUP_SHIFT} FROM documents
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM verts
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
+FROM reach GROUP BY id
+"""

@@ -133,6 +133,61 @@ def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Data
     return agg.select(id_col, F.expr(expr).alias("simhash"))
 
 
+def connected_components(
+    vertices: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair graph: returns
+    (id, component) with component = the minimum id in the component —
+    the exact duplicate-cluster step after candidate verification (a
+    one-sweep `dedup_keep_first` misses transitive clusters).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the min — converges in O(graph diameter) rounds, which for
+    near-dup clusters (diameter ~2-3) is a handful of shuffles.  Each
+    round persists its labels and unpersists the previous round so the
+    lineage (and therefore task-graph size) stays constant at 100 TB;
+    convergence is detected with a changed-row count."""
+    edges = (
+        pairs.select(F.col("a"), F.col("b"))
+        .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "comp")
+
+
 def dedup_keep_first(
     df: DataFrame, dup_pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -201,3 +201,23 @@ import pytest as _pt
 @_pt.fixture(scope="module")
 def _spark_holder(spark):
     return spark
+
+
+def test_connected_components_transitive(spark):
+    """Min-label propagation must close transitively (a chain needs
+    multiple rounds) and leave isolated vertices in their own component."""
+    from pyspark.sql import functions as F
+
+    from osmquadtree_rust_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # chain 1-2-3-4-5 (diameter 4), pair 7-9, isolated 6, 8, 10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 7)], "a long, b long"
+    )
+    got = {
+        (r.doc_id, r.comp)
+        for r in connected_components(verts, pairs).collect()
+    }
+    exp = {(i, 1) for i in (1, 2, 3, 4, 5)} | {(7, 7), (9, 7), (6, 6), (8, 8), (10, 10)}
+    assert got == exp

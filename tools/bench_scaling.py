@@ -105,8 +105,21 @@ Notes:
   memory channels, so per-executor bandwidth is constant as the cluster
   grows, unlike threads inside this single sandbox VM.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve the defaults-mode baseline section (apples-to-apples with
+    # the driver's BENCH_r{N}) across rewrites of the scaling tables
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    defaults_sec = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        marker = "## Defaults-mode baseline"
+        if marker in old:
+            sec = old.split(marker, 1)[1]
+            # the section runs until the next H2 heading (or EOF)
+            nxt = sec.find("\n## ")
+            defaults_sec = "\n" + marker + (sec[:nxt] if nxt >= 0 else sec)
+    with open(path, "w") as f:
+        f.write(md + defaults_sec)
     print(md)
 
 
