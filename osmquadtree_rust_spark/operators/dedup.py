@@ -210,14 +210,12 @@ def _chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
     return list(zip(starts, widths))
 
 
-def simhash_band_candidates(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
-) -> DataFrame:
-    """Candidate pairs (a < b) whose signatures agree on at least one of
-    the max_hamming+1 pigeonhole chunks.  Complete: two signatures within
-    Hamming distance max_hamming differ in <= max_hamming chunks, so some
-    chunk matches exactly.  One explode + one equi-join on
-    (chunk_idx, chunk_val) — no cross product anywhere."""
+def _simhash_banded(sigs: DataFrame, max_hamming: int, id_col: str) -> DataFrame:
+    """Explode each signature into its pigeonhole chunks, CARRYING the
+    full 8-byte signature alongside — so downstream verification needs no
+    join back to `sigs` (whose aggregation subtree would otherwise be
+    recomputed once per consumer: Spark does not materialize shared
+    subplans, only shuffles)."""
     chunks = F.array(
         *[
             F.struct(
@@ -229,10 +227,25 @@ def simhash_band_candidates(
             for ci, (start, width) in enumerate(_chunk_layout(max_hamming))
         ]
     )
-    banded = (
-        sigs.select(F.col(id_col).alias("a"), F.explode(chunks).alias("c"))
-        .select("a", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    return (
+        sigs.select(
+            F.col(id_col).alias("a"),
+            F.col("simhash").alias("h"),
+            F.explode(chunks).alias("c"),
+        )
+        .select("a", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     )
+
+
+def simhash_band_candidates(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs (a < b) whose signatures agree on at least one of
+    the max_hamming+1 pigeonhole chunks.  Complete: two signatures within
+    Hamming distance max_hamming differ in <= max_hamming chunks, so some
+    chunk matches exactly.  One explode + one equi-join on
+    (chunk_idx, chunk_val) — no cross product anywhere."""
+    banded = _simhash_banded(sigs, max_hamming, id_col)
     return (
         banded.alias("l")
         .join(banded.alias("r"), ["ci", "cv"])
@@ -248,18 +261,25 @@ def simhash_neardup_pairs(
     """Near-duplicate pairs by SimHash Hamming distance (bit_count of the
     XOR — native in Spark and DuckDB).
 
-    Scale path: pigeonhole banding generates candidates via an equi-join
-    (simhash_band_candidates), then the Hamming verify runs only on the
-    candidate set.  Result set is provably identical to the all-pairs
-    form (recall 1 by the pigeonhole argument), so test-scale oracles may
-    stay quadratic."""
-    cand = simhash_band_candidates(sigs, max_hamming, id_col)
-    ha = sigs.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"))
-    hb = sigs.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"))
+    Scale path: pigeonhole banding generates candidates via an equi-join,
+    and the signatures ride THROUGH the banding (8 bytes/row) so the
+    Hamming verify is a projection on the joined rows — the expensive
+    signature aggregation is computed exactly once, with the band
+    self-join's identical exchange subplans eligible for ReusedExchange.
+    Result set is provably identical to the all-pairs form (recall 1 by
+    the pigeonhole argument), so test-scale oracles may stay quadratic."""
+    banded = _simhash_banded(sigs, max_hamming, id_col)
     return (
-        cand.join(ha, "a")
-        .join(hb, "b")
-        .withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        banded.alias("l")
+        .join(banded.alias("r"), ["ci", "cv"])
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(
+            F.col("l.a").alias("a"),
+            F.col("r.a").alias("b"),
+            F.expr("bit_count(l.h ^ r.h)").cast("long").alias("hamming"),
+        )
+        # verify BEFORE the distinct: bucket-collision pairs above the
+        # Hamming bound never reach the dedup shuffle
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+        .distinct()
     )
