@@ -82,6 +82,78 @@ def decode_stats(images: DataFrame) -> DataFrame:
     return images.mapInPandas(batches, DECODE_STATS_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _phash64(px: np.ndarray) -> int:
+    """Classic DCT perceptual hash (public algorithm): grayscale ->
+    32x32 nearest resize -> 2D DCT-II -> top-left 8x8 low-frequency block
+    (minus DC) -> bit = coefficient > median.  Near-duplicate images land
+    within small Hamming distance, so the SimHash banding machinery
+    (operators/dedup.simhash_neardup_pairs) applies unchanged."""
+    from ..sources.fixtures import _DCT8
+
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(32) * h // 32).astype(int)
+    xs = (np.arange(32) * w // 32).astype(int)
+    small = gray[ys][:, xs]
+    # 32x32 DCT-II via two 8x8... use direct matrix for 32
+    k = np.arange(32)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 64.0)
+    m[0, :] = 1.0
+    m *= np.where(k == 0, np.sqrt(1.0 / 32.0), np.sqrt(2.0 / 32.0))[:, None]
+    coeff = m @ small @ m.T
+    block = coeff[:8, :8].flatten()
+    vals = block[1:]  # drop DC
+    med = np.median(vals)
+    bits = 0
+    for i, v in enumerate(vals[:64]):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(images: DataFrame) -> DataFrame:
+    """(image_id, phash) via decode + DCT pHash, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                ids.append(image_id)
+                hashes.append(_phash64(FX.decode_image(bytes(data), fmt)))
+            yield pd.DataFrame(
+                {
+                    "image_id": ids,
+                    "phash": np.array(hashes, dtype=np.uint64).view(np.int64),
+                }
+            )
+
+    return images.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def image_neardup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: pHash + pigeonhole-banded Hamming join
+    (same scale-safe candidate generation as text SimHash)."""
+    from . import dedup as D
+    from pyspark.sql import functions as F
+
+    sigs = image_phash(images).select(
+        F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash")
+    )
+    return D.simhash_neardup_pairs(sigs, max_hamming=max_hamming).withColumnsRenamed(
+        {"a": "image_a", "b": "image_b"}
+    )
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),
@@ -117,3 +189,92 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return images.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+    ]
+)
+
+
+def sample_frames(videos: DataFrame, every_n: int = 5) -> DataFrame:
+    """Explode videos into every Nth frame (re-encoded PNG) — the frame-
+    sampling stage of a video training pipeline.  One input row fans out
+    to ceil(n_frames / every_n) rows inside the Arrow batch; at 100 TB
+    the repartition belongs BEFORE this operator (rows expand)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for video_id, data in zip(pdf["video_id"], pdf["bytes"]):
+                for idx, frame in enumerate(FX.video_decode_frames(bytes(data))):
+                    if idx % every_n == 0:
+                        recs.append(
+                            (
+                                video_id,
+                                idx,
+                                FX.png_encode(frame),
+                                frame.shape[1],
+                                frame.shape[0],
+                            )
+                        )
+            yield pd.DataFrame(
+                recs, columns=["video_id", "frame_idx", "bytes", "w", "h"]
+            )
+
+    return videos.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_milli", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Per-clip DSP features (duration, RMS, zero-crossing count) —
+    vectorized numpy per clip, Arrow-batched rows.  Integer outputs
+    (FLOOR-milli RMS) so results are engine/platform exact."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for audio_id, data in zip(pdf["audio_id"], pdf["bytes"]):
+                sr, s = FX.audio_decode(bytes(data))
+                x = s.astype(np.float64)
+                rms = float(np.sqrt(np.mean(x * x))) if len(s) else 0.0
+                zc = int(np.sum((s[:-1] >= 0) != (s[1:] >= 0))) if len(s) > 1 else 0
+                recs.append(
+                    (
+                        audio_id,
+                        sr,
+                        len(s),
+                        int(len(s) * 1000 // sr) if sr else 0,
+                        int(np.floor(rms * 1000.0)),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "audio_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_ms",
+                    "rms_milli",
+                    "zero_crossings",
+                ],
+            )
+
+    return audios.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -396,3 +396,49 @@ def elements_spark_dfs(spark, nodes, ways, relations):
         "id long, members array<struct<mem_type:int, mem_ref:long>>",
     )
     return nodes_df, ways_df, rels_df
+
+
+# ---------------------------------------------------------------------------
+# video / audio fixture containers.  No real av codecs exist in this
+# container, so these are deterministic FIXTURE formats (clearly marked):
+# video = magic + frame count + length-prefixed real-PNG frames; audio =
+# magic + sample rate + zlib'd int16 PCM.  The Spark-side operators
+# (operators/multimodal.py) do real work over them — frame explode,
+# windowed DSP features — with the container swap-out point isolated here.
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"FVID0001"
+_AUD_MAGIC = b"FAUD0001"
+
+
+def video_encode(frames: list[np.ndarray]) -> bytes:
+    out = [_VID_MAGIC, struct.pack(">I", len(frames))]
+    for f in frames:
+        p = png_encode(f)
+        out.append(struct.pack(">I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def video_decode_frames(data: bytes):
+    assert data[:8] == _VID_MAGIC, "not a fixture video"
+    (n,) = struct.unpack(">I", data[8:12])
+    pos = 12
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        yield png_decode(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+
+
+def audio_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    return (
+        _AUD_MAGIC
+        + struct.pack(">I", sample_rate)
+        + zlib.compress(samples.astype(np.int16).tobytes(), 1)
+    )
+
+
+def audio_decode(data: bytes):
+    assert data[:8] == _AUD_MAGIC, "not a fixture audio"
+    (sr,) = struct.unpack(">I", data[8:12])
+    return sr, np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)

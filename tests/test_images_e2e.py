@@ -70,3 +70,73 @@ def test_images_pipeline_end_to_end(spark):
     for r in rows[:16]:
         s = stats[r.image_id]
         assert (s.w, s.h) == (r.w, r.h)
+
+
+def test_image_phash_neardup(spark):
+    """DCT pHash: stable under mild pixel noise and re-encoding (lossy),
+    so planted perturbed copies pair up via the banded Hamming join while
+    distinct images stay apart."""
+    import numpy as np
+
+    from osmquadtree_rust_spark.operators import multimodal as MM
+    from osmquadtree_rust_spark.sources import fixtures as FX
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(12):
+        w, h = 64, 48
+        # structured low-frequency content (random coarse grid upsampled):
+        # distinct images differ strongly in the DCT low block, which is
+        # what pHash thresholds.  (The synth gradient fixtures are nearly
+        # pure DC — every AC bit would be threshold noise by design.)
+        coarse = rng.randint(0, 256, (6, 8, 3))
+        px = coarse.repeat(8, axis=0).repeat(8, axis=1)[:h, :w].astype(np.uint8)
+        rows.append((f"base{i:04d}", FX.png_encode(px), w, h, "png"))
+        noisy = np.clip(
+            px.astype(np.int16) + rng.randint(-2, 3, px.shape), 0, 255
+        ).astype(np.uint8)
+        # re-encode the noisy copy through the LOSSY codec
+        rows.append((f"copy{i:04d}", FX.dctq_encode(noisy), w, h, "jpeg"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    pairs = {
+        (r.image_a, r.image_b)
+        for r in MM.image_neardup_pairs(df, max_hamming=10).collect()
+    }
+    expected = {(f"base{i:04d}", f"copy{i:04d}") for i in range(12)}
+    assert pairs == expected
+
+
+def test_video_frame_sampling_and_audio_features(spark):
+    import numpy as np
+
+    from osmquadtree_rust_spark.operators import multimodal as MM
+    from osmquadtree_rust_spark.sources import fixtures as FX
+
+    vids = []
+    for v in range(3):
+        frames = [FX.synth_pixels(v * 100 + k, 16, 16) for k in range(11)]
+        vids.append((f"vid{v}", FX.video_encode(frames)))
+    vdf = spark.createDataFrame(vids, "video_id string, bytes binary")
+    got = MM.sample_frames(vdf, every_n=5).collect()
+    # 11 frames, every 5th -> idx 0, 5, 10 per video
+    assert sorted((r.video_id, r.frame_idx) for r in got) == [
+        (f"vid{v}", i) for v in range(3) for i in (0, 5, 10)
+    ]
+    # sampled frame bytes decode back to the exact original frame
+    r0 = next(r for r in got if r.video_id == "vid1" and r.frame_idx == 5)
+    assert np.array_equal(
+        FX.png_decode(bytes(r0.bytes)), FX.synth_pixels(105, 16, 16)
+    )
+
+    auds = []
+    t = np.arange(16000)
+    auds.append(("a0", FX.audio_encode((10000 * np.sin(t * 0.1)).astype(np.int16))))
+    auds.append(("a1", FX.audio_encode(np.zeros(8000, dtype=np.int16))))
+    adf = spark.createDataFrame(auds, "audio_id string, bytes binary")
+    feats = {r.audio_id: r for r in MM.audio_features(adf).collect()}
+    assert feats["a0"].duration_ms == 1000
+    assert feats["a0"].rms_milli > 6_000_000  # ~10000/sqrt(2) * 1000
+    assert feats["a0"].zero_crossings > 400
+    assert feats["a1"].rms_milli == 0 and feats["a1"].duration_ms == 500
