@@ -115,9 +115,11 @@ Notes:
         marker = "## Defaults-mode baseline"
         if marker in old:
             sec = old.split(marker, 1)[1]
-            # the section runs until the next H2 heading (or EOF)
-            nxt = sec.find("\n## ")
-            defaults_sec = "\n" + marker + (sec[:nxt] if nxt >= 0 else sec)
+            # the section runs until the next H2 heading or the trailing
+            # Notes block (whichever comes first), else EOF
+            ends = [i for i in (sec.find("\n## "), sec.find("\nNotes:")) if i >= 0]
+            cut = min(ends) if ends else len(sec)
+            defaults_sec = "\n" + marker + sec[:cut].rstrip() + "\n"
     with open(path, "w") as f:
         f.write(md + defaults_sec)
     print(md)
