@@ -459,6 +459,93 @@ FROM r WHERE rn = 1
 
 
 # ===========================================================================
+# 5c. relation qt fixpoint: the exactly-5-pass rel->rel propagation
+#     (calcinmem.rs:197-241 + calculate.rs:786-855) over a synthetic
+#     relation graph with ascending (a < b) edges — for such edges the
+#     reference's in-pass Gauss-Seidel order equals Jacobi (a is always
+#     processed before its parent b, so it sees b's previous-pass value),
+#     which lets the DuckDB oracle unroll the 5 passes exactly.  Chains of
+#     length 4 exercise multi-pass propagation; dangling parents exercise
+#     the pass-5 missing-parent -> 0 rule; k%13 rels are empty -> qt 0.
+# ===========================================================================
+
+@_register("rel_qt_fixpoint")
+def _rqf(spark, sf_dir):
+    from .operators import calcqts as CQ
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    e = synth.synth_geo_exprs("k")
+    nodes = o.select(
+        F.col("k").alias("id"),
+        F.expr(e["lon"]).alias("lon"),
+        F.expr(e["lat"]).alias("lat"),
+    )
+    nqts = qs.with_point_qt(nodes, "lon", "lat", "qt").select("id", "qt")
+    members = F.expr(
+        """CASE
+        WHEN k % 13 = 0 THEN array()
+        WHEN k % 5 = 0 THEN array(named_struct('mem_type', 0, 'mem_ref', k))
+        WHEN k % 11 = 0 THEN array(
+            named_struct('mem_type', 2, 'mem_ref', k + 1),
+            named_struct('mem_type', 2, 'mem_ref', k * 1000 + 7))
+        ELSE array(named_struct('mem_type', 2, 'mem_ref', k + 1))
+        END"""
+    )
+    relations = o.select(F.col("k").alias("id"), members.alias("members"))
+    wqts = spark.createDataFrame([], "id long, qt long")
+    rq = CQ.rel_qts(relations, nqts, wqts, spark)
+    return rq.select(F.col("id").cast("long"), F.col("qt").cast("long"))
+
+
+@_oracle("rel_qt_fixpoint")
+def _rqf_o() -> str:
+    e = synth.synth_geo_exprs("k")
+    pts = qsql.qt_calculate_point_subquery(
+        f"SELECT o_orderkey AS k, {e['lon']} AS lon, {e['lat']} AS lat FROM orders",
+        "lon",
+        "lat",
+        "qt",
+        ("k",),
+    )
+    agg = qsql.qt_common_agg_sql("qt")
+    passes = []
+    for p in range(1, 6):
+        prev = f"s{p - 1}"
+        missing = (
+            f" UNION ALL SELECT e.a AS id, CAST(0 AS BIGINT) AS qt "
+            f"FROM edges e LEFT JOIN {prev} ps ON ps.id = e.b WHERE ps.id IS NULL"
+            if p == 5
+            else ""
+        )
+        passes.append(
+            f"v{p} AS (SELECT id, qt FROM {prev} "
+            f"UNION ALL SELECT e.a AS id, ps.qt FROM edges e JOIN {prev} ps ON ps.id = e.b"
+            f"{missing}), "
+            f"s{p} AS (SELECT id, CAST({agg} AS BIGINT) AS qt FROM v{p} GROUP BY id)"
+        )
+    return f"""
+WITH pts AS ({pts}),
+rels AS (SELECT o_orderkey AS k FROM orders),
+s0 AS (
+  SELECT r.k AS id, CAST(p.qt AS BIGINT) AS qt FROM rels r JOIN pts p ON p.k = r.k
+  WHERE r.k % 5 = 0 AND r.k % 13 != 0
+  UNION ALL
+  SELECT k AS id, CAST(0 AS BIGINT) AS qt FROM rels WHERE k % 13 = 0
+),
+edges AS (
+  SELECT k AS a, k + 1 AS b FROM rels WHERE k % 5 != 0 AND k % 13 != 0
+  UNION ALL
+  SELECT k AS a, k * 1000 + 7 AS b FROM rels
+  WHERE k % 11 = 0 AND k % 5 != 0 AND k % 13 != 0
+),
+{', '.join(passes)}
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(CASE WHEN qt < 0 OR qt IS NULL THEN 0 ELSE qt END AS BIGINT) AS qt
+FROM s5
+"""
+
+
+# ===========================================================================
 # 6. count statistics (count.rs)
 # ===========================================================================
 

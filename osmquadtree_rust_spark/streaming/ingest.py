@@ -99,3 +99,25 @@ def windowed_event_counts(
             F.round("total_value", 4).alias("total_value"),
         )
     )
+
+
+def stream_dedup_exact(
+    events: DataFrame,
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for ingestion pipelines: drop rows whose id
+    was already seen within the watermark horizon
+    (dropDuplicatesWithinWatermark — state expires with the watermark, so
+    state size is bounded by the ingest rate x horizon instead of growing
+    forever at 100 TB/day).  Duplicates farther apart than the horizon
+    are the batch dedup pass's job (operators/dedup.dedup_exact).
+
+    On a static frame this degrades to a plain dropDuplicates (same
+    semantics when everything is inside one 'batch')."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])

@@ -85,3 +85,53 @@ def test_windowed_event_counts_static(spark):
     assert out[("2024-01-01 10:00:00", "a")] == (2, 3.0)
     assert out[("2024-01-01 11:00:00", "a")] == (1, 4.0)
     assert out[("2024-01-01 10:00:00", "b")] == (1, 8.0)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate ids across micro-batches within the watermark horizon are
+    dropped by streaming state; the survivor set equals batch-mode
+    dropDuplicates over the whole input."""
+    import shutil
+
+    indir = str(tmp_path / "din")
+    ckpt = str(tmp_path / "dckpt")
+    outdir = str(tmp_path / "dout")
+    os.makedirs(indir)
+
+    rows1 = [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")]
+    rows2 = [(2, "2024-01-01 10:02:00"), (3, "2024-01-01 10:03:00"),
+             (1, "2024-01-01 10:04:00")]
+    schema = "doc_id long, ts_s string"
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{indir}/{name}_t")
+        for f in os.listdir(f"{indir}/{name}_t"):
+            if f.endswith(".parquet"):
+                os.rename(f"{indir}/{name}_t/{f}", f"{indir}/{name}.parquet")
+        shutil.rmtree(f"{indir}/{name}_t")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force separate micro-batches
+        .parquet(indir)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    deduped = ING.stream_dedup_exact(stream, "doc_id", "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(outdir).collect())
+    assert got == [1, 2, 3]
+
+    # static-frame degradation: plain dropDuplicates semantics
+    static = spark.createDataFrame(rows1 + rows2, schema).withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    assert sorted(
+        r.doc_id for r in ING.stream_dedup_exact(static, "doc_id").collect()
+    ) == [1, 2, 3]
