@@ -546,6 +546,80 @@ FROM s5
 
 
 # ===========================================================================
+# 5d. as-of (point-in-time) join: events pick the latest price update with
+#     update.ts <= event.ts per user.  Spark: union + keyed-window trick
+#     (operators/temporal.asof_join — one shuffle, no theta join); oracle:
+#     DuckDB's NATIVE ASOF LEFT JOIN executor — a genuinely independent
+#     implementation of the same semantics.
+# ===========================================================================
+
+_ASOF_USERS = 150
+_ASOF_TS0 = 1704000000
+_ASOF_SPAN = 2700000
+
+
+def _asof_updates(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    u0 = o.select(
+        (F.col("o_custkey") % _ASOF_USERS).alias("user_id"),
+        (F.lit(_ASOF_TS0) + (F.col("o_orderkey") * 37) % _ASOF_SPAN).alias("ets"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey"),
+    )
+    w = Window.partitionBy("user_id", "ets").orderBy(F.col("o_orderkey").desc())
+    return (
+        u0.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ets", "price")
+    )
+
+
+@_register("asof_join_prices")
+def _asof_join(spark, sf_dir):
+    from .operators import temporal as TMP
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("ets"),
+    )
+    upd = _asof_updates(spark, sf_dir)
+    out = TMP.asof_join(ev, upd, key="user_id", ts="ets")
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("ets").cast("long"),
+        F.col("price").cast("double"),
+    )
+
+
+@_oracle("asof_join_prices")
+def _asof_join_o() -> str:
+    return f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets
+  FROM events
+),
+u0 AS (
+  SELECT o_custkey % {_ASOF_USERS} AS user_id,
+         {_ASOF_TS0} + (o_orderkey * 37) % {_ASOF_SPAN} AS ets,
+         o_totalprice AS price, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey % {_ASOF_USERS},
+             {_ASOF_TS0} + (o_orderkey * 37) % {_ASOF_SPAN}
+             ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+upd AS (SELECT user_id, ets, price FROM u0 WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ets, CAST(u.price AS DOUBLE) AS price
+FROM ev e ASOF LEFT JOIN upd u
+  ON e.user_id = u.user_id AND e.ets >= u.ets
+"""
+
+
+# ===========================================================================
 # 6. count statistics (count.rs)
 # ===========================================================================
 

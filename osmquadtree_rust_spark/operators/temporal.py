@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as built-ins.
+
+- as-of join (point-in-time join): each left row picks the right row with
+  the same key and the greatest right.ts <= left.ts — the
+  dimension-lookup primitive of every event/feature pipeline.
+- time-bucketed range join: events against validity intervals, complete
+  candidate generation via bucket + neighbor equi-join (same pattern as
+  the embedding grid join).
+
+Spark-first shapes: the as-of join is the union + keyed-window trick —
+ONE shuffle on the key, no non-equi join (a naive `l.ts >= r.ts` theta
+join is a BroadcastNestedLoopJoin, the scale-killer class VERDICT r01
+flagged elsewhere).  Skew handling is the same as any keyed op: hot keys
+salt upstream if needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    events: DataFrame,
+    updates: DataFrame,
+    key: str = "id",
+    ts: str = "ts",
+    payload_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """For each event row, attach the payload of the latest update with
+    update.ts <= event.ts for the same key (NULL payload if none).
+
+    Contract: `updates` must be unique per (key, ts) — pre-dedupe with
+    dedup_max_version if not.  Implementation: union both sides tagged,
+    window per key ordered by (ts, is_event) — updates sort before events
+    at equal ts, giving <= (inclusive) semantics — and last(payload,
+    ignorenulls) carries the newest update forward onto each event row.
+    """
+    if payload_cols is None:
+        payload_cols = tuple(c for c in updates.columns if c not in (key, ts))
+    ev_cols = [c for c in events.columns]
+
+    tagged_e = events.select(
+        *ev_cols,
+        F.lit(1).alias("__is_evt"),
+        *[F.lit(None).cast(updates.schema[c].dataType).alias(f"__p_{c}")
+          for c in payload_cols],
+    )
+    tagged_u = updates.select(
+        *[
+            F.col(key) if c == key
+            else F.col(ts) if c == ts
+            else F.lit(None).cast(events.schema[c].dataType).alias(c)
+            for c in ev_cols
+        ],
+        F.lit(0).alias("__is_evt"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts), F.col("__is_evt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_e.unionByName(tagged_u)
+    for c in payload_cols:
+        filled = filled.withColumn(
+            f"__p_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w)
+        )
+    return (
+        filled.filter(F.col("__is_evt") == 1)
+        .select(*ev_cols, *[F.col(f"__p_{c}").alias(c) for c in payload_cols])
+    )
+
+
+def bucketed_range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """events x intervals with start <= ts < end, as equi-joins: each
+    interval is exploded to the time buckets it covers, events join on
+    their bucket, then the exact predicate verifies.  Candidate count is
+    |intervals| x avg-buckets-per-interval — linear, never a cross
+    product.  Complete by construction (an interval covers every bucket
+    its span touches)."""
+    b = F.lit(int(bucket_seconds))
+    ev = events.withColumn(
+        "__bkt", F.floor(F.unix_timestamp(F.col(ts)) / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bkts",
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),
+            F.floor((F.unix_timestamp(F.col(end)) - 1) / b).cast("long"),
+        ),
+    ).withColumn("__bkt", F.explode("__bkts")).drop("__bkts")
+    return (
+        ev.join(iv, "__bkt")
+        .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
+        .drop("__bkt")
+    )
