@@ -802,3 +802,54 @@ reach(id, r) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
 FROM reach GROUP BY id
 """
+
+
+# ===========================================================================
+# deterministic train/val hash split + top-k vocabulary (tokenizer prep)
+# ===========================================================================
+
+@_register("hash_split")
+def _hsp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.hash_split(docs).select(
+        F.col("doc_id").cast("long"), F.col("split")
+    )
+
+
+@_oracle("hash_split")
+def _hsp_o():
+    h = TS.md5_prefix_int_sql(
+        "concat('split-v1', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CASE WHEN ({h}) % 100 < 90 THEN 'train' ELSE 'val' END AS split "
+        f"FROM documents"
+    )
+
+
+_VOCAB_K = 100
+
+
+@_register("top_vocabulary")
+def _tv(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.top_vocabulary(docs, k=_VOCAB_K).select(
+        F.col("word"), F.col("cnt").cast("long"), F.col("rank").cast("long")
+    )
+
+
+@_oracle("top_vocabulary")
+def _tv_o():
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words
+  WHERE length(word) > 0 GROUP BY word
+)
+SELECT word, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+FROM counts ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
+"""

@@ -46,6 +46,50 @@ def with_fingerprint(df: DataFrame, text: str = "text", out: str = "fp") -> Data
     return df.withColumn(out, F.expr(TS.md5_prefix_int_sql(text, TS.SPARK)))
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val split: bucket = md5(salt || id) % 100.
+    The industry-standard RNG-free split — stable across reruns, engines
+    and cluster sizes; changing the salt re-rolls the split.  Adds
+    `split` = 'train' | 'val'."""
+    h = TS.md5_prefix_int_sql(
+        f"concat('{salt}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    return df.withColumn(
+        "split",
+        F.when(F.expr(f"({h}) % 100") < train_pct, F.lit("train")).otherwise(
+            F.lit("val")
+        ),
+    )
+
+
+def top_vocabulary(
+    df: DataFrame, text: str = "text", k: int = 100
+) -> DataFrame:
+    """Top-k whitespace-token vocabulary with counts and a deterministic
+    dense rank (count desc, word asc) — the vocab-building step of a
+    tokenizer pipeline.  One explode + one map-side-combined count +
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        words.orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def token_stats_by(df: DataFrame, group: str = "source", text: str = "text") -> DataFrame:
     toks = TS.token_count_sql(text)
     return df.groupBy(group).agg(
