@@ -246,6 +246,28 @@ def common(a, b) -> np.ndarray:
     return res if a.shape or b.shape else res[0]
 
 
+def common_scalar(a: int, b: int) -> int:
+    """Pure-Python-int LCA — same semantics as `common`, ~50x faster per
+    call than the numpy path for scalar use (driver-side loops like the
+    rel->rel fixed point call this 10^5-10^6 times)."""
+    if a < 0:
+        return b
+    if b < 0:
+        return a
+    if a == b:
+        return a
+    d = min(a & 31, b & 31)
+    x = (a ^ b) & ~31
+    for i in range(21):
+        if i >= d:
+            break
+        if (x >> (61 - 2 * i)) & 3:
+            d = i
+            break
+    shift = 63 - 2 * d
+    return ((a >> shift) << shift) + d
+
+
 def common_reduce(qts: np.ndarray) -> int:
     """LCA of a set = common(min, max) over non-negative members.
 

@@ -853,3 +853,49 @@ SELECT word, cnt,
        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
 FROM counts ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
 """
+
+
+# ===========================================================================
+# exact per-group quantiles (profiling): rank-based, integer-exact in
+# both engines (approx_percentile sketches would diverge per engine)
+# ===========================================================================
+
+@_register("token_quantiles_by_source")
+def _tqs(spark, sf_dir):
+    from .operators import stats as ST
+
+    docs = TX.with_token_count(_t(spark, sf_dir, "documents"))
+    out = ST.group_quantiles(docs, "source", "n_tokens", "doc_id")
+    return out.select(
+        F.col("source"),
+        F.col("n").cast("long"),
+        F.col("vmin").cast("long"),
+        F.col("vmax").cast("long"),
+        F.col("median_x2").cast("long"),
+        F.col("p90").cast("long"),
+    )
+
+
+@_oracle("token_quantiles_by_source")
+def _tqs_o():
+    toks = TS.token_count_sql("text")
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, CAST({toks} AS BIGINT) AS v FROM documents
+),
+r AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+       CAST(CASE WHEN MAX(n) % 2 = 1
+            THEN SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN v ELSE 0 END) * 2
+            ELSE SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN v ELSE 0 END)
+            END AS BIGINT) AS median_x2,
+       CAST(SUM(CASE WHEN rn = CAST(CEIL(n * 9 / 10.0) AS BIGINT) THEN v ELSE 0 END)
+            AS BIGINT) AS p90
+FROM r GROUP BY source
+"""

@@ -156,11 +156,13 @@ def rel_qts(
             for a, b in relrels:
                 if b in state:
                     q = state[b]
-                    state[a] = int(qtn.common(state[a], q)) if a in state else int(q)
+                    state[a] = (
+                        qtn.common_scalar(state[a], q) if a in state else int(q)
+                    )
                 elif it == 4:
                     # calculate.rs:829-834: missing parent on the last pass
                     # contributes cell 0
-                    state[a] = 0 if a not in state else int(qtn.common(state[a], 0))
+                    state[a] = 0 if a not in state else qtn.common_scalar(state[a], 0)
         updated = spark.createDataFrame(
             [(int(k), int(v)) for k, v in state.items() if k in a_ids],
             "rel_id long, qt long",

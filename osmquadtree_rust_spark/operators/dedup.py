@@ -150,15 +150,22 @@ def connected_components(
     round persists its labels and unpersists the previous round so the
     lineage (and therefore task-graph size) stays constant at 100 TB;
     convergence is detected with a changed-row count."""
+    # localCheckpoint (not just persist): each iteration would otherwise
+    # NEST the previous iteration's logical plan — after ~10 rounds the
+    # plan tree is deep enough to stack-overflow Catalyst's planning and
+    # every round re-optimizes a bigger tree.  Truncating lineage per
+    # round keeps planning O(1) per iteration (the standard Pregel-style
+    # shape; at cluster scale use checkpoint() on reliable storage for
+    # fault tolerance instead).
     edges = (
         pairs.select(F.col("a"), F.col("b"))
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
-    ).persist()
-    labels.count()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -173,7 +180,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("comp", "new_comp")

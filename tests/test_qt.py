@@ -154,3 +154,17 @@ def test_duckdb_ladder_matches_numpy_at_poles():
     # the pole point must actually descend (regression: oracle gave qt=0)
     pole = Q.calculate_point(np.array([-100000000]), np.array([900000000]))[0]
     assert int(pole) & 31 == 18
+
+
+def test_common_scalar_matches_vectorized():
+    rng = np.random.RandomState(17)
+    cells = _random_cells(500)
+    a = cells[rng.randint(0, 500, 2000)]
+    b = cells[rng.randint(0, 500, 2000)]
+    vec = Q.common(a, b)
+    for x, y, v in zip(a.tolist(), b.tolist(), vec.tolist()):
+        assert Q.common_scalar(x, y) == v
+    # negative (null) identity + equal fast paths
+    assert Q.common_scalar(-1, int(cells[0])) == int(cells[0])
+    assert Q.common_scalar(int(cells[0]), -2) == int(cells[0])
+    assert Q.common_scalar(int(cells[0]), int(cells[0])) == int(cells[0])
