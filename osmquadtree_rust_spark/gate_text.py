@@ -354,13 +354,30 @@ def _doubled_docs(spark, sf_dir):
 
 @_register("minhash_lsh_dedup")
 def _mld(spark, sf_dir):
+    # gate output = per-doc aggregates over the verified pair set, not the
+    # raw pairs: the corpus is heavily templated, so the pair list is
+    # quadratic in duplicate-group size (27.5M rows at sf0.1) while the
+    # aggregate pins the same information (any pair-set difference
+    # perturbs n_dups / min_b / max_b / sum_jaccard of some doc)
     docs = _doubled_docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs)
     cand = D.minhash_lsh_candidates(sigs, bands=2)
     pairs = D.ngram_jaccard_pairs(docs, cand, threshold=0.5)
-    return pairs.select(
-        F.col("a").cast("long"), F.col("b").cast("long"),
-        F.col("jaccard_ppm").cast("long"),
+    return (
+        pairs.groupBy("a")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+            F.sum("jaccard_ppm").alias("sum_jacc_ppm"),
+        )
+        .select(
+            F.col("a").cast("long"),
+            F.col("n_dups").cast("long"),
+            F.col("min_b").cast("long"),
+            F.col("max_b").cast("long"),
+            F.col("sum_jacc_ppm").cast("long"),
+        )
     )
 
 
@@ -391,13 +408,19 @@ inter AS (
   JOIN whd wa ON wa.doc_id = c.a
   JOIN whd wb ON wb.doc_id = c.b AND wb.wh = wa.wh
   GROUP BY c.a, c.b
+),
+pairs AS (
+  SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+         CAST(FLOOR(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) * 1000000.0) AS BIGINT) AS jaccard_ppm
+  FROM inter
+  JOIN sz sa ON sa.doc_id = inter.a
+  JOIN sz sb ON sb.doc_id = inter.b
+  WHERE CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) >= 0.5
 )
-SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
-       CAST(FLOOR(CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) * 1000000.0) AS BIGINT) AS jaccard_ppm
-FROM inter
-JOIN sz sa ON sa.doc_id = inter.a
-JOIN sz sb ON sb.doc_id = inter.b
-WHERE CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) >= 0.5
+SELECT a, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(b) AS BIGINT) AS min_b, CAST(MAX(b) AS BIGINT) AS max_b,
+       CAST(SUM(jaccard_ppm) AS BIGINT) AS sum_jacc_ppm
+FROM pairs GROUP BY a
 """
 
 
