@@ -39,6 +39,12 @@ def asof_join(
     if payload_cols is None:
         payload_cols = tuple(c for c in updates.columns if c not in (key, ts))
     ev_cols = [c for c in events.columns]
+    clash = set(payload_cols) & set(ev_cols)
+    if clash:
+        raise ValueError(
+            f"payload column(s) {sorted(clash)} collide with event columns; "
+            f"rename one side before asof_join"
+        )
 
     tagged_e = events.select(
         *ev_cols,
