@@ -21,17 +21,23 @@ def token_count_sql(text: str) -> str:
     )
 
 
-BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-
-
 def bpe_token_count_sql(text: str, dialect: str) -> str:
     """BPE-ish subword-unit count: alphabetic runs + digit runs + one
-    token per punctuation character (the pre-tokenizer split every BPE
-    implementation starts from).  The character-class regex evaluates
-    identically under Java regex (Spark) and RE2 (DuckDB)."""
+    token per ASCII punctuation character (the pre-tokenizer split every
+    BPE implementation starts from).
+
+    The punctuation class is explicit ASCII hex ranges — a negated class
+    like [^A-Za-z0-9 ] would diverge between engines on astral-plane
+    characters (Java regex counts UTF-16 code units, RE2 counts code
+    points), so non-ASCII characters are counted by NEITHER engine.
+    Verified identical for emoji / combining-accent inputs."""
     if dialect == SPARK:
-        return f"size(regexp_extract_all({text}, '{BPE_TOKEN_RE}', 0))"
-    return f"len(regexp_extract_all({text}, '{BPE_TOKEN_RE}'))"
+        # Spark SQL string literals process backslash escapes: double them
+        # so the regex engine receives \xNN
+        pat = "[A-Za-z]+|[0-9]+|[\\\\x21-\\\\x2f\\\\x3a-\\\\x40\\\\x5b-\\\\x60\\\\x7b-\\\\x7e]"
+        return f"size(regexp_extract_all({text}, '{pat}', 0))"
+    pat = "[A-Za-z]+|[0-9]+|[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]"
+    return f"len(regexp_extract_all({text}, '{pat}'))"
 
 
 def char_count_sql(text: str, ch: str) -> str:

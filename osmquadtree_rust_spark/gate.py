@@ -389,17 +389,26 @@ def _asof_snapshots(spark, sf_dir):
     return [s.filter(F.col("snap") == i).drop("snap") for i in range(4)]
 
 
+_ASOF_STORES: dict[str, str] = {}
+
+
 @_register("extract_as_of")
 def _asof(spark, sf_dir):
     import tempfile
 
     from .plans import checkpoint as CK
 
-    base = tempfile.mkdtemp(prefix="asof_gate_")
-    for i, snap in enumerate(_asof_snapshots(spark, sf_dir)):
-        CK.write_tiles_checkpointed(snap, base, f"s{i}", n_batches=2)
-        CK.append_filelist(base, f"s{i}", timestamp=i * 100,
-                           kind="base" if i == 0 else "change")
+    # one store per (process, sf_dir): repeated gate invocations reuse it
+    # instead of leaking a fresh tempdir each run (the result DataFrame is
+    # lazy, so the store must outlive this function)
+    base = _ASOF_STORES.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="asof_gate_")
+        for i, snap in enumerate(_asof_snapshots(spark, sf_dir)):
+            CK.write_tiles_checkpointed(snap, base, f"s{i}", n_batches=2)
+            CK.append_filelist(base, f"s{i}", timestamp=i * 100,
+                               kind="base" if i == 0 else "change")
+        _ASOF_STORES[sf_dir] = base
     out = CK.read_snapshot_as_of(spark, base, _ASOF_TS, tiles=_ASOF_TILES)
     return out.select(
         F.col("id").cast("long"),

@@ -157,6 +157,13 @@ def connected_components(
     # round keeps planning O(1) per iteration (the standard Pregel-style
     # shape; at cluster scale use checkpoint() on reliable storage for
     # fault tolerance instead).
+    id_type = vertices.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        # cast('long') of a non-numeric id yields NULL for every row and
+        # the loop would "converge" instantly to all-NULL components
+        raise TypeError(
+            f"connected_components needs an integral {id_col!r}, got {id_type}"
+        )
     edges = (
         pairs.select(F.col("a"), F.col("b"))
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -166,6 +173,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
     ).localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -192,6 +200,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning split components silently would be data corruption
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still moving) — raise max_iter (graph "
+            f"diameter exceeds it)"
+        )
     return labels.select(F.col("id").alias(id_col), "comp")
 
 
@@ -223,13 +238,19 @@ def _simhash_banded(sigs: DataFrame, max_hamming: int, id_col: str) -> DataFrame
     join back to `sigs` (whose aggregation subtree would otherwise be
     recomputed once per consumer: Spark does not materialize shared
     subplans, only shuffles)."""
+    def chunk_expr(start: int, width: int) -> str:
+        if width >= 64:
+            # max_hamming=0 (exact-signature mode): the single chunk IS the
+            # signature; (1<<64)-1 would overflow BIGINT into DECIMAL and
+            # fail analysis on the bitwise AND
+            return "simhash"
+        return f"shiftright(simhash, {start}) & {(1 << width) - 1}"
+
     chunks = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("ci"),
-                F.expr(
-                    f"shiftright(simhash, {start}) & {(1 << width) - 1}"
-                ).alias("cv"),
+                F.expr(chunk_expr(start, width)).alias("cv"),
             )
             for ci, (start, width) in enumerate(_chunk_layout(max_hamming))
         ]
@@ -244,6 +265,22 @@ def _simhash_banded(sigs: DataFrame, max_hamming: int, id_col: str) -> DataFrame
     )
 
 
+def _banded_pair_join(banded: DataFrame) -> DataFrame:
+    """Self-join banded chunks on (chunk_idx, chunk_val), a < b; carries
+    both signatures as ha/hb."""
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["ci", "cv"])
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(
+            F.col("l.a").alias("a"),
+            F.col("r.a").alias("b"),
+            F.col("l.h").alias("ha"),
+            F.col("r.h").alias("hb"),
+        )
+    )
+
+
 def simhash_band_candidates(
     sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -253,13 +290,7 @@ def simhash_band_candidates(
     chunk matches exactly.  One explode + one equi-join on
     (chunk_idx, chunk_val) — no cross product anywhere."""
     banded = _simhash_banded(sigs, max_hamming, id_col)
-    return (
-        banded.alias("l")
-        .join(banded.alias("r"), ["ci", "cv"])
-        .filter(F.col("l.a") < F.col("r.a"))
-        .select(F.col("l.a").alias("a"), F.col("r.a").alias("b"))
-        .distinct()
-    )
+    return _banded_pair_join(banded).select("a", "b").distinct()
 
 
 def simhash_neardup_pairs(
@@ -277,13 +308,11 @@ def simhash_neardup_pairs(
     the pigeonhole argument), so test-scale oracles may stay quadratic."""
     banded = _simhash_banded(sigs, max_hamming, id_col)
     return (
-        banded.alias("l")
-        .join(banded.alias("r"), ["ci", "cv"])
-        .filter(F.col("l.a") < F.col("r.a"))
+        _banded_pair_join(banded)
         .select(
-            F.col("l.a").alias("a"),
-            F.col("r.a").alias("b"),
-            F.expr("bit_count(l.h ^ r.h)").cast("long").alias("hamming"),
+            "a",
+            "b",
+            F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming"),
         )
         # verify BEFORE the distinct: bucket-collision pairs above the
         # Hamming bound never reach the dedup shuffle

@@ -96,8 +96,6 @@ def _phash64(px: np.ndarray) -> int:
     (minus DC) -> bit = coefficient > median.  Near-duplicate images land
     within small Hamming distance, so the SimHash banding machinery
     (operators/dedup.simhash_neardup_pairs) applies unchanged."""
-    from ..sources.fixtures import _DCT8
-
     gray = px.astype(np.float64).mean(axis=2)
     h, w = gray.shape
     ys = (np.arange(32) * h // 32).astype(int)

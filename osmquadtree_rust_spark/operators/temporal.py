@@ -46,11 +46,27 @@ def asof_join(
             f"rename one side before asof_join"
         )
 
+    # the whole payload travels as ONE struct that is non-null exactly on
+    # update rows: last(ignorenulls) then picks the latest UPDATE
+    # atomically.  Filling each payload column independently would (a)
+    # resurrect an older value when the latest update's payload is
+    # genuinely NULL and (b) stitch columns from different updates.
+    upd_struct_type = F.struct(
+        *[F.col(c) for c in payload_cols]
+    )
     tagged_e = events.select(
         *ev_cols,
         F.lit(1).alias("__is_evt"),
-        *[F.lit(None).cast(updates.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ", ".join(
+                f"{c}: {updates.schema[c].dataType.simpleString()}"
+                for c in payload_cols
+            )
+            + ">"
+        )
+        .alias("__upd"),
     )
     tagged_u = updates.select(
         *[
@@ -60,21 +76,22 @@ def asof_join(
             for c in ev_cols
         ],
         F.lit(0).alias("__is_evt"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        upd_struct_type.alias("__upd"),
     )
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts), F.col("__is_evt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = tagged_e.unionByName(tagged_u)
-    for c in payload_cols:
-        filled = filled.withColumn(
-            f"__p_{c}", F.last(f"__p_{c}", ignorenulls=True).over(w)
-        )
+    filled = tagged_e.unionByName(tagged_u).withColumn(
+        "__upd", F.last("__upd", ignorenulls=True).over(w)
+    )
     return (
         filled.filter(F.col("__is_evt") == 1)
-        .select(*ev_cols, *[F.col(f"__p_{c}").alias(c) for c in payload_cols])
+        .select(
+            *ev_cols,
+            *[F.col(f"__upd.{c}").alias(c) for c in payload_cols],
+        )
     )
 
 
@@ -96,7 +113,11 @@ def bucketed_range_join(
     ev = events.withColumn(
         "__bkt", F.floor(F.unix_timestamp(F.col(ts)) / b).cast("long")
     )
-    iv = intervals.withColumn(
+    # drop degenerate intervals BEFORE building the bucket sequence: Spark's
+    # sequence(start, stop) with stop < start steps DOWNWARD, so one
+    # malformed end<=start interval would silently explode a huge
+    # descending bucket list through the join
+    iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "__bkts",
         F.sequence(
             F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),

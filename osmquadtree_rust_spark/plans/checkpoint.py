@@ -90,7 +90,12 @@ def write_tiles_checkpointed(
                 "snapshot": snapshot,
                 "batch": b,
                 "n_batches": n_batches,
-                "wall_sec": stage_sec,
+                # batches now stage in ONE shared scan: record the total
+                # once and an amortized per-batch share so summing
+                # wall_sec across records stays meaningful
+                "wall_sec": round(stage_sec / len(todo), 3),
+                "stage_wall_sec": stage_sec,
+                "staged_batches": len(todo),
                 "committed_at": "driver-clock",
             }
             lineage.append(rec)

@@ -53,3 +53,62 @@ def test_bucketed_range_join(spark):
     # plan shape: the join is an equi-join on the bucket, not a theta join
     plan = TMP.bucketed_range_join(ev, iv)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
+
+
+def test_asof_join_null_payload_not_resurrected(spark):
+    """The latest update wins ATOMICALLY: a genuinely-NULL payload value
+    in the newest update must come through as NULL (not resurrect an
+    older value), and multiple payload columns must never be stitched
+    from different updates."""
+    ev = spark.createDataFrame([(1, 10, 300)], "event_id long, user_id long, ets long")
+    upd = spark.createDataFrame(
+        [(10, 100, 5.0, 50), (10, 200, None, 70)],
+        "user_id long, ets long, price double, qty long",
+    )
+    r = TMP.asof_join(ev, upd, key="user_id", ts="ets").collect()[0]
+    assert r.price is None and r.qty == 70  # both from the ts=200 update
+
+
+def test_asof_join_rejects_colliding_payload(spark):
+    import pytest
+
+    ev = spark.createDataFrame([(1, 10, 1)], "event_id long, user_id long, ets long")
+    upd = spark.createDataFrame(
+        [(10, 1, 2)], "user_id long, ets long, event_id long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        TMP.asof_join(ev, upd, key="user_id", ts="ets")
+
+
+def test_bucketed_range_join_ignores_degenerate_intervals(spark):
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00")], "event_id long, ts_s string"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+         (2, "2024-01-01 02:00:00", "2024-01-01 00:00:00"),   # inverted
+         (3, "2024-01-01 01:00:00", "2024-01-01 01:00:00")],  # empty
+        "iv_id long, s string, e string",
+    ).select("iv_id", F.to_timestamp("s").alias("start"), F.to_timestamp("e").alias("end"))
+    got = [(r.event_id, r.iv_id) for r in TMP.bucketed_range_join(ev, iv).collect()]
+    assert got == [(1, 1)]
+
+
+def test_connected_components_guards(spark):
+    import pytest
+
+    from osmquadtree_rust_spark.operators.dedup import connected_components
+
+    sverts = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    pairs = spark.createDataFrame([], "a long, b long")
+    with pytest.raises(TypeError, match="integral"):
+        connected_components(sverts, pairs)
+
+    # a long chain must either converge or raise loudly — never return
+    # silently split components
+    verts = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    chain = spark.createDataFrame([(i, i + 1) for i in range(7)], "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(verts, chain, max_iter=2)
+    ok = connected_components(verts, chain, max_iter=10)
+    assert {r.comp for r in ok.collect()} == {0}
