@@ -922,3 +922,29 @@ SELECT source, CAST(MAX(n) AS BIGINT) AS n,
             AS BIGINT) AS p90
 FROM r GROUP BY source
 """
+
+
+# ===========================================================================
+# raster materialization (rows-only: the PNG render is not SQL-
+# expressible; per-pixel semantics are pytest-verified in tests/
+# test_raster.py) + exact vectorize round-trip counts
+# ===========================================================================
+
+@_register("raster_tiles")
+def _rt(spark, sf_dir):
+    from .functions import qt_spark as qs
+    from .operators import raster as RA
+    from .plans import pipeline as P
+
+    base = spark.range(20000).select(F.col("id"))
+    fp = P.with_synth_footprint(base, "id")
+    with_qt = qs.with_bbox_qt(fp, "minlon", "minlat", "maxlon", "maxlat", "qt")
+    assigned, _ = P.assign_tiles(with_qt, "qt", None, target=4000, persist=False)
+    rasters = RA.materialize_raster_tiles(
+        assigned.select("tile", "minlon", "minlat", "maxlon", "maxlat"), size=64
+    )
+    return rasters.select(
+        F.col("tile").cast("long"),
+        F.col("n_images").cast("long"),
+        F.col("max_count").cast("long"),
+    )

@@ -151,6 +151,13 @@ def cosine_neardup_pairs(
 
     Output: (a, b, cos_ppm) with a < b and raw cosine >= threshold;
     cos_ppm = FLOOR(cos * 1e6) is the engine-independent hardened value.
+
+    Deliberate shape note: unlike the 8-byte SimHash signature (which
+    rides through its banding, operators/dedup.py), the 512-byte vectors
+    are re-joined from the base table for verification — carrying them
+    through `bands` exploded bucket rows would multiply candidate-shuffle
+    bytes by bands x dim x 8, while the join-back is a column-pruned scan
+    plus an equi-join on the (much smaller) candidate set.
     """
     band_structs = [
         F.struct(
