@@ -107,8 +107,24 @@ def minhash_word_hash_sql(word: str, dialect: str) -> str:
     return f"({md5_prefix_int_sql(word, dialect)} % {MINHASH_P})"
 
 
-def minhash_sigs_sql(wh: str) -> list[str]:
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """First k (a, b) pairs of the universal-hash family — the fixed 4
+    above (gate-stable), then deterministic LCG-derived extras for any
+    wider signature.  a*wh stays < 2^62 (both factors < 2^31), BIGINT-safe
+    in Spark and DuckDB alike."""
+    out = list(MINHASH_COEFFS[:k])
+    x = 0x9E3779B9
+    while len(out) < k:
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        a = (x % (MINHASH_P - 2)) + 1
+        x = (x * 1664525 + 1013904223) & 0xFFFFFFFF
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_sigs_sql(wh: str, k: int = 4) -> list[str]:
     """k signature expressions over a word-hash column expression."""
     return [
-        f"MIN(({a} * {wh} + {b}) % {MINHASH_P})" for a, b in MINHASH_COEFFS
+        f"MIN(({a} * {wh} + {b}) % {MINHASH_P})" for a, b in minhash_coeffs(k)
     ]

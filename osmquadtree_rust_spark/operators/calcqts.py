@@ -146,12 +146,16 @@ def rel_qts(
         touched_df = spark.createDataFrame(
             [(t,) for t in touched], "rel_id long"
         )
-        pdf = base.join(F.broadcast(touched_df), "rel_id", "left_semi").toPandas()
-        state = {
-            int(k): int(v)
-            for k, v in zip(pdf["rel_id"], pdf["qt"])
-            if v is not None and not (isinstance(v, float) and v != v)
-        }
+        # NULL qt rows must be dropped SPARK-side: a single NULL makes
+        # pandas promote the whole int64 qt column to float64, and int(v)
+        # then silently corrupts every qt using bits above 2^53 (qt packs
+        # bits up to 62).  With no NULLs the Arrow column stays int64.
+        pdf = (
+            base.join(F.broadcast(touched_df), "rel_id", "left_semi")
+            .filter(F.col("qt").isNotNull())
+            .toPandas()
+        )
+        state = {int(k): int(v) for k, v in zip(pdf["rel_id"], pdf["qt"])}
         for it in range(5):
             for a, b in relrels:
                 if b in state:

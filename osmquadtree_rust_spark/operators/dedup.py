@@ -34,23 +34,31 @@ def word_hashes(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 
 def minhash_signatures(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:
-    """k=4 MinHash signature columns mh0..mh3 per document."""
+    """k MinHash signature columns mh0..mh{k-1} per document (default k=4,
+    gate-stable).  Candidate recall at a Jaccard threshold is a function of
+    (k, bands): with r = k/bands rows per band, P(candidate | jaccard=s)
+    = 1 - (1 - s^r)^bands — raise k (and bands) for sharper resolution
+    around the threshold; the downstream exact-Jaccard verify step fixes
+    precision but can never recover pairs banding missed."""
     wh = word_hashes(df, text, id_col)
     aggs = [
         F.expr(sig).cast("long").alias(f"mh{i}")
-        for i, sig in enumerate(TS.minhash_sigs_sql("wh"))
+        for i, sig in enumerate(TS.minhash_sigs_sql("wh", k))
     ]
     return wh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 2
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 2, k: int | None = None
 ) -> DataFrame:
     """Band the signature (rows-per-band = k/bands), bucket-join to emit
-    candidate pairs (a < b)."""
-    k = 4
+    candidate pairs (a < b).  k defaults to the number of mh* columns."""
+    if k is None:
+        k = sum(1 for c in sigs.columns if c.startswith("mh"))
+    if bands < 1 or k % bands != 0:
+        raise ValueError(f"bands={bands} must divide signature width k={k}")
     rpb = k // bands
     out = None
     for b in range(bands):
@@ -138,6 +146,8 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph: returns
     (id, component) with component = the minimum id in the component —
@@ -150,13 +160,34 @@ def connected_components(
     round persists its labels and unpersists the previous round so the
     lineage (and therefore task-graph size) stays constant at 100 TB;
     convergence is detected with a changed-row count."""
-    # localCheckpoint (not just persist): each iteration would otherwise
-    # NEST the previous iteration's logical plan — after ~10 rounds the
-    # plan tree is deep enough to stack-overflow Catalyst's planning and
-    # every round re-optimizes a bigger tree.  Truncating lineage per
-    # round keeps planning O(1) per iteration (the standard Pregel-style
-    # shape; at cluster scale use checkpoint() on reliable storage for
-    # fault tolerance instead).
+    # Checkpoint (not just persist): each iteration would otherwise NEST
+    # the previous iteration's logical plan — after ~10 rounds the plan
+    # tree is deep enough to stack-overflow Catalyst's planning and every
+    # round re-optimizes a bigger tree.  Truncating lineage per round
+    # keeps planning O(1) per iteration (the standard Pregel-style shape).
+    # reliable=False -> localCheckpoint (executor-local blocks; fastest,
+    # but a lost executor kills the job); reliable=True -> checkpoint()
+    # on reliable storage (checkpoint_dir, or a pre-set
+    # sparkContext.setCheckpointDir) — the cluster-scale fault-tolerant
+    # mode.
+    spark = vertices.sparkSession
+    if reliable:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True needs checkpoint_dir (or a prior "
+                "sparkContext.setCheckpointDir)"
+            )
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     id_type = vertices.schema[id_col].dataType.simpleString()
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
         # cast('long') of a non-numeric id yields NULL for every row and
@@ -164,15 +195,16 @@ def connected_components(
         raise TypeError(
             f"connected_components needs an integral {id_col!r}, got {id_type}"
         )
-    edges = (
+    edges = _ckpt(
         pairs.select(F.col("a"), F.col("b"))
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
-    ).localCheckpoint(eager=True)
+    labels = _ckpt(
+        vertices.select(
+            F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("comp")
+        )
+    )
     changed = 1
     for _ in range(max_iter):
         nbr = (
@@ -180,15 +212,13 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr, "id", "left")
-            .select(
+        new_labels = _ckpt(
+            labels.join(nbr, "id", "left").select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("comp", "new_comp")
@@ -220,11 +250,10 @@ def dedup_keep_first(
     return df.join(losers, id_col, "left_anti")
 
 
-def _chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
-    """(start_bit, width) of the max_hamming+1 pigeonhole chunks covering
-    all 64 signature bits (widths differ by at most 1)."""
-    n = max_hamming + 1
-    widths = [64 // n + (1 if c < 64 % n else 0) for c in range(n)]
+def _block_layout(m: int) -> list[tuple[int, int]]:
+    """(start_bit, width) of m blocks covering all 64 signature bits
+    (widths differ by at most 1)."""
+    widths = [64 // m + (1 if c < 64 % m else 0) for c in range(m)]
     starts, s = [], 0
     for w in widths:
         starts.append(s)
@@ -232,27 +261,69 @@ def _chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
     return list(zip(starts, widths))
 
 
-def _simhash_banded(sigs: DataFrame, max_hamming: int, id_col: str) -> DataFrame:
-    """Explode each signature into its pigeonhole chunks, CARRYING the
+def _band_keys(m_blocks: int, max_hamming: int) -> list[tuple[int, ...]]:
+    """The C(m, m - max_hamming) block-index combinations that form the
+    banding keys.  Pigeonhole completeness: two signatures within Hamming
+    distance max_hamming differ in at most max_hamming blocks, so at least
+    m - max_hamming blocks match exactly — i.e. SOME size-(m-max_hamming)
+    combination matches on every block it contains."""
+    from itertools import combinations
+
+    if m_blocks <= max_hamming:
+        raise ValueError(
+            f"m_blocks={m_blocks} must exceed max_hamming={max_hamming}"
+        )
+    if m_blocks > 64:
+        raise ValueError(f"m_blocks={m_blocks} > 64 signature bits")
+    return list(combinations(range(m_blocks), m_blocks - max_hamming))
+
+
+def _simhash_banded(
+    sigs: DataFrame, max_hamming: int, id_col: str, m_blocks: int | None = None
+) -> DataFrame:
+    """Explode each signature into its pigeonhole band keys, CARRYING the
     full 8-byte signature alongside — so downstream verification needs no
     join back to `sigs` (whose aggregation subtree would otherwise be
     recomputed once per consumer: Spark does not materialize shared
-    subplans, only shuffles)."""
-    def chunk_expr(start: int, width: int) -> str:
+    subplans, only shuffles).
+
+    m_blocks=None (default) uses max_hamming+1 single-block keys — the
+    classic layout, ~64/(h+1)-bit key cardinality (16 bits at h=3: fine to
+    ~10^9 docs).  At 10^12-doc scale pass m_blocks > max_hamming+1: keys
+    become concatenations of (m_blocks - max_hamming) blocks, e.g.
+    (m=6, h=3) -> C(6,3)=20 keys of ~32 bits, so expected random-collision
+    candidates fall from ~4n²/2^16 to ~20n²/2^32 while recall stays exactly
+    1 by the same pigeonhole argument (results are provably identical)."""
+    if m_blocks is None:
+        m_blocks = max_hamming + 1
+    layout = _block_layout(m_blocks)
+
+    def block_expr(start: int, width: int) -> str:
         if width >= 64:
-            # max_hamming=0 (exact-signature mode): the single chunk IS the
+            # m_blocks=1 (exact-signature mode): the single block IS the
             # signature; (1<<64)-1 would overflow BIGINT into DECIMAL and
             # fail analysis on the bitwise AND
             return "simhash"
-        return f"shiftright(simhash, {start}) & {(1 << width) - 1}"
+        return f"(shiftright(simhash, {start}) & {(1 << width) - 1})"
+
+    def key_expr(combo: tuple[int, ...]) -> str:
+        # concatenate the combo's block values into one BIGINT; total
+        # width <= 64 (blocks partition the signature), and < 64 whenever
+        # max_hamming >= 1, so no sign-bit surprises
+        parts, off = [], 0
+        for b in combo:
+            start, width = layout[b]
+            parts.append(f"(shiftleft({block_expr(start, width)}, {off}))")
+            off += width
+        return " + ".join(parts) if len(parts) > 1 else block_expr(*layout[combo[0]])
 
     chunks = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("ci"),
-                F.expr(chunk_expr(start, width)).alias("cv"),
+                F.expr(key_expr(combo)).alias("cv"),
             )
-            for ci, (start, width) in enumerate(_chunk_layout(max_hamming))
+            for ci, combo in enumerate(_band_keys(m_blocks, max_hamming))
         ]
     )
     return (
@@ -282,19 +353,24 @@ def _banded_pair_join(banded: DataFrame) -> DataFrame:
 
 
 def simhash_band_candidates(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    m_blocks: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs (a < b) whose signatures agree on at least one of
-    the max_hamming+1 pigeonhole chunks.  Complete: two signatures within
-    Hamming distance max_hamming differ in <= max_hamming chunks, so some
-    chunk matches exactly.  One explode + one equi-join on
-    (chunk_idx, chunk_val) — no cross product anywhere."""
-    banded = _simhash_banded(sigs, max_hamming, id_col)
+    """Candidate pairs (a < b) whose signatures agree on at least one
+    band key (see _simhash_banded for the (m_blocks, max_hamming)
+    pigeonhole construction and its completeness argument).  One explode +
+    one equi-join on (key_idx, key_val) — no cross product anywhere."""
+    banded = _simhash_banded(sigs, max_hamming, id_col, m_blocks)
     return _banded_pair_join(banded).select("a", "b").distinct()
 
 
 def simhash_neardup_pairs(
-    sigs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    m_blocks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance (bit_count of the
     XOR — native in Spark and DuckDB).
@@ -305,8 +381,10 @@ def simhash_neardup_pairs(
     signature aggregation is computed exactly once, with the band
     self-join's identical exchange subplans eligible for ReusedExchange.
     Result set is provably identical to the all-pairs form (recall 1 by
-    the pigeonhole argument), so test-scale oracles may stay quadratic."""
-    banded = _simhash_banded(sigs, max_hamming, id_col)
+    the pigeonhole argument) for EVERY valid (m_blocks, max_hamming), so
+    test-scale oracles may stay quadratic.  Pass m_blocks > max_hamming+1
+    at extreme scale (wider keys, see _simhash_banded)."""
+    banded = _simhash_banded(sigs, max_hamming, id_col, m_blocks)
     return (
         _banded_pair_join(banded)
         .select(

@@ -80,10 +80,10 @@ def knn_search(
     x0, y0 = int(x0), int(y0)
 
     best: list[tuple[float, int]] = []
-    scanned: list[int] = []
+    scanned: set[int] = set()
     for r in range(max_rings):
         cells = _ring_cells(x0, y0, r, level)
-        cells = [c for c in cells if c not in set(scanned)]
+        cells = [c for c in cells if c not in scanned]
         pred = F.col(cell_col).isin(cells)
         if r == 0:
             # points whose cell terminated shallower than `level` (poles,
@@ -98,7 +98,7 @@ def knn_search(
             best.extend((float(row.dist_sq), int(row.id)) for row in got)
             best.sort()
             best = best[:k]
-            scanned.extend(cells)
+            scanned.update(cells)
         # stopping bound: kth best must beat any point outside the scanned
         # ring rectangle (conservative 2-unit margin for the fixed-point
         # rounding of cell bboxes)

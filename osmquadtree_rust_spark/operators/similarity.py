@@ -63,6 +63,24 @@ def brute_force_topk(
     )
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Fail fast if any vector is shorter than the claimed `dim`: zip_with
+    pads the short side with NULLs, so every plane projection would be NULL
+    and every bucket 0 — silently degenerating the (band, bucket) equi-join
+    into an all-pairs cross product.  assert_true inside a filter runs
+    JVM-side per row (codegen'd compare, negligible) and cannot be pruned
+    away by Catalyst."""
+    return df.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) >= dim,
+            F.concat(
+                F.lit(f"embedding shorter than dim={dim}: size="),
+                F.size(F.col(vec_col)).cast("string"),
+            ),
+        ).isNull()
+    )
+
+
 def plane_weights(p: int, dim: int) -> list[int]:
     """Deterministic integer hyperplane weights in [-3, 3] for plane `p`
     over `dim` dimensions (32-bit LCG seeded by the plane index — no RNG
@@ -126,7 +144,11 @@ def lsh_topk(
     a partition-pruned scan, not a filter."""
     bucket = F.expr(hyperplane_bucket_expr(vec_col, n_planes, len(query)))
     qb = query_bucket(query, n_planes)
-    cand = df.withColumn("__bucket", bucket).filter(F.col("__bucket") == qb)
+    cand = (
+        _check_dim(df, vec_col, len(query))
+        .withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") == qb)
+    )
     return brute_force_topk(cand.drop("__bucket"), query, k, vec_col, id_col)
 
 
@@ -171,7 +193,8 @@ def cosine_neardup_pairs(
         for b in range(bands)
     ]
     banded = (
-        df.select(F.col(id_col).alias("a"), F.explode(F.array(*band_structs)).alias("s"))
+        _check_dim(df, vec_col, dim)
+        .select(F.col(id_col).alias("a"), F.explode(F.array(*band_structs)).alias("s"))
         .select("a", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
     )
     cand = (

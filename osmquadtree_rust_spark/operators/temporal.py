@@ -45,6 +45,12 @@ def asof_join(
             f"payload column(s) {sorted(clash)} collide with event columns; "
             f"rename one side before asof_join"
         )
+    reserved = {"__is_evt", "__upd"} & (set(ev_cols) | set(updates.columns))
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with asof_join's internal "
+            f"tag columns; rename them before asof_join"
+        )
 
     # the whole payload travels as ONE struct that is non-null exactly on
     # update rows: last(ignorenulls) then picks the latest UPDATE

@@ -54,6 +54,13 @@ def write_tiles_checkpointed(
         for b in range(n_batches)
         if not os.path.exists(os.path.join(_batch_dir(base, snapshot, b), "_SUCCESS"))
     ]
+    if not todo:
+        # a prior run that crashed (or stopped via fail_after_batch) after
+        # its last batch commit never reached the staging cleanup; with
+        # nothing left to stage, drop the stale full copy now
+        import shutil
+
+        shutil.rmtree(f"{base}/snapshot={snapshot}/_staging", ignore_errors=True)
     if todo:
         # ONE scan + ONE shuffle for all outstanding batches (the previous
         # per-batch filter loop rescanned the full input n_batches times):

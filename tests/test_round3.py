@@ -1,0 +1,180 @@
+"""Round-3 regression tests: ADVICE fixes + scale-refinement parameters.
+
+- rel_qts must not corrupt qt values above 2^53 when a touched rel has a
+  NULL qt (pandas float64 promotion bug, ADVICE r02 high).
+- multi-block SimHash banding (m_blocks > max_hamming+1) must produce the
+  exact same pair set as the classic layout / brute force (pigeonhole
+  recall 1).
+- MinHash k parameterization: wider signatures extend (not perturb) the
+  k=4 prefix; candidate sets grow monotonically when bands scale with k.
+- connected_components reliable checkpoint mode.
+- asof_join reserved internal names raise; LSH dim guard raises.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_rust_spark.operators import calcqts as CQ
+from osmquadtree_rust_spark.operators import dedup as D
+
+
+BIG_QT = (3 << 61) + 1  # level-1 cell value using bit 62 — int(float()) corrupts it
+assert int(float(BIG_QT)) != BIG_QT  # the test is vacuous if this ever fails
+
+
+def _rels(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "id long, members array<struct<role:string,mem_type:int,mem_ref:long>>",
+    )
+
+
+def test_rel_qts_preserves_high_bit_qt_with_null_sibling(spark):
+    # rel 1: node member with a qt above 2^53
+    # rel 2: references rel 1 (rel->rel edge -> driver fixed-point path)
+    # rel 3: node member whose qt is invalid (-1) -> base qt NULL
+    # rel 4: references rel 3 -> rel 3 lands in the toPandas harvest too,
+    #        which used to promote the whole qt column to float64
+    rels = _rels(
+        spark,
+        [
+            (1, [("", 0, 100)]),
+            (2, [("", 2, 1)]),
+            (3, [("", 0, 200)]),
+            (4, [("", 2, 3)]),
+        ],
+    )
+    nqts = spark.createDataFrame(
+        [(100, BIG_QT), (200, -1)], "id long, qt long"
+    )
+    wqts = spark.createDataFrame([], "id long, qt long")
+    out = {r.id: r.qt for r in CQ.rel_qts(rels, nqts, wqts).collect()}
+    assert out[1] == BIG_QT  # exact — float64 round-trip would change it
+    assert out[2] == BIG_QT  # propagated over the rel->rel edge, exact
+    assert out[3] == 0  # NULL qt finalizes to 0
+    assert out[4] == 0  # missing parent contributes 0 on pass 5
+
+
+def _random_sigs(spark, n=220, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 2**63, n).astype(np.uint64)
+    # plant near-dup runs: every 10th signature = previous with <=3 flipped bits
+    for i in range(1, n, 10):
+        flips = rng.choice(64, rng.randint(0, 4), replace=False)
+        v = base[i - 1]
+        for f in flips:
+            v ^= np.uint64(1) << np.uint64(f)
+        base[i] = v
+    sig = base.astype(np.int64)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "simhash": sig})
+    )
+    return df, sig
+
+
+def _brute_pairs(sig, max_hamming):
+    n = len(sig)
+    x = sig.astype(np.uint64)
+    out = set()
+    for i in range(n):
+        d = x[i] ^ x[i + 1 :]
+        ham = np.array([bin(int(v)).count("1") for v in d])
+        for j in np.nonzero(ham <= max_hamming)[0]:
+            out.add((i, int(i + 1 + j)))
+    return out
+
+
+@pytest.mark.parametrize("m_blocks,max_hamming", [(6, 3), (5, 2), (None, 3)])
+def test_simhash_multiblock_banding_recall_one(spark, m_blocks, max_hamming):
+    df, sig = _random_sigs(spark)
+    got = {
+        (r.a, r.b)
+        for r in D.simhash_neardup_pairs(
+            df, max_hamming=max_hamming, m_blocks=m_blocks
+        ).collect()
+    }
+    assert got == _brute_pairs(sig, max_hamming)
+
+
+def test_simhash_multiblock_key_width(spark):
+    # (m=6, h=3): 20 combo keys, each ~32 bits — the 10^12-doc layout
+    keys = D._band_keys(6, 3)
+    assert len(keys) == 20 and all(len(k) == 3 for k in keys)
+    with pytest.raises(ValueError):
+        D._band_keys(3, 3)
+
+
+def _docs(spark, n=120, seed=5):
+    rng = np.random.RandomState(seed)
+    words = [f"w{j}" for j in range(40)]
+    rows = []
+    for i in range(n):
+        k = rng.randint(5, 20)
+        text = " ".join(words[j] for j in rng.choice(40, k))
+        rows.append((i, text))
+        if i % 7 == 0:  # planted near-duplicate
+            rows.append((n + i, text + " extra"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_k_extends_prefix_and_candidates_grow(spark):
+    docs = _docs(spark)
+    s4 = D.minhash_signatures(docs, k=4)
+    s8 = D.minhash_signatures(docs, k=8)
+    assert [c for c in s8.columns if c.startswith("mh")] == [
+        f"mh{i}" for i in range(8)
+    ]
+    j4 = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3) for r in s4.collect()}
+    j8 = {r.doc_id: (r.mh0, r.mh1, r.mh2, r.mh3) for r in s8.collect()}
+    assert j4 == j8  # wider k extends, never perturbs, the shared prefix
+    c4 = {
+        (r.a, r.b) for r in D.minhash_lsh_candidates(s4, bands=2).collect()
+    }
+    c8 = {
+        (r.a, r.b) for r in D.minhash_lsh_candidates(s8, bands=4).collect()
+    }
+    # same rows-per-band, more bands -> candidate recall grows monotonically
+    assert c4 <= c8
+    with pytest.raises(ValueError):
+        D.minhash_lsh_candidates(s4, bands=3)
+
+
+def test_connected_components_reliable_mode(spark, tmp_path):
+    verts = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "a long, b long"
+    )
+    exp = {
+        r.doc_id: r.comp
+        for r in D.connected_components(verts, pairs).collect()
+    }
+    got = {
+        r.doc_id: r.comp
+        for r in D.connected_components(
+            verts, pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == exp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_asof_join_rejects_reserved_columns(spark):
+    from osmquadtree_rust_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame([(1, 10, 0)], "id long, ts long, __is_evt int")
+    up = spark.createDataFrame([(1, 5, 2.0)], "id long, ts long, px double")
+    with pytest.raises(ValueError, match="__is_evt"):
+        asof_join(ev, up)
+
+
+def test_lsh_dim_guard_raises(spark):
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="embedding shorter"):
+        SIM.cosine_neardup_pairs(df, dim=16).collect()
+    # matching dim still works
+    assert SIM.cosine_neardup_pairs(df, dim=8).count() >= 0
