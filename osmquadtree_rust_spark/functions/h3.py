@@ -41,6 +41,15 @@ MAX_RES = 15
 AP7_ROT_RADS = float(np.arcsin(np.sqrt(3.0 / 28.0)))
 SQRT7 = float(np.sqrt(7.0))
 SIN60 = float(np.sqrt(3.0) / 2.0)
+# exact rotation-matrix constants for the aperture-7 class-III rotation:
+# cos(asin(sqrt(3/28))) = sqrt(25/28), sin = sqrt(3/28).  Held as plain
+# float constants so the encode is a fixed 2x2 rotation (pure IEEE
+# mul/add) instead of hypot/atan2/cos/sin of data-dependent values —
+# required for the cross-engine SQL oracle (h3_sql.py): numpy's SIMD
+# atan2/hypot are NOT bit-identical to libm, but mul/add/sqrt are exact
+# everywhere.
+COS_AP7 = float(np.sqrt(25.0 / 28.0))
+SIN_AP7 = float(np.sqrt(3.0 / 28.0))
 
 # ---------------------------------------------------------------------------
 # icosahedron geometry (golden ratio construction; exact, algorithmic)
@@ -245,20 +254,34 @@ def latlng_to_cell(lon1e7, lat1e7, res: int) -> np.ndarray:
     at `res` (0..15).  Vectorized; returns uint64."""
     assert 0 <= res <= MAX_RES
     p = _to_xyz(lon1e7, lat1e7)
-    dots = p @ FACE_CENTERS.T
+    # elementwise dots (NOT `p @ FACE_CENTERS.T`): BLAS gemm may contract
+    # with FMA, which is not reproducible as plain SQL mul/add; the
+    # explicit left-to-right sum is
+    dots = (
+        p[:, 0:1] * FACE_CENTERS[:, 0]
+        + p[:, 1:2] * FACE_CENTERS[:, 1]
+        + p[:, 2:3] * FACE_CENTERS[:, 2]
+    )
     face = np.argmax(dots, axis=1)  # strict first-max, deterministic
     n = FACE_CENTERS[face]
-    # gnomonic projection onto the face plane
-    scale = np.einsum("ij,ij->i", p, n)
+    # gnomonic projection onto the face plane.  Every float op below is
+    # plain IEEE mul/add/div in a pinned left-to-right order (explicit
+    # component sums, not einsum/hypot/atan2) so the DuckDB oracle
+    # (functions/h3_sql.py) reproduces the encode bit-for-bit.
+    scale = p[:, 0] * n[:, 0] + p[:, 1] * n[:, 1] + p[:, 2] * n[:, 2]
     q = p / scale[:, None] - n
-    x = np.einsum("ij,ij->i", q, FACE_IAX[face])
-    y = np.einsum("ij,ij->i", q, FACE_JAX[face])
-    r = np.hypot(x, y) / RES0_UNIT * (SQRT7**res)
-    theta = np.arctan2(y, x)
+    ia, ja = FACE_IAX[face], FACE_JAX[face]
+    x = q[:, 0] * ia[:, 0] + q[:, 1] * ia[:, 1] + q[:, 2] * ia[:, 2]
+    y = q[:, 0] * ja[:, 0] + q[:, 1] * ja[:, 1] + q[:, 2] * ja[:, 2]
+    k_res = (SQRT7**res) / RES0_UNIT
     if _is_class_iii(res):
-        theta = theta - AP7_ROT_RADS
-    hx = r * np.cos(theta)
-    hy = r * np.sin(theta)
+        # rotate by -AP7_ROT_RADS with the exact constant rotation matrix
+        # (same math as r,theta-pi/ polar form: cos(t-R)*r = x cosR + y sinR)
+        hx = (x * COS_AP7 + y * SIN_AP7) * k_res
+        hy = (y * COS_AP7 - x * SIN_AP7) * k_res
+    else:
+        hx = x * k_res
+        hy = y * k_res
     i, j, k = _hex2d_to_ijk(hx, hy)
 
     h = np.zeros(len(face), dtype=np.uint64)

@@ -269,16 +269,78 @@ def _lsh_o():
 
 
 # ===========================================================================
-# multimodal (rows-only check: PNG decode is not SQL-expressible)
+# multimodal decode.  Fully oracled: the Spark side DECODES every image
+# and emits (a) exact integer channel sums for lossless rows and (b) the
+# PSNR>=40dB invariant vs the deterministic synth_pixels generator for
+# lossy rows; the DuckDB oracle derives the same sums relationally from
+# the synth_pixels formula (r=(x*255//(w-1)+i)%256 etc.) WITHOUT decoding
+# — so a broken codec, channel swap, or PSNR regression hash-mismatches.
 # ===========================================================================
+
+_IDS_N = 64
+
 
 @_register("image_decode_stats")
 def _ids(spark, sf_dir):
     from .operators import multimodal as MM
     from .sources import fixtures as FX
 
-    images = FX.images_spark_df(spark, 64)
-    return MM.decode_stats(images)
+    images = FX.images_spark_df(spark, _IDS_N)
+
+    def ref(image_id: str, w: int, h: int):
+        return FX.synth_pixels(int(image_id[3:]), w, h)
+
+    return MM.decode_verify(images, ref).select(
+        F.col("image_id"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("fmt"),
+        F.col("n_pixels").cast("long"),
+        F.col("sum_r").cast("long"),
+        F.col("sum_g").cast("long"),
+        F.col("sum_b").cast("long"),
+        F.col("psnr_ok").cast("long"),
+    )
+
+
+@_oracle("image_decode_stats")
+def _ids_o():
+    from .sources.fixtures import FMT_CYCLE, H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    fmt_case = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(FMT_CYCLE)
+    )
+    max_w, max_h = max(W_CYCLE), max(H_CYCLE)
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h,
+         (CASE t.i % 2 {fmt_case} END) AS fmt
+  FROM range({_IDS_N}) t(i)),
+rsum AS (
+  SELECT i.i, SUM(((x.range * 255) // (i.w - 1) + i.i) % 256) AS sr
+  FROM imgs i, range({max_w}) x WHERE x.range < i.w GROUP BY i.i),
+gsum AS (
+  SELECT i.i, SUM(((y.range * 255) // (i.h - 1) + 2 * i.i) % 256) AS sg
+  FROM imgs i, range({max_h}) y WHERE y.range < i.h GROUP BY i.i),
+bsum AS (
+  SELECT i.i, SUM((x.range + y.range + 3 * i.i) % 256) AS sb
+  FROM imgs i, range({max_w}) x, range({max_h}) y
+  WHERE x.range < i.w AND y.range < i.h GROUP BY i.i)
+SELECT im.image_id, im.w, im.h, im.fmt,
+       CAST(im.w * im.h AS BIGINT) AS n_pixels,
+       CAST(CASE WHEN im.fmt = 'png' THEN r.sr * im.h END AS BIGINT) AS sum_r,
+       CAST(CASE WHEN im.fmt = 'png' THEN g.sg * im.w END AS BIGINT) AS sum_g,
+       CAST(CASE WHEN im.fmt = 'png' THEN b.sb END AS BIGINT) AS sum_b,
+       CAST(1 AS BIGINT) AS psnr_ok
+FROM imgs im
+JOIN rsum r ON r.i = im.i
+JOIN gsum g ON g.i = im.i
+JOIN bsum b ON b.i = im.i
+"""
 
 
 # ===========================================================================
@@ -550,8 +612,10 @@ def _ivf_o():
 
 
 # ===========================================================================
-# S2 cell ids (public S2 algorithm in numpy; trig + Hilbert tables are not
-# SQL-expressible -> rows-only check; invariants are pytest-verified)
+# S2 cell ids (public S2 algorithm in numpy).  Fully oracled: the float
+# path is sin/cos (libm, bit-identical numpy vs DuckDB — verified on this
+# platform) + exact IEEE mul/div/sqrt/floor, and the 30-step Hilbert walk
+# is pure bit math; functions/s2_sql.py emits the whole pipeline as SQL.
 # ===========================================================================
 
 @_register("s2_cells")
@@ -589,10 +653,27 @@ def _s2c(spark, sf_dir):
     )
 
 
+@_oracle("s2_cells")
+def _s2c_o():
+    from .functions import s2_sql
+    from .gate import _events_synth_sql
+
+    inner = s2_sql.s2_leaf_subquery(
+        _events_synth_sql(), "lon", "lat", "s2", ("event_id",)
+    )
+    p10 = s2_sql.s2_parent_sql("s2", 10)
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, CAST(s2 AS BIGINT) AS s2, "
+        f"CAST({p10} AS BIGINT) AS s2_l10 FROM ({inner}) q"
+    )
+
+
 # ===========================================================================
-# H3-style hex cells (public-spec aperture-7 algorithm in numpy; trig +
-# icosahedral projection are not SQL-expressible -> rows-only check;
-# invariants are pytest-verified in tests/test_h3.py, same strategy as S2)
+# H3-style hex cells (public-spec aperture-7 algorithm in numpy).  Fully
+# oracled: the encode was shaped so its float path is sin/cos + exact IEEE
+# arithmetic (constant rotation matrix instead of hypot/atan2 — numpy's
+# SIMD kernels for those are NOT libm-identical), and h3_sql.py emits the
+# identical pipeline as DuckDB SQL, including the aperture-7 digit ladder.
 # ===========================================================================
 
 @_register("h3_cells")
@@ -623,6 +704,21 @@ def _h3c(spark, sf_dir):
         F.col("event_id").cast("long"),
         F.col("h3").cast("long"),
         F.col("h3_r7").cast("long"),
+    )
+
+
+@_oracle("h3_cells")
+def _h3c_o():
+    from .functions import h3_sql
+    from .gate import _events_synth_sql
+
+    inner = h3_sql.h3_cell_subquery(
+        _events_synth_sql(), 9, "lon", "lat", "h3", ("event_id",)
+    )
+    p7 = h3_sql.h3_parent_sql("h3", 7, 9)
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, CAST(h3 AS BIGINT) AS h3, "
+        f"CAST({p7} AS BIGINT) AS h3_r7 FROM ({inner}) q"
     )
 
 
@@ -925,10 +1021,21 @@ FROM r GROUP BY source
 
 
 # ===========================================================================
-# raster materialization (rows-only: the PNG render is not SQL-
-# expressible; per-pixel semantics are pytest-verified in tests/
-# test_raster.py) + exact vectorize round-trip counts
+# raster materialization.  Fully oracled: the gate output (tile, n_images,
+# max_count) is computed relationally — footprints x 64x64 grid cells
+# equi-joined per tile, coverage counted per pixel, MAX per tile — which
+# is exactly what render_tile's difference-array accumulation computes.
+# Tile routing reuses the INDEPENDENT insertion-order oracle tree
+# (tests/oracle_tiles.py) and tile bboxes come from the independent scalar
+# as_bbox (tests/oracle_qt.py); pixel rects use the same trunc-toward-zero
+# + clip float math as render_tile (exact IEEE, verified bit-for-bit).
+# The PNG bytes themselves stay pytest-verified (tests/test_raster.py).
 # ===========================================================================
+
+_RT_N = 20000
+_RT_TARGET = 4000
+_RT_SIZE = 64
+
 
 @_register("raster_tiles")
 def _rt(spark, sf_dir):
@@ -936,15 +1043,118 @@ def _rt(spark, sf_dir):
     from .operators import raster as RA
     from .plans import pipeline as P
 
-    base = spark.range(20000).select(F.col("id"))
+    base = spark.range(_RT_N).select(F.col("id"))
     fp = P.with_synth_footprint(base, "id")
     with_qt = qs.with_bbox_qt(fp, "minlon", "minlat", "maxlon", "maxlat", "qt")
-    assigned, _ = P.assign_tiles(with_qt, "qt", None, target=4000, persist=False)
+    assigned, _ = P.assign_tiles(
+        with_qt, "qt", None, target=_RT_TARGET, persist=False
+    )
     rasters = RA.materialize_raster_tiles(
-        assigned.select("tile", "minlon", "minlat", "maxlon", "maxlat"), size=64
+        assigned.select("tile", "minlon", "minlat", "maxlon", "maxlat"),
+        size=_RT_SIZE,
     )
     return rasters.select(
         F.col("tile").cast("long"),
         F.col("n_images").cast("long"),
         F.col("max_count").cast("long"),
     )
+
+
+@_oracle("raster_tiles")
+def _rt_o():
+    import os
+    import sys
+
+    from .functions import qt_sql as qsql
+    from .sources import synth
+
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    import oracle_qt as OQ
+    import oracle_tiles as OT
+
+    e = synth.synth_geo_exprs("id")
+    base = (
+        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
+        f"FROM range({_RT_N}) t(id)"
+    )
+    enc = qsql.qt_calculate_subquery(
+        base,
+        "minlon",
+        "minlat",
+        "maxlon",
+        "maxlat",
+        "qt",
+        ("id", "minlon", "minlat", "maxlon", "maxlat"),
+    )
+    con = duckdb.connect()
+    r17 = qsql.qt_round_sql("qt", 17)
+    hist = con.execute(
+        f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({enc}) q GROUP BY 1"
+    ).fetchall()
+    otree = OT.OracleTree()
+    for c, w in sorted(hist):
+        otree.add(int(c), int(w))
+    gcells = sorted(
+        c for c, _ in otree.find_tree_groups(_RT_TARGET, _RT_TARGET // 2)
+    )
+    gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
+    rnd = (
+        "(CASE WHEN (q.qt & 31) <= g.d THEN q.qt "
+        "ELSE ((q.qt >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
+    )
+    # tile bboxes + pixel scale factors from the INDEPENDENT scalar
+    # as_bbox (tile 0 included for the COALESCE fallback), mirroring
+    # render_tile's sx = size / max(extent, 1) python-float division
+    tb_rows = []
+    for t in sorted({0, *(int(c) for c in gcells)}):
+        mnl, mnt, mxl, mxt = (int(v) for v in OQ.as_bbox(t, 0.05))
+        sx = _RT_SIZE / max(mxl - mnl, 1)
+        sy = _RT_SIZE / max(mxt - mnt, 1)
+        tb_rows.append(
+            f"({t}, {mnl}, {mnt}, {mxl}, {mxt}, "
+            f"CAST({sx!r} AS DOUBLE), CAST({sy!r} AS DOUBLE))"
+        )
+    tbvals = ", ".join(tb_rows)
+    hi = _RT_SIZE - 1
+
+    def _px(v: str) -> str:
+        # numpy .astype(int64) truncates toward zero, then np.clip
+        return f"GREATEST(LEAST(CAST(TRUNC({v}) AS BIGINT), {hi}), 0)"
+
+    return f"""
+WITH enc AS ({enc}),
+groups(cell, d) AS (VALUES {gvals}),
+assigned AS (
+  SELECT q.id, q.minlon, q.minlat, q.maxlon, q.maxlat,
+         COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell
+                   ORDER BY g.d DESC LIMIT 1), 0) AS tile
+  FROM enc q),
+tb(tile, tminlon, tminlat, tmaxlon, tmaxlat, sx, sy) AS (VALUES {tbvals}),
+px AS (
+  SELECT a.tile,
+         {_px("CAST(a.minlon - tb.tminlon AS DOUBLE) * tb.sx")} AS x0,
+         {_px("CAST(a.maxlon - tb.tminlon AS DOUBLE) * tb.sx")} AS x1,
+         {_px("CAST(tb.tmaxlat - a.maxlat AS DOUBLE) * tb.sy")} AS y0,
+         {_px("CAST(tb.tmaxlat - a.minlat AS DOUBLE) * tb.sy")} AS y1
+  FROM assigned a JOIN tb ON a.tile = tb.tile),
+cells AS (
+  SELECT t.tile, gx.range AS cx, gy.range AS cy
+  FROM (SELECT DISTINCT tile FROM px) t, range({_RT_SIZE}) gx, range({_RT_SIZE}) gy),
+cov AS (
+  SELECT c.tile, c.cx, c.cy, COUNT(*) AS cnt
+  FROM cells c JOIN px p
+    ON p.tile = c.tile AND c.cx BETWEEN p.x0 AND p.x1
+   AND c.cy BETWEEN p.y0 AND p.y1
+  GROUP BY c.tile, c.cx, c.cy)
+SELECT CAST(n.tile AS BIGINT) AS tile,
+       CAST(n.n_images AS BIGINT) AS n_images,
+       CAST(m.max_count AS BIGINT) AS max_count
+FROM (SELECT tile, COUNT(*) AS n_images FROM assigned GROUP BY tile) n
+JOIN (SELECT tile, MAX(cnt) AS max_count FROM cov GROUP BY tile) m
+  ON n.tile = m.tile
+"""

@@ -46,6 +46,94 @@ DECODE_STATS_SCHEMA = StructType(
 )
 
 
+DECODE_VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("psnr_ok", LongType()),
+    ]
+)
+
+
+def decode_verify(
+    images: DataFrame,
+    ref_pixels,
+    lossless_fmts: tuple[str, ...] = ("png",),
+    min_psnr_db: float = 40.0,
+) -> DataFrame:
+    """Decode every image and verify it against reference pixels — the
+    BASELINE.json per-row invariant (decoded-pixel equality for lossless,
+    PSNR >= 40 dB for lossy) as a first-class operator.
+
+    `ref_pixels(image_id, w, h) -> (h, w, 3) uint8` supplies the expected
+    pixels (ships to executors by closure).  Output per image:
+    - exact integer channel sums of the DECODED pixels for lossless
+      formats (NULL for lossy — quantization error makes them
+      non-derivable), deterministic and cross-engine comparable;
+    - psnr_ok = 1 when the invariant holds (exact match for lossless,
+      PSNR >= min_psnr_db for lossy).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            sums = np.zeros((n, 3), dtype=np.int64)
+            lossless = np.zeros(n, dtype=bool)
+            ok = np.zeros(n, dtype=np.int64)
+            npx = np.zeros(n, dtype=np.int64)
+            for idx, (image_id, data, fmt, w, h) in enumerate(
+                zip(pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"])
+            ):
+                px = FX.decode_image(bytes(data), fmt)
+                npx[idx] = px.shape[0] * px.shape[1]
+                ref = ref_pixels(str(image_id), int(w), int(h))
+                if fmt in lossless_fmts:
+                    lossless[idx] = True
+                    sums[idx] = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    ok[idx] = 1 if bool(np.array_equal(px, ref)) else 0
+                else:
+                    mse = float(
+                        np.mean(
+                            (px.astype(np.float64) - ref.astype(np.float64)) ** 2
+                        )
+                    )
+                    psnr = float("inf") if mse == 0.0 else 10.0 * np.log10(
+                        255.0 * 255.0 / mse
+                    )
+                    ok[idx] = 1 if psnr >= min_psnr_db else 0
+            out = pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "n_pixels": npx,
+                    "sum_r": pd.array(
+                        [int(s) if l else None for s, l in zip(sums[:, 0], lossless)],
+                        dtype="Int64",
+                    ),
+                    "sum_g": pd.array(
+                        [int(s) if l else None for s, l in zip(sums[:, 1], lossless)],
+                        dtype="Int64",
+                    ),
+                    "sum_b": pd.array(
+                        [int(s) if l else None for s, l in zip(sums[:, 2], lossless)],
+                        dtype="Int64",
+                    ),
+                    "psnr_ok": ok,
+                }
+            )
+            yield out
+
+    return images.mapInPandas(batches, DECODE_VERIFY_SCHEMA)
+
+
 def decode_stats(images: DataFrame) -> DataFrame:
     """Decode every image and emit per-image pixel statistics.
 

@@ -140,3 +140,37 @@ def test_signed_roundtrip():
     lon, lat = _random_pts(500)
     h = H.latlng_to_cell(lon, lat, 9)
     assert np.array_equal(H.from_signed(H.to_signed(h)), h)
+
+
+def test_h3_sql_oracle_bit_exact():
+    """functions/h3_sql must reproduce latlng_to_cell bit-for-bit at a
+    class-III and a class-II resolution (the h3_cells gate contract)."""
+    import duckdb
+    import pandas as pd
+
+    from osmquadtree_rust_spark.functions import h3_sql
+
+    rng = np.random.RandomState(321)
+    lon = rng.randint(-1800000000, 1800000000, 15000).astype(np.int64)
+    lat = rng.randint(-900000000, 900000000, 15000).astype(np.int64)
+    edge = np.array(
+        [[0, 0], [1800000000, 0], [-1800000000, 0], [0, 900000000],
+         [0, -900000000], [450000000, 450000000], [1, 1], [-1, -1]]
+    )
+    lon = np.concatenate([lon, edge[:, 0]])
+    lat = np.concatenate([lat, edge[:, 1]])
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"id": np.arange(len(lon)), "lon": lon, "lat": lat}))
+    for res in (9, 8):
+        exp = H.to_signed(H.latlng_to_cell(lon, lat, res))
+        q = h3_sql.h3_cell_subquery("SELECT id, lon, lat FROM pts", res, keep=("id",))
+        r = con.execute(f"SELECT id, h3 FROM ({q}) t ORDER BY id").fetchnumpy()
+        assert np.array_equal(r["h3"], exp), f"res {res}"
+    exp_p7 = H.to_signed(
+        H.cell_to_parent(H.latlng_to_cell(lon, lat, 9), 7)
+    )
+    q = h3_sql.h3_cell_subquery("SELECT id, lon, lat FROM pts", 9, keep=("id",))
+    r = con.execute(
+        f"SELECT id, {h3_sql.h3_parent_sql('h3', 7, 9)} AS p7 FROM ({q}) t ORDER BY id"
+    ).fetchnumpy()
+    assert np.array_equal(r["p7"], exp_p7)

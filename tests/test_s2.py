@@ -44,3 +44,35 @@ def test_fixed_point_entry():
     v = s2.s2_cell_id_fixed(np.array([200000000]), np.array([576491100]))
     w = s2.s2_cell_id(np.array([57.64911]), np.array([20.0]))
     assert (v == w).all()
+
+
+def test_s2_sql_oracle_bit_exact():
+    """The DuckDB SQL emitted by s2_sql must reproduce the numpy encode
+    bit-for-bit (libm sin/cos + exact IEEE arithmetic + integer Hilbert
+    walk) — this is the cross-engine determinism the s2_cells gate rests
+    on."""
+    import duckdb
+    import pandas as pd
+
+    from osmquadtree_rust_spark.functions import s2_sql
+
+    rng = np.random.RandomState(123)
+    lon = rng.randint(-1800000000, 1800000000, 20000).astype(np.int64)
+    lat = rng.randint(-900000000, 900000000, 20000).astype(np.int64)
+    edge = np.array(
+        [[0, 0], [1800000000, 0], [-1800000000, 0], [0, 900000000],
+         [0, -900000000], [450000000, 450000000], [1, 1], [-1, -1]]
+    )
+    lon = np.concatenate([lon, edge[:, 0]])
+    lat = np.concatenate([lat, edge[:, 1]])
+    exp_leaf = s2.to_signed(s2.s2_cell_id_fixed(lon, lat))
+    exp_p10 = s2.to_signed(s2.parent(s2.from_signed(exp_leaf), 10))
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"id": np.arange(len(lon)), "lon": lon, "lat": lat}))
+    q = s2_sql.s2_leaf_subquery("SELECT id, lon, lat FROM pts", keep=("id",))
+    r = con.execute(
+        f"SELECT id, s2, {s2_sql.s2_parent_sql('s2', 10)} AS p10 "
+        f"FROM ({q}) t ORDER BY id"
+    ).fetchnumpy()
+    assert np.array_equal(r["s2"], exp_leaf)
+    assert np.array_equal(r["p10"], exp_p10)
