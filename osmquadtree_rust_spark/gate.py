@@ -439,6 +439,273 @@ FROM r WHERE rn = 1 AND changetype NOT IN (1, 2) AND (id % 16) < 8
 """
 
 
+# ===========================================================================
+# 5b'. update_roundtrip: the full §2.10 chain in ONE plan — OSC-style
+#      change frame (node modifies/deletes/creates + way deletes) ->
+#      touched-id harvest -> restricted qt recompute -> decision table
+#      incl. Remove tombstones for moved elements (find_update.rs:536-668)
+#      -> change tiles written through the checkpointed writer -> filelist
+#      registration -> read_snapshot_as_of returns the post-update world
+#      (run_update.rs:201-354 analog).  The tiling (group cells) is the
+#      FIXED synthetic partitioning — updates reuse the base snapshot's
+#      tiling exactly as the reference does; the as-of merge folds per
+#      (tile, id) so a moved element's old-tile tombstone kills the old
+#      copy while its new-tile row survives.
+# ===========================================================================
+
+_UPD_TS = 100
+_UPD_CREATE_OFF = 10_000_000_000
+_UPD_MOD_SHIFT = 777777
+_UPD_STORES: dict[str, str] = {}
+
+
+def _upd_change_nodes(nodes):
+    from .operators.merge import CREATE, DELETE, MODIFY
+
+    em = synth.synth_geo_exprs(f"(id + {_UPD_MOD_SHIFT})")
+    mods = (
+        nodes.filter(F.expr("id % 7 = 3"))
+        .select(
+            "id",
+            F.expr(em["lon"]).alias("lon"),
+            F.expr(em["lat"]).alias("lat"),
+        )
+        .withColumn("changetype", F.lit(MODIFY))
+    )
+    dels = nodes.filter(F.expr("id % 11 = 5 AND id % 7 <> 3")).withColumn(
+        "changetype", F.lit(DELETE)
+    )
+    ec = synth.synth_geo_exprs(f"(id + {_UPD_CREATE_OFF})")
+    creates = (
+        nodes.filter(F.expr("id % 13 = 2"))
+        .select(
+            (F.col("id") + _UPD_CREATE_OFF).alias("id"),
+            F.expr(ec["lon"]).alias("lon"),
+            F.expr(ec["lat"]).alias("lat"),
+        )
+        .withColumn("changetype", F.lit(CREATE))
+    )
+    return mods.unionByName(dels).unionByName(creates)
+
+
+@_register("update_roundtrip")
+def _ur(spark, sf_dir):
+    import tempfile
+
+    from .operators import calcqts as C
+    from .operators.merge import DELETE
+    from .plans import checkpoint as CK
+    from .plans import pipeline as P
+    from .streaming import updates as U
+
+    base = _UPD_STORES.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="upd_gate_")
+        edges = _lineitem_edges(spark, sf_dir)
+        ways = (
+            edges.groupBy("way_id")
+            .agg(F.collect_list("node_id").alias("refs"))
+            .select(F.col("way_id").alias("id"), "refs")
+        )
+        nodes = edges.select(F.col("node_id").alias("id"), "lon", "lat").distinct()
+        wq = C.way_qts(nodes, ways)
+        nq = C.node_qts(nodes, ways, wq)
+        allq = nq.withColumn("etype", F.lit(0)).unionByName(
+            wq.withColumn("etype", F.lit(1))
+        )
+        # fixed tiling from the synthetic world (tile_assignment's groups):
+        # updates route into the EXISTING partitioning, they never re-tile
+        _, group_cells = P.tile_synthetic_images(
+            spark, _TILE_N, target=_TILE_TARGET
+        )
+        route = P.make_route_udf(spark, group_cells)
+        assigned = allq.withColumn("tile", route(F.col("qt"))).persist()
+        uid = (F.col("id") * 4 + F.col("etype")).cast("long")
+        base_rows = assigned.select(
+            uid.alias("id"),
+            F.col("tile").cast("long").alias("tile"),
+            F.col("qt").cast("long").alias("qt"),
+            F.lit(0).cast("int").alias("changetype"),
+        )
+        CK.write_tiles_checkpointed(base_rows, base, "s0", n_batches=2)
+        CK.append_filelist(base, "s0", timestamp=0, kind="base")
+
+        change_nodes = _upd_change_nodes(nodes)
+        change_ways = ways.filter(F.expr("id % 17 = 4")).withColumn(
+            "changetype", F.lit(DELETE)
+        )
+        stored = assigned.select(
+            "etype", "id", "qt", F.col("tile").alias("alloc")
+        )
+        delta, _, _ = U.run_update(
+            nodes, ways, change_nodes, change_ways, stored, group_cells
+        )
+        delta_rows = delta.select(
+            (F.col("id") * 4 + F.col("etype")).cast("long").alias("id"),
+            F.col("tile").cast("long").alias("tile"),
+            F.col("qt").cast("long").alias("qt"),
+            F.col("changetype").cast("int").alias("changetype"),
+        )
+        CK.write_tiles_checkpointed(delta_rows, base, "s1", n_batches=2)
+        CK.append_filelist(base, "s1", timestamp=_UPD_TS, kind="change")
+        assigned.unpersist()
+        _UPD_STORES[sf_dir] = base
+    out = CK.read_snapshot_as_of(spark, base, _UPD_TS, keys=("tile", "id"))
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("tile").cast("long"),
+        F.col("qt").cast("long"),
+        F.col("changetype").cast("long"),
+    )
+
+
+@_oracle("update_roundtrip")
+def _ur_o() -> str:
+    # group cells via the INDEPENDENT oracle tree over the synthetic
+    # histogram (exact same construction the tile_assignment oracle pins)
+    import os
+    import sys
+
+    import duckdb
+
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    import oracle_tiles as OT
+
+    e = synth.synth_geo_exprs("id")
+    syn_base = (
+        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
+        f"FROM range({_TILE_N}) t(id)"
+    )
+    syn_enc = qsql.qt_calculate_subquery(
+        syn_base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("id",)
+    )
+    con = duckdb.connect()
+    r17 = qsql.qt_round_sql("qt", 17)
+    hist = con.execute(
+        f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({syn_enc}) q GROUP BY 1"
+    ).fetchall()
+    otree = OT.OracleTree()
+    for c, w in sorted(hist):
+        otree.add(int(c), int(w))
+    gcells = sorted(
+        c for c, _ in otree.find_tree_groups(_TILE_TARGET, _TILE_TARGET // 2)
+    )
+    gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
+
+    def rt(qt_expr: str) -> str:
+        rnd = (
+            f"(CASE WHEN (({qt_expr}) & 31) <= g.d THEN ({qt_expr}) "
+            f"ELSE ((({qt_expr}) >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
+        )
+        return (
+            f"COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell "
+            f"ORDER BY g.d DESC LIMIT 1), 0)"
+        )
+
+    en = synth.synth_geo_exprs("node_id")
+    em = synth.synth_geo_exprs(f"(id + {_UPD_MOD_SHIFT})")
+    ec = synth.synth_geo_exprs(f"(id + {_UPD_CREATE_OFF})")
+    wq0 = qsql.qt_calculate_subquery(
+        _way_boxes_sql(), "minlon", "minlat", "maxlon", "maxlat", "qt", ("way_id",)
+    )
+    wb1_base = (
+        "SELECT ed.way_id, MIN(n1.lon) AS minlon, MIN(n1.lat) AS minlat, "
+        "MAX(n1.lon) AS maxlon, MAX(n1.lat) AS maxlat "
+        "FROM ed JOIN n1 ON ed.node_id = n1.id "
+        "WHERE ed.way_id IN (SELECT id FROM sw) GROUP BY ed.way_id"
+    )
+    wq1 = qsql.qt_calculate_subquery(
+        wb1_base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("way_id",)
+    )
+    nq1b = qsql.qt_calculate_point_subquery(
+        "SELECT id, lon, lat FROM uncov", "lon", "lat", "qt", ("id",)
+    )
+    agg = qsql.qt_common_agg_sql("qt")
+    return f"""
+WITH groups(cell, d) AS (VALUES {gvals}),
+ed AS MATERIALIZED (SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem),
+n0 AS MATERIALIZED (SELECT node_id AS id, {en['lon']} AS lon, {en['lat']} AS lat
+       FROM (SELECT DISTINCT l_partkey AS node_id FROM lineitem) __n),
+wq0 AS MATERIALIZED ({wq0}),
+nq0 AS MATERIALIZED (SELECT ed.node_id AS id, {agg} AS qt
+        FROM ed JOIN wq0 ON ed.way_id = wq0.way_id GROUP BY ed.node_id),
+base_el AS MATERIALIZED (SELECT 0 AS etype, id, qt FROM nq0
+            UNION ALL SELECT 1, way_id, qt FROM wq0),
+stored AS MATERIALIZED (SELECT etype, id, qt AS qt_old, {rt('qt')} AS alloc FROM base_el),
+cn AS MATERIALIZED (
+  SELECT id, {em['lon']} AS lon, {em['lat']} AS lat, 4 AS ct FROM n0 WHERE id % 7 = 3
+  UNION ALL SELECT id, lon, lat, 1 FROM n0 WHERE id % 11 = 5 AND id % 7 <> 3
+  UNION ALL SELECT id + {_UPD_CREATE_OFF}, {ec['lon']}, {ec['lat']}, 5
+    FROM n0 WHERE id % 13 = 2),
+wdel AS MATERIALIZED (SELECT DISTINCT way_id AS id FROM ed WHERE way_id % 17 = 4),
+n1 AS MATERIALIZED (SELECT id, lon, lat FROM n0 WHERE id NOT IN (SELECT id FROM cn)
+       UNION ALL SELECT id, lon, lat FROM cn WHERE ct NOT IN (1, 2)),
+tw AS MATERIALIZED (SELECT DISTINCT way_id AS id FROM ed
+       WHERE node_id IN (SELECT id FROM cn)
+         AND way_id NOT IN (SELECT id FROM wdel)
+       UNION SELECT id FROM wdel),
+sw AS MATERIALIZED (SELECT id FROM tw WHERE id NOT IN (SELECT id FROM wdel)),
+wq1 AS MATERIALIZED ({wq1}),
+refs1 AS MATERIALIZED (SELECT DISTINCT node_id AS id FROM ed
+          WHERE way_id IN (SELECT id FROM sw)),
+ncs AS MATERIALIZED (SELECT id, ct FROM cn
+        UNION ALL SELECT id, 0 FROM refs1
+         WHERE id NOT IN (SELECT id FROM cn)),
+nq1a AS MATERIALIZED (SELECT ed.node_id AS id, {agg} AS qt
+         FROM ed JOIN wq1 ON ed.way_id = wq1.way_id GROUP BY ed.node_id),
+subn AS MATERIALIZED (SELECT n1.id, n1.lon, n1.lat FROM n1
+         WHERE n1.id IN (SELECT id FROM cn) OR n1.id IN (SELECT id FROM refs1)),
+uncov AS MATERIALIZED (SELECT id, lon, lat FROM subn WHERE id NOT IN (SELECT id FROM nq1a)),
+nq1b AS MATERIALIZED ({nq1b}),
+nq1 AS MATERIALIZED (SELECT id, qt FROM nq1a UNION ALL SELECT id, qt FROM nq1b),
+ndj AS MATERIALIZED (SELECT c.id, c.ct, s.qt_old, s.alloc, q.qt AS qt_new,
+               {rt('COALESCE(q.qt, 0)')} AS na
+        FROM ncs c
+        LEFT JOIN (SELECT * FROM stored WHERE etype = 0) s ON s.id = c.id
+        LEFT JOIN nq1 q ON q.id = c.id),
+wcs AS MATERIALIZED (SELECT id, 1 AS ct FROM wdel
+        UNION ALL SELECT id, 0 FROM tw WHERE id NOT IN (SELECT id FROM wdel)),
+wdj AS MATERIALIZED (SELECT c.id, c.ct, s.qt_old, s.alloc, q.qt AS qt_new,
+               {rt('COALESCE(q.qt, 0)')} AS na
+        FROM wcs c
+        LEFT JOIN (SELECT * FROM stored WHERE etype = 1) s ON s.id = c.id
+        LEFT JOIN (SELECT way_id AS id, qt FROM wq1) q ON q.id = c.id),
+delta AS MATERIALIZED (
+  SELECT id * 4 + 0 AS uid, na AS tile, qt_new AS qt, 3 AS ct FROM ndj
+   WHERE ct = 0 AND alloc IS NOT NULL AND qt_new IS NOT NULL AND qt_new <> qt_old
+  UNION ALL SELECT id * 4, alloc, 0, 1 FROM ndj
+   WHERE ct = 1 AND alloc IS NOT NULL
+  UNION ALL SELECT id * 4, na, qt_new, 4 FROM ndj
+   WHERE ct = 4 AND alloc IS NOT NULL AND qt_new IS NOT NULL
+  UNION ALL SELECT id * 4, na, qt_new, ct FROM ndj
+   WHERE ct IN (4, 5) AND alloc IS NULL AND qt_new IS NOT NULL
+  UNION ALL SELECT id * 4, alloc, 0, 2 FROM ndj
+   WHERE ct IN (0, 4) AND alloc IS NOT NULL AND qt_new IS NOT NULL
+     AND na <> alloc AND (ct = 4 OR qt_new <> qt_old)
+  UNION ALL SELECT id * 4 + 1, na, qt_new, 3 FROM wdj
+   WHERE ct = 0 AND alloc IS NOT NULL AND qt_new IS NOT NULL AND qt_new <> qt_old
+  UNION ALL SELECT id * 4 + 1, alloc, 0, 1 FROM wdj
+   WHERE ct = 1 AND alloc IS NOT NULL
+  UNION ALL SELECT id * 4 + 1, alloc, 0, 2 FROM wdj
+   WHERE ct = 0 AND alloc IS NOT NULL AND qt_new IS NOT NULL
+     AND na <> alloc AND qt_new <> qt_old),
+world AS MATERIALIZED (
+  SELECT 0 AS snap, id * 4 + etype AS uid, alloc AS tile, qt_old AS qt, 0 AS ct
+    FROM stored
+  UNION ALL SELECT 1, uid, tile, qt, ct FROM delta),
+rr AS MATERIALIZED (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile, uid ORDER BY snap DESC) AS rn
+       FROM world)
+SELECT CAST(uid AS BIGINT) AS id, CAST(tile AS BIGINT) AS tile,
+       CAST(qt AS BIGINT) AS qt, CAST(0 AS BIGINT) AS changetype
+FROM rr WHERE rn = 1 AND ct NOT IN (1, 2)
+"""
+
+
 @_register("dedup_max_version")
 def _dmv(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

@@ -236,11 +236,25 @@ def read_filelist(base: str) -> list[dict]:
 
 
 def read_snapshot_as_of(
-    spark, base: str, ts: int, tiles=None, tile_col: str = "tile"
+    spark,
+    base: str,
+    ts: int,
+    tiles=None,
+    tile_col: str = "tile",
+    keys: tuple[str, ...] = ("id",),
 ) -> DataFrame:
     """Assemble current content as of timestamp `ts`: the base snapshot
     plus every change snapshot with timestamp <= ts, folded latest-wins
     with Delete/Remove tombstones dropped.
+
+    `keys` is the merge identity.  For a store whose elements can MOVE
+    tiles between snapshots, pass keys=(tile_col, "id"): a move emits the
+    new row in the new tile plus a Remove tombstone in the old tile
+    (update decision table, find_update.rs:552-560), and only a per-
+    (tile, id) fold lets the tombstone kill the old-tile copy while the
+    new-tile row survives — exactly how the reference merges per tile.
+    A global per-id fold would see two same-snapshot rows for the id and
+    pick one arbitrarily.
 
     This is the reference's get_file_locs timestamp cut
     (filelist.rs:101-219; check_entry_depth filelist.rs:110-115 enforces
@@ -260,7 +274,7 @@ def read_snapshot_as_of(
         if tiles is not None:
             df = df.filter(F.col(tile_col).isin([int(t) for t in tiles]))
         frames.append(df)
-    return M.merge_changes(frames[0], frames[1:])
+    return M.merge_changes(frames[0], frames[1:], keys=keys)
 
 
 def read_metrics(spark, base: str, snapshot: str) -> DataFrame:
