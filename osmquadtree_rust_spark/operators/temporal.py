@@ -101,6 +101,135 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    events: DataFrame,
+    updates: DataFrame,
+    key: str = "id",
+    ts: str = "ts",
+    payload_cols: tuple[str, ...] | None = None,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Skew-safe as-of join: identical semantics to asof_join, but the
+    window partitions on (key, time-bucket) instead of key alone, so a hot
+    key with millions of rows spreads over its buckets instead of landing
+    on ONE task (the single keyed-task risk VERDICT r02 flagged).
+
+    Three keyed steps, none with a per-key task:
+    1. per-(key, bucket) last update (hash agg on the composite key),
+    2. a boundary-carry window per key over its BUCKETS (one row per
+       (key, bucket) — bounded by time-range/bucket, not by row count),
+    3. the union + last(ignorenulls) window per (key, bucket), seeded at
+       each bucket start with the carry from earlier buckets.
+
+    Costs two more shuffles than asof_join — use it when a key can exceed
+    one task's worth of rows; `ts` must be numeric (epoch seconds/millis).
+    """
+    if payload_cols is None:
+        payload_cols = tuple(c for c in updates.columns if c not in (key, ts))
+    ev_cols = [c for c in events.columns]
+    clash = set(payload_cols) & set(ev_cols)
+    if clash:
+        raise ValueError(
+            f"payload column(s) {sorted(clash)} collide with event columns; "
+            f"rename one side before asof_join_bucketed"
+        )
+    reserved = {"__is_evt", "__upd", "__bkt"} & (set(ev_cols) | set(updates.columns))
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with internal tag columns"
+        )
+    upd_type = (
+        "struct<"
+        + ", ".join(
+            f"{c}: {updates.schema[c].dataType.simpleString()}" for c in payload_cols
+        )
+        + ">"
+    )
+    b = F.lit(int(bucket))
+    upd_struct = F.struct(*[F.col(c) for c in payload_cols])
+
+    # 1. newest update per (key, bucket): max of (ts, payload) struct —
+    #    lexicographic, ts first; updates are unique per (key, ts)
+    ub = (
+        updates.withColumn("__bkt", F.floor(F.col(ts) / b).cast("long"))
+        .groupBy(key, "__bkt")
+        .agg(
+            F.max(
+                F.struct(F.col(ts).alias("__t"), upd_struct.alias("__p"))
+            ).alias("__last")
+        )
+    )
+    # 2. carry into each bucket: the newest update of any EARLIER bucket,
+    #    over the union of update buckets and event buckets (events may sit
+    #    in buckets with no update).  One row per (key, bucket).
+    eb = (
+        events.withColumn("__bkt", F.floor(F.col(ts) / b).cast("long"))
+        .select(key, "__bkt")
+        .distinct()
+    )
+    domain = eb.join(ub, [key, "__bkt"], "full").select(
+        key, "__bkt", F.col("__last")
+    )
+    wcarry = (
+        Window.partitionBy(key)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        domain.withColumn("__carry", F.max("__last").over(wcarry))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            F.col(key),
+            F.col("__bkt"),
+            F.col("__carry.__p").alias("__upd"),
+        )
+    )
+    # 3. union: seeds (tag -1, at bucket start) < updates (0) < events (1)
+    tagged_e = events.select(
+        *ev_cols,
+        F.floor(F.col(ts) / b).cast("long").alias("__bkt"),
+        F.lit(1).alias("__is_evt"),
+        F.lit(None).cast(upd_type).alias("__upd"),
+    )
+    tagged_u = updates.select(
+        *[
+            F.col(key) if c == key
+            else F.col(ts) if c == ts
+            else F.lit(None).cast(events.schema[c].dataType).alias(c)
+            for c in ev_cols
+        ],
+        F.floor(F.col(ts) / b).cast("long").alias("__bkt"),
+        F.lit(0).alias("__is_evt"),
+        upd_struct.alias("__upd"),
+    )
+    ts_type = events.schema[ts].dataType
+    tagged_s = seeds.select(
+        *[
+            F.col(key) if c == key
+            else (F.col("__bkt") * b).cast(ts_type).alias(ts) if c == ts
+            else F.lit(None).cast(events.schema[c].dataType).alias(c)
+            for c in ev_cols
+        ],
+        F.col("__bkt"),
+        F.lit(-1).alias("__is_evt"),
+        F.col("__upd"),
+    )
+    w = (
+        Window.partitionBy(key, "__bkt")
+        .orderBy(F.col(ts), F.col("__is_evt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        tagged_e.unionByName(tagged_u)
+        .unionByName(tagged_s)
+        .withColumn("__upd", F.last("__upd", ignorenulls=True).over(w))
+    )
+    return filled.filter(F.col("__is_evt") == 1).select(
+        *ev_cols,
+        *[F.col(f"__upd.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def bucketed_range_join(
     events: DataFrame,
     intervals: DataFrame,

@@ -75,6 +75,87 @@ def apply_change_batch(
     return on_batch
 
 
+# ---------------------------------------------------------------------------
+# replication-state sequence tracking (reference src/update/run_update.rs:
+# 51-164: poll state.txt {sequenceNumber, timestamp}, fetch every diff from
+# local_sequence+1 .. remote_sequence, apply strictly in sequence order,
+# advance local state after each).  No network exists in this sandbox, so
+# the "remote" is a directory of {seq:09d}.parquet diff files with optional
+# {seq:09d}.state.txt sidecars — the protocol (ordering, resume, catch-up
+# after missed sequences) is the same.
+# ---------------------------------------------------------------------------
+
+
+def read_state(path: str) -> dict | None:
+    """Parse a state.txt analog: 'sequenceNumber=N' / 'timestamp=T' lines
+    (the reference's osm.org replication state format)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    out: dict = {}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if "=" in line and not line.startswith("#"):
+                k, v = line.split("=", 1)
+                out[k] = v
+    return {
+        "sequence": int(out.get("sequenceNumber", -1)),
+        "timestamp": int(out.get("timestamp", 0)),
+    }
+
+
+def write_state(path: str, sequence: int, timestamp: int = 0) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"sequenceNumber={int(sequence)}\ntimestamp={int(timestamp)}\n")
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn state file
+
+
+def pending_sequences(state_path: str, remote_dir: str) -> list[int]:
+    """Sequences present in remote_dir but newer than the local state,
+    ascending — the catch-up worklist after downtime."""
+    import glob
+    import os
+    import re
+
+    st = read_state(state_path)
+    local = st["sequence"] if st else -1
+    seqs = []
+    for f in glob.glob(os.path.join(remote_dir, "*.parquet")):
+        m = re.fullmatch(r"(\d+)\.parquet", os.path.basename(f))
+        if m and int(m.group(1)) > local:
+            seqs.append(int(m.group(1)))
+    return sorted(seqs)
+
+
+def catch_up(
+    spark: SparkSession,
+    remote_dir: str,
+    state_path: str,
+    on_batch,
+) -> list[int]:
+    """Apply every pending diff strictly in sequence order, advancing the
+    local state file after EACH diff — a crash mid-catch-up resumes from
+    the first unapplied sequence (the reference's run_update loop
+    contract).  Returns the sequences applied."""
+    import os
+
+    applied = []
+    for seq in pending_sequences(state_path, remote_dir):
+        df = spark.read.parquet(os.path.join(remote_dir, f"{seq:09d}.parquet"))
+        on_batch(df, seq)
+        side = os.path.join(remote_dir, f"{seq:09d}.state.txt")
+        ts = (read_state(side) or {}).get("timestamp", 0)
+        write_state(state_path, seq, ts)
+        applied.append(seq)
+    return applied
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -178,3 +178,90 @@ def test_lsh_dim_guard_raises(spark):
         SIM.cosine_neardup_pairs(df, dim=16).collect()
     # matching dim still works
     assert SIM.cosine_neardup_pairs(df, dim=8).count() >= 0
+
+
+def _asof_data(spark, n_ev=4000, n_upd=800, hot_frac=0.5, seed=11):
+    rng = np.random.RandomState(seed)
+    n_keys = 40
+    ev_keys = rng.randint(0, n_keys, n_ev)
+    ev_keys[: int(n_ev * hot_frac)] = 7  # hot key
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ev_keys.astype(np.int64),
+                "ts": rng.randint(0, 500000, n_ev).astype(np.int64),
+                "evp": rng.randint(0, 1000, n_ev).astype(np.int64),
+            }
+        )
+    )
+    up_keys = rng.randint(0, n_keys, n_upd)
+    up_ts = rng.randint(0, 500000, n_upd).astype(np.int64)
+    updf = pd.DataFrame(
+        {"id": up_keys.astype(np.int64), "ts": up_ts, "px": rng.rand(n_upd)}
+    ).drop_duplicates(["id", "ts"])
+    return ev, spark.createDataFrame(updf)
+
+
+def test_asof_bucketed_matches_plain(spark):
+    from osmquadtree_rust_spark.operators.temporal import asof_join, asof_join_bucketed
+
+    ev, up = _asof_data(spark)
+    plain = {
+        (r.id, r.ts, r.evp): r.px
+        for r in asof_join(ev, up).collect()
+    }
+    for bucket in (1000, 77777):
+        got = {
+            (r.id, r.ts, r.evp): r.px
+            for r in asof_join_bucketed(ev, up, bucket=bucket).collect()
+        }
+        assert got == plain, f"bucket={bucket}"
+
+
+def test_asof_bucketed_partitions_on_bucket(spark):
+    from osmquadtree_rust_spark.operators.temporal import asof_join_bucketed
+
+    ev, up = _asof_data(spark)
+    out = asof_join_bucketed(ev, up, bucket=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the hot-path window must partition on (key, bucket), never key alone:
+    # every Window node's partition spec that mentions id must mention __bkt
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    keyed = [s for s in win_specs if "id" in s]
+    assert keyed, plan[:2000]
+    assert all("__bkt" in s for s in keyed), keyed
+
+
+def test_replication_sequence_catchup(spark, tmp_path):
+    from osmquadtree_rust_spark.streaming import ingest as I
+
+    remote = str(tmp_path / "remote")
+    state = str(tmp_path / "state.txt")
+    for seq in range(1, 6):
+        spark.createDataFrame([(seq, seq * 10)], "id long, v long").write.parquet(
+            f"{remote}/{seq:09d}.parquet"
+        )
+        I.write_state(f"{remote}/{seq:09d}.state.txt", seq, timestamp=seq * 1000)
+    I.write_state(state, 2, timestamp=2000)  # already applied 1..2
+
+    seen: list[tuple[int, int]] = []
+    crashed = {"done": False}
+
+    def on_batch(df, seq):
+        if seq == 5 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("simulated crash mid-catch-up")
+        seen.append((seq, df.count()))
+
+    with pytest.raises(RuntimeError):
+        I.catch_up(spark, remote, state, on_batch)
+    # crash at 5: state advanced through 4, strictly in order
+    assert [s for s, _ in seen] == [3, 4]
+    assert I.read_state(state) == {"sequence": 4, "timestamp": 4000}
+    # resume applies exactly the missed tail
+    seen.clear()
+    applied = I.catch_up(spark, remote, state, on_batch)
+    assert applied == [5] and I.read_state(state)["sequence"] == 5
+    assert I.pending_sequences(state, remote) == []
