@@ -94,6 +94,8 @@ def main():
         "qt_point_cells",
         "qt_cell_histogram",
         "geohash_cells",
+        "s2_cells",
+        "h3_cells",
         "way_bbox_qt",
         "node_lca_qt",
         "snapshot_merge",
