@@ -819,6 +819,84 @@ GROUP BY label, t.i
 
 
 # ===========================================================================
+# k-means (IVF training loop) in exact integer space: deterministic init,
+# bit-exact float-x-int-literal argmax assignment, integer centroid
+# updates — the whole Lloyd iteration reproduces identically in DuckDB
+# (the oracle re-runs the same iterations on the DuckDB side)
+# ===========================================================================
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_QUANT = 1000
+_KM_DIM = 64
+
+
+@_register("kmeans_clusters")
+def _km(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _ = SIM.kmeans_quantized(
+        emb, k=_KM_K, iters=_KM_ITERS, quant=_KM_QUANT
+    )
+    return out
+
+
+def _km_dot_sql(c) -> str:
+    # left-to-right float-read x int-literal sum — the DuckDB text twin of
+    # plane_proj_expr's zip_with/aggregate fold
+    return " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * ({int(w)})" for i, w in enumerate(c)
+    )
+
+
+@_oracle("kmeans_clusters")
+def _km_o():
+    import math
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        f"SELECT embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K}"
+    ).fetchall()
+    cents = [
+        [int(math.floor(float(x) * _KM_QUANT)) for x in r[0]] for r in rows
+    ]
+
+    def assign_sql(cs) -> str:
+        k = len(cs)
+        dcols = ", ".join(f"({_km_dot_sql(c)}) AS d{j}" for j, c in enumerate(cs))
+        best = "GREATEST(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+        case = " ".join(f"WHEN d{j} = best THEN {j}" for j in range(k))
+        return (
+            f"SELECT vec_id, (CASE {case} END) AS c FROM ("
+            f"SELECT e.vec_id AS vec_id, {dcols}, {best} AS best "
+            f"FROM embeddings e) __b"
+        )
+
+    for _ in range(_KM_ITERS):
+        stats = con.execute(
+            f"WITH a AS MATERIALIZED ({assign_sql(cents)}) "
+            f"SELECT a.c, t.i AS dim, "
+            f"SUM(CAST(FLOOR(CAST(e.embedding[t.i + 1] AS DOUBLE) "
+            f"* {_KM_QUANT}) AS BIGINT)) AS s, COUNT(*) AS n "
+            f"FROM a JOIN embeddings e ON a.vec_id = e.vec_id "
+            f"CROSS JOIN range(0, {_KM_DIM}) t(i) GROUP BY a.c, t.i"
+        ).fetchall()
+        new = [list(c) for c in cents]
+        for c, d, s, n in stats:
+            new[int(c)][int(d)] = int(s) // int(n)
+        cents = new
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST(c AS BIGINT) AS cluster FROM ({assign_sql(cents)}) __f"
+    )
+
+
+# ===========================================================================
 # OSC change-file parse: deterministic XML generated from `orders`, parsed
 # by the real parser (sources/osc.py incl. max-version dedup and fixed-
 # point coordinate rounding); oracle derives the same rows relationally

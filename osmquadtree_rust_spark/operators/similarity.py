@@ -296,6 +296,82 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
     )
 
 
+def ivf_assign_int_expr(vec_col: str, centroids: list[list[int]]) -> str:
+    """Cluster id = argmax_j dot(vec, integer-literal centroid_j), ties ->
+    smallest j.  Centroids are quant-scaled INTEGERS so the dot is
+    float-reads x int-literals in pinned left-to-right order — bit-exact
+    cross-engine (same contract as plane_proj_expr)."""
+    dots = "array(" + ", ".join(
+        plane_proj_expr(vec_col, [int(v) for v in c]) for c in centroids
+    ) + ")"
+    return (
+        f"(aggregate({dots}, "
+        f"named_struct('j', -1, 'best', CAST('-Infinity' AS DOUBLE), 'i', 0), "
+        f"(s, x) -> named_struct("
+        f"'j', CASE WHEN x > s.best THEN s.i ELSE s.j END, "
+        f"'best', CASE WHEN x > s.best THEN x ELSE s.best END, "
+        f"'i', s.i + 1), "
+        f"s -> s.j))"
+    )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means with EXACT arithmetic throughout — the IVF training
+    loop (ivf_topk's centroid producer) as a distributable, engine-
+    reproducible iteration:
+
+    - init: the k smallest-id vectors, components quantized to
+      floor(x * quant) integers (deterministic, no RNG);
+    - assignment: argmax over float x int-literal dots (bit-exact IEEE,
+      one JVM-codegen'd projection — data never leaves the cluster);
+    - update: per-(cluster, dim) integer sums of floor(x * quant) via ONE
+      hash aggregate (map-side combined), centroid = sum // n in exact
+      Python integer floor division on the collected k x dim rows
+      (metadata-scale, like the tile histogram); empty clusters keep
+      their previous centroid.
+
+    Returns (assignments DataFrame (id, cluster), final integer
+    centroids).  Every step is integer-or-pinned-IEEE, so a DuckDB oracle
+    re-running the same iterations reproduces assignments exactly.
+    """
+    rows = df.orderBy(id_col).limit(k).collect()
+    if len(rows) < k:
+        raise ValueError(f"k={k} exceeds row count {len(rows)}")
+    import math
+
+    cents = [
+        [int(math.floor(float(x) * quant)) for x in r[vec_col]] for r in rows
+    ]
+    for _ in range(iters):
+        assign = F.expr(ivf_assign_int_expr(vec_col, cents))
+        stats = (
+            df.withColumn("__c", assign)
+            .select("__c", F.posexplode(vec_col).alias("dim", "__x"))
+            .withColumn(
+                "__q", F.floor(F.col("__x").cast("double") * quant).cast("long")
+            )
+            .groupBy("__c", "dim")
+            .agg(F.sum("__q").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in stats:
+            new[int(r["__c"])][int(r["dim"])] = int(r["s"]) // int(r["n"])
+        cents = new
+    assign = F.expr(ivf_assign_int_expr(vec_col, cents))
+    out = df.select(
+        F.col(id_col).cast("long"), assign.cast("long").alias("cluster")
+    )
+    return out, cents
+
+
 def ivf_topk(
     df: DataFrame,
     query: list[float],

@@ -265,3 +265,31 @@ def test_replication_sequence_catchup(spark, tmp_path):
     applied = I.catch_up(spark, remote, state, on_batch)
     assert applied == [5] and I.read_state(state)["sequence"] == 5
     assert I.pending_sequences(state, remote) == []
+
+
+def test_kmeans_quantized_recovers_blobs(spark):
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(17)
+    centers = rng.rand(4, 16) * 10
+    vecs, gold = [], []
+    for i in range(400):
+        g = i % 4
+        vecs.append((centers[g] + rng.rand(16) * 0.1).astype(np.float32))
+        gold.append(g)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    out, cents = SIM.kmeans_quantized(df, k=4, iters=4)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    # every gold blob must map to exactly one k-means cluster (pure blobs)
+    for g in range(4):
+        labels = {got[i] for i in range(400) if gold[i] == g}
+        assert len(labels) == 1, f"blob {g} split across {labels}"
+    # distinct blobs -> distinct clusters
+    assert len({next(iter({got[i] for i in range(400) if gold[i] == g})) for g in range(4)}) == 4
+    # deterministic end-to-end (no RNG anywhere)
+    out2, cents2 = SIM.kmeans_quantized(df, k=4, iters=4)
+    assert cents == cents2
+    assert {r.vec_id: r.cluster for r in out2.collect()} == got
