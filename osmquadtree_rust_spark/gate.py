@@ -188,13 +188,29 @@ def _ta(spark, sf_dir):
     )
 
 
-@_oracle("tile_assignment")
-def _ta_o() -> str:
-    # Fully independent evaluation path: cells via the DuckDB encode
-    # subquery; the (metadata-scale) group map via the INDEPENDENT
-    # insertion-order scalar oracle tree (tests/oracle_tiles.py — shares
-    # no code with operators/tiles.py) from the DuckDB-computed
-    # histogram; routing in SQL via a correlated deepest-ancestor lookup.
+def _oracle_synth_enc_sql(n: int = _TILE_N) -> str:
+    """DuckDB qt-encode subquery over the n-row synthetic footprint
+    table (shared by the tile_assignment / raster_tiles / update oracles)."""
+    e = synth.synth_geo_exprs("id")
+    base = (
+        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
+        f"FROM range({n}) t(id)"
+    )
+    return qsql.qt_calculate_subquery(
+        base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("id",)
+    )
+
+
+def _oracle_synth_groups(
+    n: int = _TILE_N, target: int = _TILE_TARGET
+) -> tuple[list[int], str]:
+    """(group cells, VALUES literal) via the INDEPENDENT insertion-order
+    scalar oracle tree (tests/oracle_tiles.py — shares no code with
+    operators/tiles.py) over the DuckDB-computed level-17 histogram of the
+    synthetic footprint cells.  Single source of truth for every oracle
+    that needs the synthetic tiling; changing the grouping semantics here
+    changes all of them together."""
     import os
     import sys
 
@@ -207,15 +223,7 @@ def _ta_o() -> str:
         sys.path.insert(0, tests_dir)
     import oracle_tiles as OT
 
-    e = synth.synth_geo_exprs("id")
-    base = (
-        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
-        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
-        f"FROM range({_TILE_N}) t(id)"
-    )
-    enc = qsql.qt_calculate_subquery(
-        base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("id",)
-    )
+    enc = _oracle_synth_enc_sql(n)
     con = duckdb.connect()
     r17 = qsql.qt_round_sql("qt", 17)
     hist = con.execute(
@@ -224,19 +232,35 @@ def _ta_o() -> str:
     otree = OT.OracleTree()
     for c, w in sorted(hist):
         otree.add(int(c), int(w))
-    gcells = sorted(
-        c for c, _ in otree.find_tree_groups(_TILE_TARGET, _TILE_TARGET // 2)
-    )
+    gcells = sorted(c for c, _ in otree.find_tree_groups(target, target // 2))
     gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
+    return [int(c) for c in gcells], gvals
+
+
+def _oracle_route_sql(qt_expr: str) -> str:
+    """Deepest-group-ancestor routing of a qt expression against the
+    `groups(cell, d)` CTE (COALESCE 0 = unrouted fallback)."""
     rnd = (
-        "(CASE WHEN (q.qt & 31) <= g.d THEN q.qt "
-        "ELSE ((q.qt >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
+        f"(CASE WHEN (({qt_expr}) & 31) <= g.d THEN ({qt_expr}) "
+        f"ELSE ((({qt_expr}) >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
     )
+    return (
+        f"COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell "
+        f"ORDER BY g.d DESC LIMIT 1), 0)"
+    )
+
+
+@_oracle("tile_assignment")
+def _ta_o() -> str:
+    # Fully independent evaluation path: cells via the DuckDB encode
+    # subquery; the (metadata-scale) group map via the independent oracle
+    # tree; routing in SQL via a correlated deepest-ancestor lookup.
+    enc = _oracle_synth_enc_sql()
+    _, gvals = _oracle_synth_groups()
     return (
         f"WITH enc AS ({enc}), groups(cell, d) AS (VALUES {gvals}) "
         f"SELECT CAST(q.id AS BIGINT) AS img_id, CAST(q.qt AS BIGINT) AS qt, "
-        f"CAST(COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell "
-        f"ORDER BY g.d DESC LIMIT 1), 0) AS BIGINT) AS tile FROM enc q"
+        f"CAST({_oracle_route_sql('q.qt')} AS BIGINT) AS tile FROM enc q"
     )
 
 
@@ -561,51 +585,10 @@ def _ur(spark, sf_dir):
 
 @_oracle("update_roundtrip")
 def _ur_o() -> str:
-    # group cells via the INDEPENDENT oracle tree over the synthetic
-    # histogram (exact same construction the tile_assignment oracle pins)
-    import os
-    import sys
-
-    import duckdb
-
-    tests_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
-    )
-    if tests_dir not in sys.path:
-        sys.path.insert(0, tests_dir)
-    import oracle_tiles as OT
-
-    e = synth.synth_geo_exprs("id")
-    syn_base = (
-        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
-        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
-        f"FROM range({_TILE_N}) t(id)"
-    )
-    syn_enc = qsql.qt_calculate_subquery(
-        syn_base, "minlon", "minlat", "maxlon", "maxlat", "qt", ("id",)
-    )
-    con = duckdb.connect()
-    r17 = qsql.qt_round_sql("qt", 17)
-    hist = con.execute(
-        f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({syn_enc}) q GROUP BY 1"
-    ).fetchall()
-    otree = OT.OracleTree()
-    for c, w in sorted(hist):
-        otree.add(int(c), int(w))
-    gcells = sorted(
-        c for c, _ in otree.find_tree_groups(_TILE_TARGET, _TILE_TARGET // 2)
-    )
-    gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
-
-    def rt(qt_expr: str) -> str:
-        rnd = (
-            f"(CASE WHEN (({qt_expr}) & 31) <= g.d THEN ({qt_expr}) "
-            f"ELSE ((({qt_expr}) >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
-        )
-        return (
-            f"COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell "
-            f"ORDER BY g.d DESC LIMIT 1), 0)"
-        )
+    # group cells via the shared independent oracle-tree construction
+    # (same tiling the tile_assignment / raster_tiles oracles pin)
+    _, gvals = _oracle_synth_groups()
+    rt = _oracle_route_sql
 
     en = synth.synth_geo_exprs("node_id")
     em = synth.synth_geo_exprs(f"(id + {_UPD_MOD_SHIFT})")

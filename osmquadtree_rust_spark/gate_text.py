@@ -1144,6 +1144,7 @@ def _rt_o():
     import sys
 
     from .functions import qt_sql as qsql
+    from .gate import _oracle_route_sql, _oracle_synth_groups
     from .sources import synth
 
     tests_dir = os.path.join(
@@ -1152,7 +1153,6 @@ def _rt_o():
     if tests_dir not in sys.path:
         sys.path.insert(0, tests_dir)
     import oracle_qt as OQ
-    import oracle_tiles as OT
 
     e = synth.synth_geo_exprs("id")
     base = (
@@ -1169,22 +1169,7 @@ def _rt_o():
         "qt",
         ("id", "minlon", "minlat", "maxlon", "maxlat"),
     )
-    con = duckdb.connect()
-    r17 = qsql.qt_round_sql("qt", 17)
-    hist = con.execute(
-        f"SELECT {r17} AS cell, COUNT(*) AS w FROM ({enc}) q GROUP BY 1"
-    ).fetchall()
-    otree = OT.OracleTree()
-    for c, w in sorted(hist):
-        otree.add(int(c), int(w))
-    gcells = sorted(
-        c for c, _ in otree.find_tree_groups(_RT_TARGET, _RT_TARGET // 2)
-    )
-    gvals = ", ".join(f"({int(c)}, {int(c) & 31})" for c in gcells)
-    rnd = (
-        "(CASE WHEN (q.qt & 31) <= g.d THEN q.qt "
-        "ELSE ((q.qt >> (63 - 2*g.d)) << (63 - 2*g.d)) + g.d END)"
-    )
+    gcells, gvals = _oracle_synth_groups(_RT_N, _RT_TARGET)
     # tile bboxes + pixel scale factors from the INDEPENDENT scalar
     # as_bbox (tile 0 included for the COALESCE fallback), mirroring
     # render_tile's sx = size / max(extent, 1) python-float division
@@ -1209,8 +1194,7 @@ WITH enc AS ({enc}),
 groups(cell, d) AS (VALUES {gvals}),
 assigned AS (
   SELECT q.id, q.minlon, q.minlat, q.maxlon, q.maxlat,
-         COALESCE((SELECT g.cell FROM groups g WHERE {rnd} = g.cell
-                   ORDER BY g.d DESC LIMIT 1), 0) AS tile
+         {_oracle_route_sql('q.qt')} AS tile
   FROM enc q),
 tb(tile, tminlon, tminlat, tmaxlon, tmaxlat, sx, sy) AS (VALUES {tbvals}),
 px AS (

@@ -97,9 +97,10 @@ def hyperplane_bucket_expr(
     [first_plane, first_plane + n_planes) with literal `plane_weights`.
     Returns an int bucket in [0, 2^n_planes).
 
-    check_dim=True guards against vectors shorter than `dim`: zip_with
-    would pad them with NULLs, making every projection NULL and every
-    bucket 0 — silently degenerating the (band, bucket) equi-join into an
+    check_dim=True guards against vectors whose length != `dim`: zip_with
+    pads the SHORTER side with NULLs either way (short vector OR short
+    literal weight array), making every projection NULL and every bucket
+    0 — silently degenerating the (band, bucket) equi-join into an
     all-pairs cross product.  The guard is a CASE branch INSIDE this
     expression (one size() compare per row, stays in whole-stage codegen);
     a separate assert_true filter measured ~25% slower on
@@ -111,8 +112,9 @@ def hyperplane_bucket_expr(
     bucket = "(" + " + ".join(parts) + ")"
     if check_dim:
         return (
-            f"(CASE WHEN size({vec_col}) >= {dim} THEN {bucket} "
-            f"ELSE CAST(raise_error('embedding shorter than dim={dim}') AS INT) END)"
+            f"(CASE WHEN size({vec_col}) = {dim} THEN {bucket} "
+            f"ELSE CAST(raise_error('embedding shorter or longer than "
+            f"dim={dim}') AS INT) END)"
         )
     return bucket
 
@@ -296,15 +298,22 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
     )
 
 
-def ivf_assign_int_expr(vec_col: str, centroids: list[list[int]]) -> str:
+def ivf_assign_int_expr(
+    vec_col: str, centroids: list[list[int]], check_dim: bool = True
+) -> str:
     """Cluster id = argmax_j dot(vec, integer-literal centroid_j), ties ->
     smallest j.  Centroids are quant-scaled INTEGERS so the dot is
     float-reads x int-literals in pinned left-to-right order — bit-exact
-    cross-engine (same contract as plane_proj_expr)."""
+    cross-engine (same contract as plane_proj_expr).
+
+    check_dim guards against vectors whose length != the centroid dim: a
+    mismatched row makes every dot NULL, the fold's strict > never fires,
+    and the assignment silently lands on -1 (which would then corrupt the
+    LAST centroid through Python's new[-1] in the update step)."""
     dots = "array(" + ", ".join(
         plane_proj_expr(vec_col, [int(v) for v in c]) for c in centroids
     ) + ")"
-    return (
+    assign = (
         f"(aggregate({dots}, "
         f"named_struct('j', -1, 'best', CAST('-Infinity' AS DOUBLE), 'i', 0), "
         f"(s, x) -> named_struct("
@@ -313,6 +322,14 @@ def ivf_assign_int_expr(vec_col: str, centroids: list[list[int]]) -> str:
         f"'i', s.i + 1), "
         f"s -> s.j))"
     )
+    if check_dim:
+        dim = len(centroids[0])
+        return (
+            f"(CASE WHEN size({vec_col}) = {dim} THEN {assign} "
+            f"ELSE CAST(raise_error('embedding length != centroid "
+            f"dim={dim}') AS INT) END)"
+        )
+    return assign
 
 
 def kmeans_quantized(
@@ -363,7 +380,16 @@ def kmeans_quantized(
         )
         new = [list(c) for c in cents]
         for r in stats:
-            new[int(r["__c"])][int(r["dim"])] = int(r["s"]) // int(r["n"])
+            c = int(r["__c"])
+            if c < 0:
+                # dim mismatches raise in the assignment expr; a NULL
+                # element inside a right-sized vector can still NULL every
+                # dot — refuse rather than let new[-1] corrupt centroid k-1
+                raise ValueError(
+                    "kmeans_quantized: rows with undecidable assignment "
+                    "(NULL embedding elements?)"
+                )
+            new[c][int(r["dim"])] = int(r["s"]) // int(r["n"])
         cents = new
     assign = F.expr(ivf_assign_int_expr(vec_col, cents))
     out = df.select(

@@ -117,20 +117,32 @@ def write_state(path: str, sequence: int, timestamp: int = 0) -> None:
 
 
 def pending_sequences(state_path: str, remote_dir: str) -> list[int]:
-    """Sequences present in remote_dir but newer than the local state,
-    ascending — the catch-up worklist after downtime."""
+    """Sequences ready to apply, ascending and GAP-FREE: starting from
+    local_sequence+1 (or the smallest available sequence when no state
+    exists yet), stop at the first missing sequence.  A gap means a diff
+    is still in flight or arrived out of order — applying past it would
+    advance the state beyond it and lose the diff forever (the reference
+    contract is 'every diff from local+1 .. remote, strictly in order',
+    run_update.rs:51-164)."""
     import glob
     import os
     import re
 
     st = read_state(state_path)
     local = st["sequence"] if st else -1
-    seqs = []
+    avail = set()
     for f in glob.glob(os.path.join(remote_dir, "*.parquet")):
         m = re.fullmatch(r"(\d+)\.parquet", os.path.basename(f))
         if m and int(m.group(1)) > local:
-            seqs.append(int(m.group(1)))
-    return sorted(seqs)
+            avail.add(int(m.group(1)))
+    if not avail:
+        return []
+    seqs = []
+    nxt = local + 1 if local >= 0 else min(avail)
+    while nxt in avail:
+        seqs.append(nxt)
+        nxt += 1
+    return seqs
 
 
 def catch_up(

@@ -150,13 +150,18 @@ def test_connected_components_reliable_mode(spark, tmp_path):
         r.doc_id: r.comp
         for r in D.connected_components(verts, pairs).collect()
     }
-    got = {
-        r.doc_id: r.comp
-        for r in D.connected_components(
-            verts, pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
-        ).collect()
-    }
+    out = D.connected_components(
+        verts, pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    got = {r.doc_id: r.comp for r in out.collect()}
     assert got == exp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+    # dead generations (edges + superseded labels) are cleaned as the loop
+    # advances; only the final labels parquet backs the returned frame
+    import os
+
+    gens = sorted(os.listdir(tmp_path / "ckpt"))
+    assert len(gens) == 1, gens
+    assert {r.doc_id: r.comp for r in out.collect()} == exp  # still readable
 
 
 def test_asof_join_rejects_reserved_columns(spark):
@@ -293,3 +298,26 @@ def test_kmeans_quantized_recovers_blobs(spark):
     out2, cents2 = SIM.kmeans_quantized(df, k=4, iters=4)
     assert cents == cents2
     assert {r.vec_id: r.cluster for r in out2.collect()} == got
+
+
+def test_replication_gap_stops_catchup(spark, tmp_path):
+    from osmquadtree_rust_spark.streaming import ingest as I
+
+    remote = str(tmp_path / "remote")
+    state = str(tmp_path / "state.txt")
+    for seq in (3, 4, 6, 7):  # 5 is missing (in flight / out of order)
+        spark.createDataFrame([(seq,)], "id long").write.parquet(
+            f"{remote}/{seq:09d}.parquet"
+        )
+    I.write_state(state, 2)
+    assert I.pending_sequences(state, remote) == [3, 4]  # stops at the gap
+    applied = I.catch_up(spark, remote, state, lambda df, seq: None)
+    assert applied == [3, 4] and I.read_state(state)["sequence"] == 4
+    # once 5 lands, the tail becomes applicable
+    spark.createDataFrame([(5,)], "id long").write.parquet(
+        f"{remote}/{5:09d}.parquet"
+    )
+    assert I.pending_sequences(state, remote) == [5, 6, 7]
+    # fresh state (no local file): start from the smallest available
+    state2 = str(tmp_path / "state2.txt")
+    assert I.pending_sequences(state2, remote)[0] == 3
