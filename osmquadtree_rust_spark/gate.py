@@ -1236,6 +1236,92 @@ WHERE {cos} >= {_EMB_THRESHOLD}
 
 
 # ===========================================================================
+# 12b. int8-quantized near-dup: quantize the doubled corpus, band, then a
+#      PURE INTEGER cos² >= threshold verify — no float anywhere in the
+#      predicate, so the comparison is trivially engine-exact
+# ===========================================================================
+
+_EMB_I8_THRESHOLD_PPM = 640000  # cos >= 0.8 -> cos² >= 0.64
+
+
+@_register("embedding_neardup_int8")
+def _eni8(spark, sf_dir):
+    from .operators import similarity as SIM
+
+    emb = _doubled_embeddings(spark, sf_dir)
+    q = SIM.quantize_int8(emb).select("vec_id", "q")
+    return SIM.cosine_neardup_pairs_int8(
+        q,
+        threshold_ppm=_EMB_I8_THRESHOLD_PPM,
+        bands=_EMB_BANDS,
+        planes_per_band=_EMB_PLANES,
+        dim=_EMB_DIM,
+    )
+
+
+@_oracle("embedding_neardup_int8")
+def _eni8_o() -> str:
+    from .operators.similarity import plane_weights
+
+    orig_elems = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(_EMB_DIM)
+    )
+    pert_elems = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) + " + _EMB_DELTA.format(i=i)
+        for i in range(_EMB_DIM)
+    )
+
+    def bucket_sql(band: int) -> str:
+        parts = []
+        for j in range(_EMB_PLANES):
+            w = plane_weights(band * _EMB_PLANES + j, _EMB_DIM)
+            proj = " + ".join(f"q[{i + 1}] * {w[i]}" for i in range(_EMB_DIM))
+            parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END)")
+        return "(" + " + ".join(parts) + ")"
+
+    banded = " UNION ALL ".join(
+        f"SELECT vec_id AS a, {b} AS band, CAST({bucket_sql(b)} AS BIGINT) AS bucket FROM qemb"
+        for b in range(_EMB_BANDS)
+    )
+    dot = " + ".join(f"l.q[{i + 1}] * r.q[{i + 1}]" for i in range(_EMB_DIM))
+    nrm = lambda t: " + ".join(
+        f"{t}.q[{i + 1}] * {t}.q[{i + 1}]" for i in range(_EMB_DIM)
+    )
+    return f"""
+WITH demb AS (
+  SELECT vec_id, [{orig_elems}] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e FROM embeddings
+),
+qemb AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> CASE WHEN amax = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(FLOOR(x / amax * 127.0) AS BIGINT) END) AS q
+  FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS amax
+        FROM demb) t
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT bl.a AS a, br.a AS b
+  FROM banded bl JOIN banded br
+    ON bl.band = br.band AND bl.bucket = br.bucket AND bl.a < br.a
+),
+v AS (
+  SELECT c.a, c.b, ({dot}) AS d, ({nrm('l')}) AS na, ({nrm('r')}) AS nb
+  FROM cand c
+  JOIN qemb l ON l.vec_id = c.a
+  JOIN qemb r ON r.vec_id = c.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST((d * d * 1000000) // (na * nb) AS BIGINT) AS cos2_ppm
+FROM v
+WHERE d > 0 AND na > 0 AND nb > 0
+  AND d * d * 1000000 >= {_EMB_I8_THRESHOLD_PPM} * na * nb
+"""
+
+
+# ===========================================================================
 # 13. geohash index (public-spec alternate hierarchical cell code; exact
 #     in both engines via integer bit math)
 # ===========================================================================

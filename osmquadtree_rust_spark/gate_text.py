@@ -819,6 +819,43 @@ GROUP BY label, t.i
 
 
 # ===========================================================================
+# int8 embedding quantization (per-vector symmetric scale, FLOOR-exact)
+# ===========================================================================
+
+@_register("quantize_int8")
+def _qi8(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.quantize_int8(emb)
+    return out.select(
+        F.col("vec_id").cast("long"),
+        F.col("scale_ppm"),
+        F.posexplode("q").alias("dim", "qv"),
+    ).select(
+        "vec_id",
+        "scale_ppm",
+        F.col("dim").cast("long"),
+        F.col("qv").cast("long"),
+    )
+
+
+@_oracle("quantize_int8")
+def _qi8_o():
+    return """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(FLOOR(amax * 1000000.0) AS BIGINT) AS scale_ppm,
+       CAST(t.i AS BIGINT) AS dim,
+       CAST(CASE WHEN amax = 0
+                 THEN 0
+                 ELSE FLOOR(CAST(embedding[t.i + 1] AS DOUBLE) / amax * 127.0)
+            END AS BIGINT) AS qv
+FROM (SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings) e, range(0, 64) t(i)
+"""
+
+
+# ===========================================================================
 # k-means (IVF training loop) in exact integer space: deterministic init,
 # bit-exact float-x-int-literal argmax assignment, integer centroid
 # updates — the whole Lloyd iteration reproduces identically in DuckDB

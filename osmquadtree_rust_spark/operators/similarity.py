@@ -298,6 +298,114 @@ def ivf_assign_expr(vec_col: str, centroids: list[list[float]]) -> str:
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/serving form
+    of an embedding column at 100 TB (4x smaller than float32, exact
+    integer dot products downstream).
+
+    scale = max(|x|) (per vector); q_d = FLOOR(x_d / scale * 127) in
+    [-127, 127] (FLOOR, not round: half-away vs half-even rounding
+    differs between engines, FLOOR is bit-exact everywhere — worst-case
+    one extra quantization step of asymmetry, irrelevant at int8
+    precision).  Zero vectors quantize to all-zero with scale 0.
+    Everything is native JVM higher-order functions; scale rides along as
+    scale_ppm = FLOOR(scale * 1e6) for engine-exact comparison."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    q = F.when(F.col("__amax") == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") / F.col("__amax") * 127.0).cast("long"),
+        )
+    )
+    return (
+        df.withColumn("__amax", amax)
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__amax") * 1000000.0).cast("long").alias("scale_ppm"),
+            q.alias("q"),
+        )
+    )
+
+
+def cosine_neardup_pairs_int8(
+    qdf: DataFrame,
+    threshold_ppm: int = 810000,
+    bands: int = 3,
+    planes_per_band: int = 12,
+    dim: int = 64,
+    q_col: str = "q",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs over int8-QUANTIZED vectors with a PURE
+    INTEGER verify — the serving-side twin of cosine_neardup_pairs:
+
+    cos²(a,b)·10⁶ >= threshold_ppm  (and dot > 0), evaluated as
+    (d·d·10⁶) DIV (na·nb) with d = Σ qa·qb, na = Σ qa², nb = Σ qb² —
+    all int64 (|q| <= 127, 64 dims -> d² ·10⁶ < 2^60), so there is NO
+    float anywhere: results are trivially identical on any engine and
+    any SIMD width.  threshold_ppm = floor(cos²·10⁶), e.g. cos >= 0.9
+    -> 810000.  Candidate generation reuses the sign-LSH banding (integer
+    inputs are exact in the double projections)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.expr(
+                hyperplane_bucket_expr(
+                    q_col,
+                    planes_per_band,
+                    dim,
+                    first_plane=b * planes_per_band,
+                    check_dim=(b == 0),
+                )
+            ).cast("long").alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        qdf.select(F.col(id_col).alias("a"), F.explode(F.array(*band_structs)).alias("s"))
+        .select("a", F.col("s.band").alias("band"), F.col("s.bucket").alias("bucket"))
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .filter(F.col("l.a") < F.col("r.a"))
+        .select(F.col("l.a").alias("a"), F.col("r.a").alias("b"))
+        .distinct()
+    )
+    va = qdf.select(F.col(id_col).alias("a"), F.col(q_col).alias("l_q"))
+    vb = qdf.select(F.col(id_col).alias("b"), F.col(q_col).alias("r_q"))
+    dot = (
+        "aggregate(zip_with(l_q, r_q, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    nrm = (
+        "aggregate({v}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("__d", F.expr(dot))
+        .withColumn("__na", F.expr(nrm.format(v="l_q")))
+        .withColumn("__nb", F.expr(nrm.format(v="r_q")))
+        .filter(
+            (F.col("__d") > 0)
+            & (F.col("__na") > 0)
+            & (F.col("__nb") > 0)
+            & (
+                F.expr("__d * __d * 1000000")
+                >= F.expr(f"CAST({int(threshold_ppm)} AS BIGINT) * __na * __nb")
+            )
+        )
+        .select(
+            F.col("a").cast("long"),
+            F.col("b").cast("long"),
+            F.expr("(__d * __d * 1000000) DIV (__na * __nb)").alias("cos2_ppm"),
+        )
+    )
+
+
 def ivf_assign_int_expr(
     vec_col: str, centroids: list[list[int]], check_dim: bool = True
 ) -> str:

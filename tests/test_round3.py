@@ -321,3 +321,56 @@ def test_replication_gap_stops_catchup(spark, tmp_path):
     # fresh state (no local file): start from the smallest available
     state2 = str(tmp_path / "state2.txt")
     assert I.pending_sequences(state2, remote)[0] == 3
+
+
+def test_quantize_int8_roundtrip_bound(spark):
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(23)
+    vecs = (rng.rand(100, 16) * 4 - 2).astype(np.float32)
+    vecs[0] = 0.0  # zero vector edge
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in SIM.quantize_int8(df).collect()}
+    for i in range(100):
+        r = out[i]
+        scale = r.scale_ppm / 1e6
+        if i == 0:
+            assert r.scale_ppm == 0 and all(v == 0 for v in r.q)
+            continue
+        assert all(-127 <= v <= 127 for v in r.q)
+        # FLOOR quantization: dequant error < one step (scale/127) + ppm slack
+        for d in range(16):
+            err = abs(float(vecs[i][d]) - r.q[d] * scale / 127.0)
+            assert err <= scale / 127.0 + 1e-4, (i, d, err, scale)
+
+
+def test_int8_neardup_finds_planted_pairs(spark):
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    rng = np.random.RandomState(29)
+    base = (rng.rand(60, 64) * 2 - 1).astype(np.float32)
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(x) for x in base[i]]))
+        rows.append((1000 + i, [float(x) * 1.01 + 0.001 for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = SIM.quantize_int8(df).select("vec_id", "q")
+    pairs = {
+        (r.a, r.b)
+        for r in SIM.cosine_neardup_pairs_int8(q, threshold_ppm=950000).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(60)}
+    found = pairs & planted
+    # sign-LSH banding recall < 1 by design; the scaled copies are nearly
+    # parallel so most planted pairs must surface and verify
+    assert len(found) >= 50, len(found)
+    # every reported pair must genuinely pass the integer predicate
+    qmap = {r.vec_id: np.array(r.q, dtype=np.int64) for r in q.collect()}
+    for a, b in pairs:
+        d = int(np.dot(qmap[a], qmap[b]))
+        na = int(np.dot(qmap[a], qmap[a]))
+        nb = int(np.dot(qmap[b], qmap[b]))
+        assert d > 0 and d * d * 1000000 >= 950000 * na * nb
