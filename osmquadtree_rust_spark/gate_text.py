@@ -819,6 +819,53 @@ GROUP BY label, t.i
 
 
 # ===========================================================================
+# n-gram repetition ratio (boilerplate/template quality signal)
+# ===========================================================================
+
+_REP_N = 3
+
+
+@_register("repetition_ratio")
+def _rep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.with_repetition_ratio(docs, n=_REP_N)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("n_ngrams"), F.col("rep_ppm")
+    )
+
+
+@_oracle("repetition_ratio")
+def _rep_o():
+    # words via the same empty-token filter; n-grams by 1-based list
+    # indexing over a positions range; ratio mirrors the FLOOR-ppm math
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+k AS (
+  SELECT doc_id, ws, GREATEST(len(ws) - {_REP_N - 1}, 0) AS kk FROM t
+),
+g AS (
+  SELECT doc_id,
+         (ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]) AS ng
+  FROM (SELECT doc_id, ws, unnest(range(0, kk)) AS i FROM k) __g
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS total, COUNT(DISTINCT ng) AS dn
+  FROM g GROUP BY doc_id
+)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+       CAST(k.kk AS BIGINT) AS n_ngrams,
+       CAST(CASE WHEN k.kk >= 1
+            THEN FLOOR((1.0 - CAST(a.dn AS DOUBLE) / a.total) * 1000000.0)
+            ELSE 0 END AS BIGINT) AS rep_ppm
+FROM k LEFT JOIN agg a ON a.doc_id = k.doc_id
+"""
+
+
+# ===========================================================================
 # int8 embedding quantization (per-vector symmetric scale, FLOOR-exact)
 # ===========================================================================
 

@@ -98,3 +98,43 @@ def token_stats_by(df: DataFrame, group: str = "source", text: str = "text") -> 
         # FLOOR-ppm: cross-engine ROUND differs at exact halves
         F.floor(F.avg(F.expr(toks)) * 1000000.0).cast("long").alias("avg_tokens_ppm"),
     )
+
+
+def with_repetition_ratio(
+    df: DataFrame, text: str = "text", n: int = 3, out: str = "rep_ppm"
+) -> DataFrame:
+    """Per-document n-gram repetition ratio — the standard
+    boilerplate/template quality signal: 1 - distinct_ngrams/total_ngrams
+    as FLOOR-ppm (0 for documents shorter than n words).
+
+    Pure JVM higher-order functions (split -> filter empties -> slice
+    n-grams -> array_distinct); no shuffle, no Python.  sequence(1, k) is
+    guarded for k < 1 — Spark's sequence STEPS DOWNWARD when stop < start
+    (see bucketed_range_join), so an unguarded empty doc would explode a
+    descending index list."""
+    words = F.filter(F.split(F.col(text), " "), lambda w: F.length(w) > 0)
+    d = df.withColumn("__ws", words).withColumn(
+        "__k", F.greatest(F.size("__ws") - (n - 1), F.lit(0))
+    )
+    ngrams = F.when(
+        F.col("__k") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.col("__k")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("__ng", ngrams)
+    rep = F.when(
+        F.col("__k") >= 1,
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("__ng")).cast("double")
+                / F.size("__ng").cast("double")
+            )
+            * 1000000.0
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return d.withColumn(out, rep).withColumn(
+        "n_ngrams", F.col("__k").cast("long")
+    ).drop("__ws", "__k", "__ng")

@@ -1,0 +1,120 @@
+"""Executed-plan regression tests for the scale claims in PLANS.md.
+
+These pin the PHYSICAL shape of the headline operators on small inputs —
+a silent planner regression (a broadcast turning into a shuffle, a
+banded join degenerating into a nested-loop cross product, a filter not
+reaching the scan) fails here long before it would show up as a
+100x-scale incident.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _embeddings(spark, n=300, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    vecs = rng.rand(n, dim).astype(np.float32)
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_neardup_plans_have_no_nested_loop_join(spark):
+    """Every near-dup candidate path must be an equi-join on band keys —
+    BroadcastNestedLoopJoin/CartesianProduct is the quadratic plan class
+    VERDICT r01 flagged and r02 eliminated."""
+    from osmquadtree_rust_spark.operators import dedup as D
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    sigs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "simhash": range(50)})
+    )
+    for df in [
+        D.simhash_neardup_pairs(sigs, max_hamming=3),
+        D.simhash_neardup_pairs(sigs, max_hamming=3, m_blocks=6),
+        SIM.cosine_neardup_pairs(_embeddings(spark), dim=16),
+        SIM.cosine_neardup_pairs_int8(
+            SIM.quantize_int8(_embeddings(spark)).select("vec_id", "q"),
+            dim=16,
+        ),
+    ]:
+        p = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+        assert "CartesianProduct" not in p, p[:1500]
+
+
+def test_small_dimension_joins_broadcast(spark):
+    """The per-tile rollup join must broadcast its small side, never
+    shuffle the big side on the join key."""
+    from osmquadtree_rust_spark.functions import qt_spark as qs
+
+    cells = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": range(1000), "qt": [i % 97 for i in range(1000)],
+             "tile": [i % 7 for i in range(1000)]}
+        )
+    )
+    per_tile = qs.agg_lca(cells, ["tile"], "qt", "lca",
+                          extra_aggs=(F.count("*").alias("n"),))
+    joined = cells.join(F.broadcast(per_tile), "tile")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    """Histogram-style aggregations must map-side combine (two HashAggregate
+    nodes around the exchange), or every row crosses the shuffle."""
+    df = spark.range(10000).select((F.col("id") % 50).alias("cell"))
+    agg = df.groupBy("cell").agg(F.count("*").alias("w"))
+    p = _plan(agg)
+    assert p.count("HashAggregate") >= 2, p[:1500]
+    assert "Exchange" in p
+
+
+def test_snapshot_read_prunes_tiles_and_columns(spark, tmp_path):
+    """A tile-filtered, 2-column read of the tile store must push the tile
+    filter into partition pruning (no tile=3 files scanned) and prune the
+    schema to the selected columns."""
+    from osmquadtree_rust_spark.plans import checkpoint as CK
+
+    base = str(tmp_path / "store")
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 4).alias("tile"),
+        (F.col("id") * 3).alias("qt"),
+        F.lit(0).alias("changetype"),
+        (F.col("id") * 7).alias("payload"),
+    )
+    CK.write_tiles_checkpointed(df, base, "s0", n_batches=2)
+    rd = (
+        CK.read_snapshot(spark, base, "s0")
+        .filter(F.col("tile") == 2)
+        .select("id", "qt")
+    )
+    files = [
+        r[0]
+        for r in rd.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all("tile=2" in f for f in files), files
+    p = _plan(rd)
+    assert "payload" not in p.split("ReadSchema")[-1][:200], p[-800:]
+
+
+def test_asof_join_single_shuffle_on_key(spark):
+    """asof_join is the union + ONE keyed window — no join node at all."""
+    from osmquadtree_rust_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "ts": [10, 20], "e": [1, 2]})
+    )
+    up = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "ts": [5, 15], "px": [0.5, 0.7]})
+    )
+    p = _plan(asof_join(ev, up))
+    assert "Join" not in p.replace("JoinedRow", ""), p[:1500]
+    assert p.count("Window") == 1, p[:1500]

@@ -374,3 +374,25 @@ def test_int8_neardup_finds_planted_pairs(spark):
         na = int(np.dot(qmap[a], qmap[a]))
         nb = int(np.dot(qmap[b], qmap[b]))
         assert d > 0 and d * d * 1000000 >= 950000 * na * nb
+
+
+def test_repetition_ratio_planted(spark):
+    from osmquadtree_rust_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+            (2, "w1 w2 w3 w4 w5"),      # all distinct
+            (3, "x y"),                 # shorter than n
+            (4, ""),                    # empty
+            (5, "t  t  t  t"),          # double spaces filtered
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_ngrams, r.rep_ppm) for r in
+           TX.with_repetition_ratio(docs, n=3).collect()}
+    assert out[1] == (7, int((1 - 3 / 7) * 1e6))
+    assert out[2] == (3, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+    assert out[5] == (2, 500000)  # "t t t" twice, 1 distinct of 2
