@@ -878,6 +878,102 @@ FROM ev e ASOF LEFT JOIN upd u
 """
 
 
+@_register("asof_join_bucketed_prices")
+def _asof_join_b(spark, sf_dir):
+    # identical inputs and oracle as asof_join_prices, driven through the
+    # SKEW-SAFE bucketed implementation — DuckDB's native ASOF executor
+    # gates both forms, pinning their equivalence on real data
+    from .operators import temporal as TMP
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("ets"),
+    )
+    upd = _asof_updates(spark, sf_dir)
+    out = TMP.asof_join_bucketed(
+        ev, upd, key="user_id", ts="ets", bucket=86400
+    )
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("ets").cast("long"),
+        F.col("price").cast("double"),
+    )
+
+
+@_oracle("asof_join_bucketed_prices")
+def _asof_join_b_o() -> str:
+    return _asof_join_o()
+
+
+# ===========================================================================
+# 11b. bucketed range join: events against validity intervals — candidate
+#      generation via bucket explode + equi-join; the DuckDB oracle is the
+#      plain inequality join the operator must reproduce exactly
+# ===========================================================================
+
+_RJ_IV_LEN0 = 600
+_RJ_IV_MOD = 7200
+
+
+def _rj_intervals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.expr("o_orderkey % 20 = 0"))
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("iv_id"),
+        (F.lit(_ASOF_TS0) + (F.col("o_orderkey") * 53) % _ASOF_SPAN)
+        .cast("long")
+        .alias("start"),
+        (
+            F.lit(_ASOF_TS0)
+            + (F.col("o_orderkey") * 53) % _ASOF_SPAN
+            + _RJ_IV_LEN0
+            + F.col("o_orderkey") % _RJ_IV_MOD
+        )
+        .cast("long")
+        .alias("end"),
+    )
+
+
+@_register("range_join_intervals")
+def _rj(spark, sf_dir):
+    from .operators import temporal as TMP
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("ets"),
+    )
+    iv = _rj_intervals(spark, sf_dir)
+    out = TMP.bucketed_range_join(
+        ev, iv, ts="ets", start="start", end="end", bucket_seconds=3600
+    )
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("iv_id").cast("long"),
+        F.col("ets").cast("long"),
+    )
+
+
+@_oracle("range_join_intervals")
+def _rj_o() -> str:
+    return f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets
+  FROM events
+),
+iv AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS iv_id,
+         {_ASOF_TS0} + (o_orderkey * 53) % {_ASOF_SPAN} AS s,
+         {_ASOF_TS0} + (o_orderkey * 53) % {_ASOF_SPAN}
+           + {_RJ_IV_LEN0} + o_orderkey % {_RJ_IV_MOD} AS e
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT ev.event_id, iv.iv_id, ev.ets
+FROM ev JOIN iv ON iv.s <= ev.ets AND ev.ets < iv.e
+"""
+
+
 # ===========================================================================
 # 6. count statistics (count.rs)
 # ===========================================================================

@@ -245,9 +245,16 @@ def bucketed_range_join(
     product.  Complete by construction (an interval covers every bucket
     its span touches)."""
     b = F.lit(int(bucket_seconds))
-    ev = events.withColumn(
-        "__bkt", F.floor(F.unix_timestamp(F.col(ts)) / b).cast("long")
-    )
+
+    def _secs(df: DataFrame, col: str):
+        # numeric epoch columns pass through untouched (no session-timezone
+        # dependence); timestamp columns go through unix_timestamp
+        t = df.schema[col].dataType.simpleString()
+        if t in ("bigint", "int", "smallint", "tinyint", "double", "float"):
+            return F.col(col).cast("double")
+        return F.unix_timestamp(F.col(col)).cast("double")
+
+    ev = events.withColumn("__bkt", F.floor(_secs(events, ts) / b).cast("long"))
     # drop degenerate intervals BEFORE building the bucket sequence: Spark's
     # sequence(start, stop) with stop < start steps DOWNWARD, so one
     # malformed end<=start interval would silently explode a huge
@@ -255,8 +262,8 @@ def bucketed_range_join(
     iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "__bkts",
         F.sequence(
-            F.floor(F.unix_timestamp(F.col(start)) / b).cast("long"),
-            F.floor((F.unix_timestamp(F.col(end)) - 1) / b).cast("long"),
+            F.floor(_secs(intervals, start) / b).cast("long"),
+            F.floor((_secs(intervals, end) - 1) / b).cast("long"),
         ),
     ).withColumn("__bkt", F.explode("__bkts")).drop("__bkts")
     return (
