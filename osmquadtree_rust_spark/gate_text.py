@@ -487,6 +487,91 @@ FROM pairs GROUP BY a
 
 
 # ===========================================================================
+# n-gram Jaccard near-dup pairs (word 3-grams, hot-shingle df cap):
+# the fourth dedup family.  Corpus = documents + mutated copies (a ' zz '
+# splice at char 40 — ~2n shingles perturbed, so planted pairs land at
+# jaccard ~0.9, genuinely below 1 and above the 0.5 threshold), and EVERY
+# doc gets a shared boilerplate footer whose shingles have df = n_docs:
+# without the df cap those footer shingles alone would emit all-pairs
+# candidates, so the gate exercises the hot-shingle control for real.
+# The DuckDB oracle is the same capped-Jaccard definition computed by
+# brute force from the raw text.
+# ===========================================================================
+
+_NG_SHIFT = 200000
+_NG_FOOTER = " standard license footer text common to every document here"
+_NG_CAP = 64
+_NG_N = 3
+
+
+def _ngram_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.expr(f"concat(text, '{_NG_FOOTER}')").alias("text")
+    )
+    muts = docs.select(
+        (F.col("doc_id") + _NG_SHIFT).alias("doc_id"),
+        F.expr(
+            f"concat(substr(text, 1, 40), ' zz ', substr(text, 41), "
+            f"'{_NG_FOOTER}')"
+        ).alias("text"),
+    )
+    return base.unionByName(muts)
+
+
+@_register("ngram_jaccard_neardup")
+def _ngj(spark, sf_dir):
+    docs = _ngram_docs(spark, sf_dir)
+    return D.ngram_neardup_pairs(
+        docs, n=_NG_N, threshold_ppm=500000, df_cap=_NG_CAP
+    ).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("jaccard_ppm").cast("long"),
+    )
+
+
+@_oracle("ngram_jaccard_neardup")
+def _ngj_o():
+    shingle = f"array_to_string(ws[i+1:i+{_NG_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, concat(text, '{_NG_FOOTER}') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NG_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41), '{_NG_FOOTER}')
+  FROM documents
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_NG_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_NG_N}) g
+),
+hot AS MATERIALIZED (SELECT shh FROM sh GROUP BY shh HAVING COUNT(*) > {_NG_CAP}),
+post AS MATERIALIZED (SELECT sh.* FROM sh ANTI JOIN hot USING (shh)),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+  FROM post l JOIN post r USING (shh)
+  WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+)
+SELECT CAST(inter.a AS BIGINT) AS a, CAST(inter.b AS BIGINT) AS b,
+       CAST(FLOOR(CAST(inter.i AS DOUBLE)
+                  / CAST(sa.sz + sb.sz - inter.i AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.a
+JOIN sz sb ON sb.doc_id = inter.b
+WHERE inter.i * 1000000 >= 500000 * (sa.sz + sb.sz - inter.i)
+"""
+
+
+# ===========================================================================
 # spatial join: points x tile polygons via broadcast bbox-tree + pnpoly
 # ===========================================================================
 

@@ -116,6 +116,102 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_shingles(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs; a shingle is n consecutive
+    non-empty words joined by a single space, hashed with the
+    cross-engine md5-prefix int (text_sql.md5_prefix_int_sql).  Documents
+    with fewer than n words contribute nothing.  Pure projection +
+    explode — the only shuffle is the downstream distinct."""
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    ws = F.expr(f"filter(split({text}, ' '), w -> length(w) > 0)")
+    base = df.select(F.col(id_col), ws.alias("__ws")).filter(F.size("__ws") >= n)
+    sh = F.expr(
+        f"transform(sequence(0, size(__ws) - {n}), "
+        f"i -> concat_ws(' ', slice(__ws, i + 1, {n})))"
+    )
+    return (
+        base.select(F.col(id_col), F.explode(sh).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"),
+        )
+        .distinct()
+    )
+
+
+def ngram_neardup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs (a < b, jaccard_ppm): the
+    brief's fourth dedup family, with word n-grams (n>=2) as the
+    similarity unit instead of word sets.
+
+    Candidate generation is the shared-shingle equi-join — recall-1 over
+    the (capped) shingle space by definition, since any pair with
+    jaccard > 0 shares a shingle.  ``df_cap`` drops shingles whose
+    document frequency exceeds it BEFORE pairing: one boilerplate shingle
+    shared by 10^6 docs would alone emit ~5*10^11 candidate pairs, so the
+    cap bounds per-shingle fan-out at df_cap^2/2 — the standard
+    hot-shingle control at web scale.  Both intersection AND union are
+    then computed over the capped shingle space, making the cap a
+    deterministic semantics change (the DuckDB oracle applies the
+    identical cap), not a recall heuristic.
+
+    The threshold compare is exact integer math
+    (inter * 1e6 >= threshold_ppm * union) — no float-compare ambiguity
+    at exact rationals like 1/2; jaccard_ppm itself is the pinned-order
+    FLOOR((inter/union) * 1e6) shared with the oracle.
+
+    At 100 TB persist/checkpoint the shingle frame before calling: it is
+    consumed three times (cap derivation, sizes, pair join) and Spark
+    recomputes unshared subtrees per consumer.
+    """
+    sh = ngram_shingles(df, text, id_col, n)
+    if df_cap is not None:
+        if df_cap < 1:
+            raise ValueError(f"df_cap={df_cap} must be >= 1")
+        hot = (
+            sh.groupBy("shh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > df_cap)
+            .select("shh")
+        )
+        sh = sh.join(hot, "shh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    la = sh.select(F.col(id_col).alias("a"), "shh")
+    lb = sh.select(F.col(id_col).alias("b"), "shh")
+    inter = (
+        la.join(lb, "shh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("__sza")), "a"
+        )
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("__szb")), "b")
+        .withColumn("__u", F.col("__sza") + F.col("__szb") - F.col("__i"))
+        .filter(F.col("__i") * 1000000 >= F.lit(int(threshold_ppm)) * F.col("__u"))
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                (F.col("__i").cast("double") / F.col("__u").cast("double"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .select("a", "b", "jaccard_ppm")
+    )
+
+
 def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: per bit, sign of sum(+1/-1).
 

@@ -396,3 +396,40 @@ def test_repetition_ratio_planted(spark):
     assert out[3] == (0, 0)
     assert out[4] == (0, 0)
     assert out[5] == (2, 500000)  # "t t t" twice, 1 distinct of 2
+
+
+def test_ngram_neardup_planted_and_cap(spark):
+    # 0/1: near-dups (one word changed of 12 -> 3-gram jaccard well over
+    # 0.5); 2: unrelated; every doc shares the same 6-word footer, whose
+    # shingles have df = n_docs and must be dropped by df_cap=2 — without
+    # the cap doc 2 would pair with everyone through the footer alone.
+    body0 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    body1 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz"
+    body2 = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    footer = " f1 f2 f3 f4 f5 f6"
+    docs = spark.createDataFrame(
+        [(i, b + footer) for i, b in enumerate((body0, body1, body2))],
+        "doc_id long, text string",
+    )
+    rows = D.ngram_neardup_pairs(docs, n=3, threshold_ppm=500000, df_cap=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # capped space: bodies only (footer df=3 > 2; the 2 bridge shingles
+    # spanning body->footer are unique per doc and stay).  10 body
+    # trigrams each + 2 bridge = 12; intersection = 9 shared body
+    # trigrams; union = 15 -> jaccard 0.6
+    assert (r.a, r.b) == (0, 1)
+    assert r.jaccard_ppm == int(9 / 15 * 1e6)
+    # without a cap the footer bridges everything: doc 2 now shares the 4
+    # footer-only trigrams (df=3) with both others; jaccard 4/24 < 0.5
+    # so the threshold still drops it, but 0-1 remains
+    rows2 = D.ngram_neardup_pairs(docs, n=3, threshold_ppm=500000).collect()
+    assert {(r.a, r.b) for r in rows2} == {(0, 1)}
+
+
+def test_ngram_neardup_validations(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.ngram_shingles(docs, n=0)
+    with pytest.raises(ValueError):
+        D.ngram_neardup_pairs(docs, df_cap=0)
