@@ -583,8 +583,11 @@ def _ur(spark, sf_dir):
     )
 
 
-@_oracle("update_roundtrip")
-def _ur_o() -> str:
+def _upd_delta_with() -> str:
+    """Shared WITH-prefix deriving the update run's change set (`delta`)
+    relationally from the input tables — consumed by the update_roundtrip
+    oracle (which folds it onto the stored base) and the incremental_read
+    oracle (which reads it verbatim)."""
     # group cells via the shared independent oracle-tree construction
     # (same tiling the tile_assignment / raster_tiles oracles pin)
     _, gvals = _oracle_synth_groups()
@@ -676,7 +679,14 @@ delta AS MATERIALIZED (
    WHERE ct = 1 AND alloc IS NOT NULL
   UNION ALL SELECT id * 4 + 1, alloc, 0, 2 FROM wdj
    WHERE ct = 0 AND alloc IS NOT NULL AND qt_new IS NOT NULL
-     AND na <> alloc AND qt_new <> qt_old),
+     AND na <> alloc AND qt_new <> qt_old)"""
+
+
+@_oracle("update_roundtrip")
+def _ur_o() -> str:
+    return (
+        _upd_delta_with()
+        + """,
 world AS MATERIALIZED (
   SELECT 0 AS snap, id * 4 + etype AS uid, alloc AS tile, qt_old AS qt, 0 AS ct
     FROM stored
@@ -687,6 +697,39 @@ SELECT CAST(uid AS BIGINT) AS id, CAST(tile AS BIGINT) AS tile,
        CAST(qt AS BIGINT) AS qt, CAST(0 AS BIGINT) AS changetype
 FROM rr WHERE rn = 1 AND ct NOT IN (1, 2)
 """
+    )
+
+
+@_register("incremental_read")
+def _inc(spark, sf_dir):
+    # Iceberg-analog incremental scan over the same store update_roundtrip
+    # builds: the net change in (0, _UPD_TS], tombstones included.  The
+    # oracle is the relationally-derived update delta itself — so this
+    # gate pins that read_changes_between returns EXACTLY what the update
+    # run committed, without touching the base snapshot.
+    from .plans import checkpoint as CK
+
+    _ur(spark, sf_dir)  # ensure the cached store exists
+    base = _UPD_STORES[sf_dir]
+    out = CK.read_changes_between(spark, base, 0, _UPD_TS, keys=("tile", "id"))
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("tile").cast("long"),
+        F.col("qt").cast("long"),
+        F.col("changetype").cast("long"),
+    )
+
+
+@_oracle("incremental_read")
+def _inc_o() -> str:
+    return (
+        _upd_delta_with()
+        + """
+SELECT CAST(uid AS BIGINT) AS id, CAST(tile AS BIGINT) AS tile,
+       CAST(qt AS BIGINT) AS qt, CAST(ct AS BIGINT) AS changetype
+FROM delta
+"""
+    )
 
 
 @_register("dedup_max_version")

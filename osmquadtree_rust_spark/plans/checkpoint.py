@@ -143,9 +143,13 @@ def _append_lineage(base: str, snapshot: str, rec: dict) -> None:
 
 
 def read_snapshot(spark, base: str, snapshot: str) -> DataFrame:
-    return spark.read.option("basePath", f"{base}/snapshot={snapshot}").parquet(
+    df = spark.read.option("basePath", f"{base}/snapshot={snapshot}").parquet(
         f"{base}/snapshot={snapshot}/batch=*"
     )
+    # `batch` is the resume unit of the writer — a storage-layout
+    # artifact, not data; surfacing it would make schemas depend on
+    # n_batches
+    return df.drop("batch")
 
 
 # ---------------------------------------------------------------------------
@@ -275,6 +279,118 @@ def read_snapshot_as_of(
             df = df.filter(F.col(tile_col).isin([int(t) for t in tiles]))
         frames.append(df)
     return M.merge_changes(frames[0], frames[1:], keys=keys)
+
+
+def read_changes_between(
+    spark,
+    base: str,
+    ts_lo: int,
+    ts_hi: int,
+    tiles=None,
+    tile_col: str = "tile",
+    keys: tuple[str, ...] = ("id",),
+) -> DataFrame:
+    """Incremental scan: the NET change between two as-of timestamps —
+    the Iceberg incremental-read analog over this store's filelist log.
+
+    Reads ONLY snapshots with ts_lo < timestamp <= ts_hi (never the base
+    world), folds them latest-wins per key, and KEEPS Delete/Remove rows
+    as tombstones: a consumer holding the ts_lo world applies the result
+    with merge.apply_changes and lands exactly on the ts_hi world
+    (tests/test_checkpoint.py pins that invariant).  The fold is
+    order-equivalent to replaying the window's snapshots one by one
+    because only the newest version of a key survives either way.
+
+    Scale shape: one partition-pruned scan per window snapshot + one
+    keyed shuffle for the fold; the base snapshot — almost all of the
+    data — is never touched, which is the entire point of an incremental
+    read at 100 TB."""
+    from ..operators import merge as M
+
+    entries = sorted(read_filelist(base), key=lambda e: e["timestamp"])
+    if not entries:
+        raise ValueError(f"no filelist at {base}")
+    sel = [e for e in entries if int(ts_lo) < e["timestamp"] <= int(ts_hi)]
+    if not sel:
+        # legitimate empty window: 0 rows with the store's schema
+        return read_snapshot(spark, base, entries[0]["snapshot"]).limit(0)
+    frames = []
+    for e in sel:
+        df = read_snapshot(spark, base, e["snapshot"])
+        if tiles is not None:
+            df = df.filter(F.col(tile_col).isin([int(t) for t in tiles]))
+        frames.append(df)
+    return M.combine_snapshots(frames, keys=keys)
+
+
+def squash_snapshots(
+    spark,
+    base: str,
+    ts: int,
+    new_snapshot: str,
+    keys: tuple[str, ...] = ("id",),
+    tile_col: str = "tile",
+    sort_cols: tuple[str, ...] = ("id",),
+    n_batches: int = 8,
+) -> list[dict]:
+    """Materialize the as-of-`ts` world as a NEW base snapshot and rewrite
+    the filelist so every entry at or before `ts` is replaced by it.
+
+    This is the reference's mergechanges-to-new-base workflow (writetemp
+    global re-sort feeding a fresh planet file) recast as the Iceberg
+    snapshot-expiry analog: history up to `ts` collapses into one compact
+    base (tombstones resolved, changetype reset, one sorted file set per
+    tile — small change files disappear, so this doubles as the store's
+    compaction), while change snapshots after `ts` keep applying on top
+    unchanged.  Old snapshot directories stay on disk until `vacuum` —
+    the filelist rewrite is the commit point, so a reader holding the old
+    log still resolves every path it can see."""
+    entries = read_filelist(base)
+    if any(e["snapshot"] == new_snapshot for e in entries):
+        raise ValueError(f"snapshot id {new_snapshot} already in filelist")
+    world = read_snapshot_as_of(spark, base, ts, keys=keys)
+    lineage = write_tiles_checkpointed(
+        world,
+        base,
+        new_snapshot,
+        tile_col=tile_col,
+        sort_cols=sort_cols,
+        n_batches=n_batches,
+    )
+    kept = [e for e in entries if e["timestamp"] > int(ts)]
+    new_log = [
+        {"snapshot": new_snapshot, "timestamp": int(ts), "kind": "base"}
+    ] + sorted(kept, key=lambda e: e["timestamp"])
+    tmp = f"{base}/_filelist.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(new_log, fh, indent=1)
+    os.replace(tmp, f"{base}/_filelist.json")  # atomic commit
+    return lineage
+
+
+def vacuum(base: str) -> list[str]:
+    """Delete snapshot data (and its metrics/lineage/id-index) no longer
+    referenced by the filelist — the expire-snapshots cleanup that makes
+    `squash_snapshots` actually reclaim space.  Returns the removed
+    snapshot ids."""
+    import shutil
+
+    live = {e["snapshot"] for e in read_filelist(base)}
+    removed = []
+    for d in glob.glob(f"{base}/snapshot=*"):
+        snap = os.path.basename(d).split("=", 1)[1]
+        if snap not in live:
+            shutil.rmtree(d, ignore_errors=True)
+            for aux in (
+                f"{base}/_metrics/snapshot={snap}",
+                f"{base}/_idindex/snapshot={snap}",
+            ):
+                shutil.rmtree(aux, ignore_errors=True)
+            lpath = f"{base}/_lineage/snapshot={snap}.json"
+            if os.path.exists(lpath):
+                os.remove(lpath)
+            removed.append(snap)
+    return sorted(removed)
 
 
 def read_metrics(spark, base: str, snapshot: str) -> DataFrame:

@@ -168,3 +168,115 @@ def test_id_index_file_skipping(spark, tmp_path):
     # and the partition filter is visible in the physical plan
     plan = pruned_scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def _three_snap_store(spark, base):
+    """base @100 (ids 0..99 val 0) + change @150 (0..49 val 1, %10 Delete)
+    + change @250 (0..19 val 2) — same world as test_snapshot_as_of."""
+    s0 = spark.range(0, 100).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(0).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    s1 = spark.range(0, 50).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("changetype"),
+        F.lit(1).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    s2 = spark.range(0, 20).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(2).cast("long").alias("val"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    for i, (snap, ts) in enumerate([(s0, 100), (s1, 150), (s2, 250)]):
+        CK.write_tiles_checkpointed(snap, base, f"s{i}", n_batches=2)
+        CK.append_filelist(base, f"s{i}", ts, "base" if i == 0 else "change")
+
+
+def test_incremental_read_applies_to_asof(spark, tmp_path):
+    """read_changes_between(lo, hi) applied onto the as-of-lo world must
+    land exactly on the as-of-hi world (the Iceberg incremental-scan
+    contract), tombstones included; an empty window reads zero rows and
+    never touches the base."""
+    from osmquadtree_rust_spark.operators import merge as M
+
+    base = str(tmp_path / "store")
+    _three_snap_store(spark, base)
+
+    def world(ts):
+        return {
+            (r.id, r.val)
+            for r in CK.read_snapshot_as_of(spark, base, ts).collect()
+        }
+
+    for lo, hi in [(100, 200), (100, 300), (200, 300), (100, 150)]:
+        delta = CK.read_changes_between(spark, base, lo, hi)
+        applied = {
+            (r.id, r.val)
+            for r in M.apply_changes(
+                CK.read_snapshot_as_of(spark, base, lo), delta
+            ).collect()
+        }
+        assert applied == world(hi), (lo, hi)
+
+    # tombstones are visible in the delta itself
+    d = CK.read_changes_between(spark, base, 100, 200)
+    assert {r.id for r in d.filter(F.col("changetype") == 1).collect()} == {
+        0, 10, 20, 30, 40,
+    }
+    # empty window: 0 rows, schema preserved
+    e = CK.read_changes_between(spark, base, 150, 200)
+    assert e.count() == 0 and set(e.columns) == {"id", "changetype", "val", "tile"}
+    # net fold across the window: id 5 appears once with the NEWEST value
+    d2 = CK.read_changes_between(spark, base, 100, 300)
+    assert [(r.val) for r in d2.filter(F.col("id") == 5).collect()] == [2]
+
+
+def test_squash_and_vacuum(spark, tmp_path):
+    """squash_snapshots collapses history <= ts into a new base: worlds at
+    and after ts are unchanged, the filelist is rewritten atomically, and
+    vacuum reclaims the unreferenced snapshot dirs."""
+    import pytest
+
+    base = str(tmp_path / "store")
+    _three_snap_store(spark, base)
+    before_200 = {
+        (r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 200).collect()
+    }
+    before_300 = {
+        (r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 300).collect()
+    }
+
+    CK.squash_snapshots(spark, base, 200, "sq0", n_batches=2)
+    log = CK.read_filelist(base)
+    assert [(e["snapshot"], e["timestamp"], e["kind"]) for e in log] == [
+        ("sq0", 200, "base"),
+        ("s2", 250, "change"),
+    ]
+    after_200 = {
+        (r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 200).collect()
+    }
+    after_300 = {
+        (r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 300).collect()
+    }
+    assert after_200 == before_200 and after_300 == before_300
+    # the squashed base holds no tombstones and changetype is reset
+    sq = CK.read_snapshot(spark, base, "sq0")
+    assert sq.filter(F.col("changetype") != 0).count() == 0
+
+    # duplicate snapshot id refused
+    with pytest.raises(ValueError):
+        CK.squash_snapshots(spark, base, 300, "sq0")
+
+    # vacuum removes exactly the two dead snapshots
+    assert CK.vacuum(base) == ["s0", "s1"]
+    assert not os.path.exists(f"{base}/snapshot=s0")
+    assert os.path.exists(f"{base}/snapshot=sq0")
+    # the store still reads correctly from the survivors
+    assert {
+        (r.id, r.val) for r in CK.read_snapshot_as_of(spark, base, 300).collect()
+    } == before_300
