@@ -572,6 +572,104 @@ WHERE inter.i * 1000000 >= 500000 * (sa.sz + sb.sz - inter.i)
 
 
 # ===========================================================================
+# multimodal joint near-dup: image phash Hamming AND caption n-gram
+# Jaccard, judged together (the north-star (phash, caption) pair table).
+# Corpus plants three dup classes by doc_id % 3 — both-near (2-bit phash
+# flip + zz-splice caption), image-near only (2-bit flip + unrelated
+# caption), caption-near only (28-bit flip + zz-splice) — so the 'both'
+# policy must keep exactly the first class.  Both candidate generators
+# are recall-exact, so the DuckDB oracle is brute force.
+# ===========================================================================
+
+_MM_SHIFT = 300000
+_MM_MASK_SQL = "CASE doc_id % 3 WHEN 0 THEN 17 WHEN 1 THEN 3 ELSE 268435455 END"
+_MM_CAPTION_SQL = (
+    "CASE doc_id % 3 WHEN 1 THEN concat('unrelated u', CAST(doc_id AS STRING), "
+    "' v w x y z') ELSE concat(substr(text, 1, 40), ' zz ', substr(text, 41)) END"
+)
+
+
+def _mm_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
+    base = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(ph0).alias("phash"),
+        F.col("text").alias("caption"),
+    )
+    dups = docs.select(
+        (F.col("doc_id") + _MM_SHIFT).alias("image_id"),
+        F.expr(f"({ph0}) ^ ({_MM_MASK_SQL})").alias("phash"),
+        F.expr(_MM_CAPTION_SQL).alias("caption"),
+    )
+    return base.unionByName(dups)
+
+
+@_register("multimodal_neardup")
+def _mmn(spark, sf_dir):
+    from .operators import multimodal as MM
+
+    corpus = _mm_corpus(spark, sf_dir)
+    out = MM.multimodal_neardup_pairs(corpus, policy="both")
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("hamming").cast("long"),
+        F.col("jaccard_ppm").cast("long"),
+    )
+
+
+@_oracle("multimodal_neardup")
+def _mmn_o():
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", TS.DUCKDB)
+    cap = _MM_CAPTION_SQL.replace("AS STRING", "AS VARCHAR")
+    shingle = "array_to_string(ws[i+1:i+3], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id AS id, {ph0} AS phash, text AS caption FROM documents
+  UNION ALL
+  SELECT doc_id + {_MM_SHIFT}, xor({ph0}, {_MM_MASK_SQL}), {cap}
+  FROM documents
+),
+himg AS MATERIALIZED (
+  SELECT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+  FROM corpus l JOIN corpus r ON l.id < r.id
+  WHERE bit_count(xor(l.phash, r.phash)) <= 3
+),
+wsx AS MATERIALIZED (
+  SELECT id, list_filter(string_split(caption, ' '), w -> len(w) > 0) AS ws
+  FROM corpus
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT id, {shh} AS shh
+  FROM (SELECT id, ws, unnest(range(0, len(ws) - 2)) AS i
+        FROM wsx WHERE len(ws) >= 3) g
+),
+sz AS MATERIALIZED (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS MATERIALIZED (
+  SELECT l.id AS a, r.id AS b, COUNT(*) AS i
+  FROM sh l JOIN sh r USING (shh)
+  WHERE l.id < r.id GROUP BY 1, 2
+),
+txt AS MATERIALIZED (
+  SELECT inter.a, inter.b,
+         CAST(FLOOR(CAST(inter.i AS DOUBLE)
+                    / CAST(sa.sz + sb.sz - inter.i AS DOUBLE)
+                    * 1000000.0) AS BIGINT) AS jaccard_ppm
+  FROM inter
+  JOIN sz sa ON sa.id = inter.a
+  JOIN sz sb ON sb.id = inter.b
+  WHERE inter.i * 1000000 >= 500000 * (sa.sz + sb.sz - inter.i)
+)
+SELECT CAST(h.a AS BIGINT) AS a, CAST(h.b AS BIGINT) AS b,
+       h.hamming, t.jaccard_ppm
+FROM himg h JOIN txt t ON t.a = h.a AND t.b = h.b
+"""
+
+
+# ===========================================================================
 # spatial join: points x tile polygons via broadcast bbox-tree + pnpoly
 # ===========================================================================
 

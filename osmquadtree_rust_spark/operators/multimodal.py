@@ -20,6 +20,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     DoubleType,
@@ -238,6 +239,57 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 3) -> DataFrame:
     return D.simhash_neardup_pairs(sigs, max_hamming=max_hamming).withColumnsRenamed(
         {"a": "image_a", "b": "image_b"}
     )
+
+
+def multimodal_neardup_pairs(
+    pairs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    caption_col: str = "caption",
+    max_hamming: int = 3,
+    threshold_ppm: int = 500000,
+    n: int = 3,
+    df_cap: int | None = None,
+    policy: str = "both",
+) -> DataFrame:
+    """Joint near-dup over image+caption PAIRS — the north-star input
+    table's (phash, caption) columns judged together.
+
+    policy='both': a pair is a duplicate only when the images are
+    phash-near (Hamming <= max_hamming) AND the captions are n-gram-
+    Jaccard-near (>= threshold_ppm) — the strict training-pair dedup.
+    policy='any': either modality suffices (full outer union; the missing
+    side's metric is NULL).
+
+    Both sides are recall-exact candidate generators (pigeonhole banding
+    for the phash, shared-shingle equi-join for the caption), so the
+    result is provably identical to brute force under either policy and
+    the DuckDB oracle may stay quadratic.  This form runs BOTH full
+    pipelines and combines on (a, b); for 'both' at extreme scale the
+    cheaper conjunction is image-candidates -> caption verify only on
+    those pairs (strictly fewer rows than either full pipeline), at the
+    cost of the generic composition — switch if the 2x matters.
+
+    Returns (a, b, hamming, jaccard_ppm); under 'any' one metric may be
+    NULL when only the other modality matched."""
+    from . import dedup as D
+
+    if policy not in ("both", "any"):
+        raise ValueError(f"policy={policy!r} must be 'both' or 'any'")
+    img = D.simhash_neardup_pairs(
+        pairs.select(
+            F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+        ),
+        max_hamming=max_hamming,
+    )
+    txt = D.ngram_neardup_pairs(
+        pairs.select(F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")),
+        n=n,
+        threshold_ppm=threshold_ppm,
+        df_cap=df_cap,
+    )
+    how = "inner" if policy == "both" else "full"
+    return img.join(txt, ["a", "b"], how)
 
 
 RESIZE_SCHEMA = StructType(

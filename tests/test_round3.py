@@ -433,3 +433,37 @@ def test_ngram_neardup_validations(spark):
         D.ngram_shingles(docs, n=0)
     with pytest.raises(ValueError):
         D.ngram_neardup_pairs(docs, df_cap=0)
+
+
+def test_multimodal_neardup_policies(spark):
+    from osmquadtree_rust_spark.operators import multimodal as MM
+
+    cap_a = "the quick brown fox jumps over the lazy dog today"
+    cap_b = "the quick brown fox jumps over the lazy dog tonight"  # near
+    cap_c = "completely different caption about something else entirely here"
+    rows = [
+        # 1-2: images near (hamming 2) AND captions near
+        (1, 0x123456789AB, cap_a),
+        (2, 0x123456789AB ^ 0x11, cap_b),
+        # 3: image near 1 (hamming 1), caption unrelated
+        (3, 0x123456789AB ^ 0x4, cap_c),
+        # 4: caption near 1, image far (28 bits)
+        (4, 0x123456789AB ^ 0x0FFFFFFF, cap_b),
+    ]
+    df = spark.createDataFrame(rows, "image_id long, phash long, caption string")
+
+    both = {(r.a, r.b) for r in MM.multimodal_neardup_pairs(df, policy="both").collect()}
+    assert both == {(1, 2)}
+
+    any_rows = {
+        (r.a, r.b): (r.hamming, r.jaccard_ppm)
+        for r in MM.multimodal_neardup_pairs(df, policy="any").collect()
+    }
+    # image-only pairs carry NULL jaccard, caption-only carry NULL hamming
+    assert set(any_rows) == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
+    assert any_rows[(1, 3)][1] is None and any_rows[(1, 3)][0] == 1
+    assert any_rows[(1, 4)][0] is None and any_rows[(1, 4)][1] is not None
+    assert None not in any_rows[(1, 2)]
+
+    with pytest.raises(ValueError):
+        MM.multimodal_neardup_pairs(df, policy="either")
