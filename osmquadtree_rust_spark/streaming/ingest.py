@@ -168,6 +168,47 @@ def catch_up(
     return applied
 
 
+def commit_change_snapshot(
+    store_base: str,
+    tile_col: str = "tile",
+    sort_cols: tuple[str, ...] = ("id",),
+    n_batches: int = 4,
+):
+    """Build an `on_batch` for `catch_up` that commits each replication
+    diff as a change snapshot of the tile store and registers it in the
+    filelist — composing sequence tracking with the snapshot log is the
+    reference's run_update daemon loop (run_update.rs:201-354: poll state
+    -> apply diff -> write change tiles -> register in filelist).
+
+    The replication sequence number doubles as the filelist timestamp
+    (replication sequences ARE the store's logical clock), so
+    read_snapshot_as_of(seq) shows the world after that diff and
+    read_changes_between(s1, s2) is exactly the diffs in (s1, s2].
+
+    Crash safety composes from the pieces: the snapshot write is
+    batch-resumable (write_tiles_checkpointed skips committed batches),
+    the filelist append is idempotent per snapshot (a crash between
+    filelist commit and state-file advance must not double-register on
+    replay), and catch_up only advances the sequence state AFTER
+    on_batch returns."""
+    from ..plans import checkpoint as CK
+
+    def on_batch(df: DataFrame, seq: int):
+        snap = f"seq{seq}"
+        CK.write_tiles_checkpointed(
+            df,
+            store_base,
+            snap,
+            tile_col=tile_col,
+            sort_cols=sort_cols,
+            n_batches=n_batches,
+        )
+        if not any(e["snapshot"] == snap for e in CK.read_filelist(store_base)):
+            CK.append_filelist(store_base, snap, timestamp=seq, kind="change")
+
+    return on_batch
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

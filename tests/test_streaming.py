@@ -135,3 +135,67 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(
         r.doc_id for r in ING.stream_dedup_exact(static, "doc_id").collect()
     ) == [1, 2, 3]
+
+
+def test_replication_daemon_commits_store(spark, tmp_path):
+    """catch_up + commit_change_snapshot = the reference's run_update
+    daemon loop: each diff becomes a registered change snapshot, as-of
+    reads track the sequence clock, incremental reads return exactly the
+    window's diffs, and a replayed commit never double-registers."""
+    from osmquadtree_rust_spark.operators import merge as M
+    from osmquadtree_rust_spark.plans import checkpoint as CK
+    from osmquadtree_rust_spark.streaming import ingest as I
+
+    store = str(tmp_path / "store")
+    remote = str(tmp_path / "remote")
+    state = str(tmp_path / "state.txt")
+
+    # base world @seq 0: ids 0..19 val 0
+    base = spark.range(0, 20).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(0).cast("long").alias("val"),
+        (F.col("id") % 2).alias("tile"),
+    )
+    CK.write_tiles_checkpointed(base, store, "seq0", n_batches=2)
+    CK.append_filelist(store, "seq0", timestamp=0, kind="base")
+
+    # diffs: seq1 modifies 0..9 -> val 1; seq2 deletes even ids < 10
+    d1 = spark.range(0, 10).select(
+        F.col("id"),
+        F.lit(0).cast("long").alias("changetype"),
+        F.lit(1).cast("long").alias("val"),
+        (F.col("id") % 2).alias("tile"),
+    )
+    d2 = spark.range(0, 10).filter(F.col("id") % 2 == 0).select(
+        F.col("id"),
+        F.lit(M.DELETE).cast("long").alias("changetype"),
+        F.lit(9).cast("long").alias("val"),
+        (F.col("id") % 2).alias("tile"),
+    )
+    for seq, df in ((1, d1), (2, d2)):
+        df.write.parquet(f"{remote}/{seq:09d}.parquet")
+        I.write_state(f"{remote}/{seq:09d}.state.txt", seq, timestamp=seq)
+
+    on_batch = I.commit_change_snapshot(store, n_batches=2)
+    assert I.catch_up(spark, remote, state, on_batch) == [1, 2]
+    assert I.read_state(state)["sequence"] == 2
+    log = CK.read_filelist(store)
+    assert [(e["snapshot"], e["timestamp"]) for e in log] == [
+        ("seq0", 0), ("seq1", 1), ("seq2", 2),
+    ]
+
+    # the sequence clock drives time travel
+    w1 = {(r.id, r.val) for r in CK.read_snapshot_as_of(spark, store, 1).collect()}
+    assert w1 == {(i, 1) for i in range(10)} | {(i, 0) for i in range(10, 20)}
+    w2 = {(r.id, r.val) for r in CK.read_snapshot_as_of(spark, store, 2).collect()}
+    assert w2 == {(i, 1) for i in range(1, 10, 2)} | {(i, 0) for i in range(10, 20)}
+    # incremental read of (1, 2] is exactly diff 2, tombstones intact
+    delta = CK.read_changes_between(spark, store, 1, 2)
+    assert {(r.id, r.changetype) for r in delta.collect()} == {
+        (i, 1) for i in range(0, 10, 2)
+    }
+
+    # replaying an already-committed diff must be a no-op on the filelist
+    on_batch(spark.read.parquet(f"{remote}/{1:09d}.parquet"), 1)
+    assert len(CK.read_filelist(store)) == 3
