@@ -118,3 +118,59 @@ def test_asof_join_single_shuffle_on_key(spark):
     p = _plan(asof_join(ev, up))
     assert "Join" not in p.replace("JoinedRow", ""), p[:1500]
     assert p.count("Window") == 1, p[:1500]
+
+
+def test_ngram_and_multimodal_neardup_plans(spark):
+    """The n-gram shared-shingle candidate join and the multimodal
+    composition must stay equi-joins (no nested-loop/cartesian), and the
+    incremental read must push the tile filter into the parquet scan."""
+    from osmquadtree_rust_spark.operators import dedup as D
+    from osmquadtree_rust_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h") for i in range(40)],
+        "doc_id long, text string",
+    )
+    p = _plan(D.ngram_neardup_pairs(docs, df_cap=8))
+    assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+    assert "CartesianProduct" not in p, p[:1500]
+
+    mm = spark.createDataFrame(
+        [(i, i * 7, f"w{i} a b c d e f g h") for i in range(40)],
+        "image_id long, phash long, caption string",
+    )
+    for policy in ("both", "any"):
+        p = _plan(MM.multimodal_neardup_pairs(mm, policy=policy))
+        assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+        assert "CartesianProduct" not in p, p[:1500]
+
+
+def test_incremental_read_prunes_tiles(spark, tmp_path):
+    """read_changes_between(tiles=...) must reach the scan as a partition
+    filter — pruned tiles are never read from storage."""
+    from osmquadtree_rust_spark.plans import checkpoint as CK
+
+    base = str(tmp_path / "store")
+    s0 = spark.range(0, 40).select(
+        F.col("id"), F.lit(0).cast("long").alias("changetype"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    s1 = spark.range(0, 20).select(
+        F.col("id"), F.lit(0).cast("long").alias("changetype"),
+        (F.col("id") % 4).alias("tile"),
+    )
+    CK.write_tiles_checkpointed(s0, base, "s0", n_batches=2)
+    CK.append_filelist(base, "s0", 100, "base")
+    CK.write_tiles_checkpointed(s1, base, "s1", n_batches=2)
+    CK.append_filelist(base, "s1", 200, "change")
+
+    pruned = CK.read_changes_between(spark, base, 100, 200, tiles=[1, 3])
+    rows = pruned.collect()
+    assert {r.tile for r in rows} == {1, 3}
+    assert {r.id for r in rows} == {i for i in range(20) if i % 4 in (1, 3)}
+    # the tile filter reaches the scan as a PARTITION filter (pruned
+    # directories are never opened); input_file_name() is unusable here —
+    # the fold's shuffle erases file provenance
+    p = _plan(pruned)
+    pf = [c[:80] for c in p.split("PartitionFilters: ")[1:]]
+    assert pf and all("tile" in c and "IN (1,3)" in c for c in pf), pf
