@@ -572,6 +572,74 @@ WHERE inter.i * 1000000 >= 500000 * (sa.sz + sb.sz - inter.i)
 
 
 # ===========================================================================
+# composed corpus-cleaning pipeline: langid filter -> quality filter ->
+# exact-dedup keeper selection -> per-source aggregate stats, in ONE DAG.
+# The individual stages are each gated on their own; this pins their
+# interaction (filter-before-dedup ordering, keeper = min id among the
+# SURVIVORS, integer-exact aggregates).  Corpus doubles every doc under a
+# shifted id so the keeper step genuinely removes half of what passes.
+# ===========================================================================
+
+_CC_EN_MIN = 40000
+_CC_Q_MIN = 500000
+
+
+@_register("corpus_clean_stats")
+def _ccs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
+        )
+    )
+    scored = TX.with_langid(TX.with_quality_score(TX.with_token_count(doubled)))
+    kept = scored.filter(
+        (F.col("en_score") >= _CC_EN_MIN) & (F.col("quality") >= _CC_Q_MIN)
+    )
+    keepers = D.dedup_exact(kept, key="text", id_col="doc_id").select(
+        F.col("keeper").alias("doc_id")
+    )
+    final = kept.join(keepers, "doc_id", "left_semi")
+    return final.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )
+
+
+@_oracle("corpus_clean_stats")
+def _ccs_o():
+    en = TS.langid_score_sql("text")
+    q = TS.quality_score_sql("text")
+    tok = TS.token_count_sql("text")
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT}, source, text FROM documents
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         CAST({en} AS BIGINT) AS en,
+         CAST({q} AS BIGINT) AS q,
+         CAST({tok} AS BIGINT) AS toks
+  FROM docs
+),
+kept AS MATERIALIZED (
+  SELECT * FROM scored WHERE en >= {_CC_EN_MIN} AND q >= {_CC_Q_MIN}
+),
+keepers AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM kept GROUP BY md5(text)
+)
+SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(s.toks) AS BIGINT) AS sum_tokens,
+       CAST(SUM(s.q) AS BIGINT) AS sum_quality
+FROM kept s JOIN keepers k ON s.doc_id = k.keeper
+GROUP BY s.source
+"""
+
+
+# ===========================================================================
 # multimodal joint near-dup: image phash Hamming AND caption n-gram
 # Jaccard, judged together (the north-star (phash, caption) pair table).
 # Corpus plants three dup classes by doc_id % 3 — both-near (2-bit phash
