@@ -109,6 +109,11 @@ def main():
         "simhash_neardup",
         "embedding_neardup",
         "ann_dot_topk",
+        # round 3 additions (totals are not comparable to r<=2 runs;
+        # compare per-query or the shared-prefix sum)
+        "ngram_jaccard_neardup",
+        "multimodal_neardup",
+        "corpus_clean_stats",
     ]
     for name in bench_queries:
         fn = G.GATE[name]["spark"]

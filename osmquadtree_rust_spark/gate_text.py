@@ -501,7 +501,11 @@ FROM pairs GROUP BY a
 _NG_SHIFT = 200000
 _NG_FOOTER = " standard license footer text common to every document here"
 _NG_CAP = 64
-_NG_N = 3
+# n=5 word shingles: the standard web-dedup width, and on this synthetic
+# 30-word-vocab corpus the difference between ~17M incidental shared-
+# shingle candidate pairs (n=3: 27k possible shingles, mean df ~36 at
+# sf0.1) and candidates ~= planted pairs only (n=5: 24M possible)
+_NG_N = 5
 
 
 def _ngram_docs(spark, sf_dir):
@@ -651,6 +655,7 @@ GROUP BY s.source
 
 _MM_SHIFT = 300000
 _MM_MASK_SQL = "CASE doc_id % 3 WHEN 0 THEN 17 WHEN 1 THEN 3 ELSE 268435455 END"
+_MM_N = 5  # same shingle-width choice as the ngram gate (see _NG_N)
 _MM_CAPTION_SQL = (
     "CASE doc_id % 3 WHEN 1 THEN concat('unrelated u', CAST(doc_id AS STRING), "
     "' v w x y z') ELSE concat(substr(text, 1, 40), ' zz ', substr(text, 41)) END"
@@ -678,7 +683,7 @@ def _mmn(spark, sf_dir):
     from .operators import multimodal as MM
 
     corpus = _mm_corpus(spark, sf_dir)
-    out = MM.multimodal_neardup_pairs(corpus, policy="both")
+    out = MM.multimodal_neardup_pairs(corpus, n=_MM_N, policy="both")
     return out.select(
         F.col("a").cast("long"),
         F.col("b").cast("long"),
@@ -691,7 +696,7 @@ def _mmn(spark, sf_dir):
 def _mmn_o():
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", TS.DUCKDB)
     cap = _MM_CAPTION_SQL.replace("AS STRING", "AS VARCHAR")
-    shingle = "array_to_string(ws[i+1:i+3], ' ')"
+    shingle = f"array_to_string(ws[i+1:i+{_MM_N}], ' ')"
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
 WITH corpus AS MATERIALIZED (
@@ -712,8 +717,8 @@ wsx AS MATERIALIZED (
 ),
 sh AS MATERIALIZED (
   SELECT DISTINCT id, {shh} AS shh
-  FROM (SELECT id, ws, unnest(range(0, len(ws) - 2)) AS i
-        FROM wsx WHERE len(ws) >= 3) g
+  FROM (SELECT id, ws, unnest(range(0, len(ws) - {_MM_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_MM_N}) g
 ),
 sz AS MATERIALIZED (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
 inter AS MATERIALIZED (

@@ -170,36 +170,39 @@ def ngram_neardup_pairs(
     at exact rationals like 1/2; jaccard_ppm itself is the pinned-order
     FLOOR((inter/union) * 1e6) shared with the oracle.
 
-    At 100 TB persist/checkpoint the shingle frame before calling: it is
-    consumed three times (cap derivation, sizes, pair join) and Spark
-    recomputes unshared subtrees per consumer.
+    Shingle document-frequency and per-doc set size are carried THROUGH
+    the pipeline as window counts instead of aggregate-and-join-back:
+    join-backs plan as broadcast joins whose build sides are never
+    reused, so each one would recompute the whole shingle subtree
+    (measured 3x the operator cost at sf0.1; same lesson as the SimHash
+    carry-signature fix).
     """
     sh = ngram_shingles(df, text, id_col, n)
     if df_cap is not None:
         if df_cap < 1:
             raise ValueError(f"df_cap={df_cap} must be >= 1")
-        hot = (
-            sh.groupBy("shh")
-            .agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") > df_cap)
-            .select("shh")
+        # hot-shingle drop first: sizes must count the CAPPED space
+        sh = (
+            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
         )
-        sh = sh.join(hot, "shh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    la = sh.select(F.col(id_col).alias("a"), "shh")
-    lb = sh.select(F.col(id_col).alias("b"), "shh")
+    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
+    lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
     inter = (
         la.join(lb, "shh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
-        .agg(F.count("*").alias("__i"))
+        .agg(
+            F.count("*").alias("__i"),
+            # functionally dependent on the key; max() is deterministic
+            F.max("__sza").alias("__sza"),
+            F.max("__szb").alias("__szb"),
+        )
     )
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("__sza")), "a"
-        )
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("__szb")), "b")
-        .withColumn("__u", F.col("__sza") + F.col("__szb") - F.col("__i"))
+        inter.withColumn("__u", F.col("__sza") + F.col("__szb") - F.col("__i"))
         .filter(F.col("__i") * 1000000 >= F.lit(int(threshold_ppm)) * F.col("__u"))
         .withColumn(
             "jaccard_ppm",
