@@ -89,18 +89,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Verify candidate pairs with exact word-set Jaccard (n=1 shingles);
-    returns pairs with jaccard >= threshold."""
+    returns pairs with jaccard >= threshold.
+
+    Set sizes ride through the joins as a window count instead of an
+    aggregate joined back at the end — the join-back form plans the size
+    table as a broadcast build side, and broadcast subtrees are never
+    reused, so the whole word-hash subtree would recompute twice more
+    (same pathology and fix as ngram_neardup_pairs)."""
     wh = word_hashes(df, text, id_col).distinct()
-    la = wh.select(F.col(id_col).alias("a"), F.col("wh").alias("wha"))
-    lb = wh.select(F.col(id_col).alias("b"), F.col("wh").alias("wha"))
-    sizes = wh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    wh = wh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    la = wh.select(
+        F.col(id_col).alias("a"), F.col("wh").alias("wha"), F.col("__sz").alias("sza")
+    )
+    lb = wh.select(
+        F.col(id_col).alias("b"), F.col("wh").alias("wha"), F.col("__sz").alias("szb")
+    )
     joined = (
         candidates.join(la, "a")
         .join(lb, ["b", "wha"], "inner")
         .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.max("sza").alias("sza"),
+            F.max("szb").alias("szb"),
+        )
         .withColumn(
             "__raw", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
         )
