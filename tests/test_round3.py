@@ -467,3 +467,54 @@ def test_multimodal_neardup_policies(spark):
 
     with pytest.raises(ValueError):
         MM.multimodal_neardup_pairs(df, policy="either")
+
+
+def test_ngram_neardup_matches_bruteforce(spark):
+    """Randomized corpus (seeded), several (n, df_cap, threshold) combos:
+    the shared-shingle candidate join + integer threshold + pinned-order
+    FLOOR must equal a pure-Python brute force exactly — including the
+    capped-space semantics."""
+    import math
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> hot shingles
+    rows = []
+    for i in range(60):
+        k = rng.randint(3, 12)
+        rows.append((i, " ".join(vocab[j] for j in rng.randint(0, 12, k))))
+    for i in range(0, 60, 4):  # near-dup copies with one word swapped
+        ws = rows[i][1].split()
+        ws[rng.randint(0, len(ws))] = "zz"
+        rows.append((1000 + i, " ".join(ws)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def brute(n, cap, thr):
+        sets = {}
+        for i, t in rows:
+            ws = [w for w in t.split(" ") if w]
+            sets[i] = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+        if cap is not None:
+            dfreq = {}
+            for s in sets.values():
+                for sh in s:
+                    dfreq[sh] = dfreq.get(sh, 0) + 1
+            sets = {i: {sh for sh in s if dfreq[sh] <= cap} for i, s in sets.items()}
+        out = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                if union > 0 and inter * 1000000 >= thr * union:
+                    out[(a, b)] = math.floor(inter / union * 1000000.0)
+        return out
+
+    for n, cap, thr in [(2, None, 500000), (3, 3, 500000), (2, 2, 300000)]:
+        got = {
+            (r.a, r.b): r.jaccard_ppm
+            for r in D.ngram_neardup_pairs(
+                df, n=n, threshold_ppm=thr, df_cap=cap
+            ).collect()
+        }
+        assert got == brute(n, cap, thr), (n, cap, thr)
