@@ -93,6 +93,39 @@ def md5_prefix_int_sql(s: str, dialect: str) -> str:
     return f"CAST(concat('0x', substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
+# characters normalize_text_sql folds to a space: ASCII punctuation that
+# commonly varies between near-identical documents, plus tab/newline/CR.
+# Built from chr() codes so the generated SQL never needs quote escaping
+# (' and \ are in the set).
+_NORM_FOLD_CODES = [
+    9, 10, 13,  # tab, LF, CR
+    33, 34, 39, 40, 41, 44, 45, 46, 47,  # ! " ' ( ) , - . /
+    58, 59, 63, 91, 92, 93, 123, 125,  # : ; ? [ \ ] { }
+]
+
+
+def normalize_text_sql(text: str) -> str:
+    """Casefold + punctuation/control fold + whitespace collapse + trim,
+    WITHOUT regex (Java regex and RE2 diverge on enough inputs that
+    regexp_replace is banned from cross-engine paths).
+
+    Whitespace collapse uses the classic 3-pass marker trick — every run
+    of spaces collapses to one in exactly three left-to-right replaces,
+    which Spark and DuckDB both implement non-overlapping left-to-right:
+      1. ' '   -> ' M'   (M = chr(1)chr(2), unreachable in real text)
+      2. 'M '  -> ''     (kills all but the last marker of a run)
+      3. 'M'   -> ''
+    Identical SQL text runs on both engines (translate/chr/repeat/replace
+    agree everywhere)."""
+    folded = "concat(" + ", ".join(f"chr({c})" for c in _NORM_FOLD_CODES) + ")"
+    lowered = f"translate(lower({text}), {folded}, repeat(' ', {len(_NORM_FOLD_CODES)}))"
+    m = "concat(chr(1), chr(2))"
+    s1 = f"replace({lowered}, ' ', concat(' ', {m}))"
+    s2 = f"replace({s1}, concat({m}, ' '), '')"
+    s3 = f"replace({s2}, {m}, '')"
+    return f"trim({s3})"
+
+
 MINHASH_P = 2147483647
 # (a, b) pairs for the universal-hash family h_k(x) = (a*x + b) mod p
 MINHASH_COEFFS = [

@@ -576,6 +576,53 @@ WHERE inter.i * 1000000 >= 500000 * (sa.sz + sb.sz - inter.i)
 
 
 # ===========================================================================
+# regex-free text normalization -> exact dedup: near-exact duplicates
+# differing only in case/punctuation/whitespace collapse to one group.
+# Corpus = documents + noised copies (leading spaces, uppercased prefix,
+# trailing ' !! ') whose normalized form equals the original's, so every
+# group has exactly its original as keeper.  The identical normalize SQL
+# text runs on both engines (translate/chr/replace only, no regex).
+# ===========================================================================
+
+_NRM_SHIFT = 400000
+_NRM_NOISE_SQL = (
+    "concat('  ', upper(substr(text, 1, 15)), substr(text, 16), ' !! ')"
+)
+
+
+@_register("normalize_dedup")
+def _nrm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    noised = docs.select(
+        (F.col("doc_id") + _NRM_SHIFT).alias("doc_id"),
+        F.expr(_NRM_NOISE_SQL).alias("text"),
+    )
+    corpus = TX.with_normalized_text(docs.unionByName(noised))
+    out = D.dedup_exact(corpus, key="norm_text", id_col="doc_id")
+    return out.select(
+        "content_hash",
+        F.col("keeper").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("normalize_dedup")
+def _nrm_o():
+    norm = TS.normalize_text_sql("text")
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NRM_SHIFT}, {_NRM_NOISE_SQL} FROM documents
+)
+SELECT md5({norm}) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM docs GROUP BY md5({norm})
+"""
+
+
+# ===========================================================================
 # composed corpus-cleaning pipeline: langid filter -> quality filter ->
 # exact-dedup keeper selection -> per-source aggregate stats, in ONE DAG.
 # The individual stages are each gated on their own; this pins their

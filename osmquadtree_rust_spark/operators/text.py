@@ -30,6 +30,18 @@ def with_quality_score(df: DataFrame, text: str = "text", out: str = "quality") 
     return df.withColumn(out, F.expr(TS.quality_score_sql(text)).cast("long"))
 
 
+def with_normalized_text(
+    df: DataFrame, text: str = "text", out: str = "norm_text"
+) -> DataFrame:
+    """Regex-free normalization for dedup: casefold, punctuation/control
+    fold, whitespace collapse, trim (text_sql.normalize_text_sql — the
+    identical SQL text runs on DuckDB).  Near-exact duplicates differing
+    only in case/punctuation/spacing become hash-groupBy exact duplicates
+    after this projection — the standard step BEFORE exact dedup in a
+    cleaning pipeline."""
+    return df.withColumn(out, F.expr(TS.normalize_text_sql(text)))
+
+
 def with_langid(
     df: DataFrame, text: str = "text", out: str = "en_score", threshold: int = 20000
 ) -> DataFrame:

@@ -518,3 +518,29 @@ def test_ngram_neardup_matches_bruteforce(spark):
             ).collect()
         }
         assert got == brute(n, cap, thr), (n, cap, thr)
+
+
+def test_normalize_text_cross_engine(spark):
+    """The regex-free normalization must agree with DuckDB byte-for-byte
+    on whitespace runs, case, punctuation, quotes, backslashes, empties."""
+    import duckdb
+
+    from osmquadtree_rust_spark.functions import text_sql as TS
+    from osmquadtree_rust_spark.operators import text as TX
+
+    cases = [
+        "  Hello,   WORLD!! (it's\t a\n\n test) -- ok/maybe  ",
+        "", "   ", "a", "A.B.C", "x\\y'z", "already clean text",
+        "....", "a" + " " * 40 + "b",  # long space run: 3-pass collapse
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r.norm_text for r in TX.with_normalized_text(df).collect()]
+    expr = TS.normalize_text_sql("t")
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
+    assert got[0] == "hello world it s a test ok maybe"
+    assert got[-1] == "a b"
