@@ -1412,6 +1412,30 @@ def _hsp_o():
     )
 
 
+_SAMPLE_PPM = 250000
+
+
+@_register("sample_by_hash")
+def _sbh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TX.sample_by_hash(docs, rate_ppm=_SAMPLE_PPM).select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
+@_oracle("sample_by_hash")
+def _sbh_o():
+    h = TS.md5_prefix_int_sql(
+        "concat('sample-v1', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    threshold = (_SAMPLE_PPM * (1 << 60)) // 1000000
+    return (
+        f"SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        f"CAST(n_chars AS BIGINT) AS n_chars "
+        f"FROM documents WHERE ({h}) < {threshold}"
+    )
+
+
 _VOCAB_K = 100
 
 

@@ -79,6 +79,33 @@ def hash_split(
     )
 
 
+def sample_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate_ppm: int = 100000,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic scale-safe sampling: keep rows whose salted 60-bit
+    md5 hash falls below rate_ppm/1e6 of the hash space.  Unlike
+    df.sample() this is reproducible across reruns, engines, partition
+    counts and cluster sizes, composes with itself (a 10% sample of a 50%
+    sample under different salts is an exact 5% expectation), and a
+    larger rate with the same salt is a SUPERSET of a smaller one
+    (nested samples — the property quota-based sampling lacks).  The
+    threshold compare is pure integer math."""
+    if not 0 <= rate_ppm <= 1000000:
+        raise ValueError(f"rate_ppm={rate_ppm} must be in [0, 1e6]")
+    h = TS.md5_prefix_int_sql(
+        f"concat('{salt}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    # hash space is 2^60; keep h * 1e6 < rate_ppm * 2^60 (h < 2^60 so the
+    # product stays < 2^80 — too wide for BIGINT — compare in the
+    # rate-scaled space instead: h < floor(rate_ppm * 2^60 / 1e6), exact
+    # because 2^60/1e6 scaling is computed once in Python integer math)
+    threshold = (int(rate_ppm) * (1 << 60)) // 1000000
+    return df.filter(F.expr(f"({h}) < {threshold}"))
+
+
 def top_vocabulary(
     df: DataFrame, text: str = "text", k: int = 100
 ) -> DataFrame:

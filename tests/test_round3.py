@@ -544,3 +544,29 @@ def test_normalize_text_cross_engine(spark):
     assert got == want
     assert got[0] == "hello world it s a test ok maybe"
     assert got[-1] == "a b"
+
+
+def test_sample_by_hash_properties(spark):
+    """Deterministic, nested (larger rate is a superset), composable
+    across salts, and empty/full at the rate extremes."""
+    from osmquadtree_rust_spark.operators import text as TX
+
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+
+    def ids(rate, salt="sample-v1"):
+        return {
+            r.doc_id
+            for r in TX.sample_by_hash(df, rate_ppm=rate, salt=salt).collect()
+        }
+
+    s10, s25, s50 = ids(100000), ids(250000), ids(500000)
+    assert s10 < s25 < s50          # nested supersets
+    assert ids(250000) == s25       # deterministic across reruns
+    assert ids(0) == set() and len(ids(1000000)) == 4000
+    # rates land near expectation (binomial, wide tolerance)
+    assert 320 <= len(s10) <= 480 and 1800 <= len(s50) <= 2200
+    # a different salt re-rolls: overlap of two 50% samples ~ 25%
+    other = ids(500000, salt="sample-v2")
+    assert 800 <= len(s50 & other) <= 1200
+    with pytest.raises(ValueError):
+        TX.sample_by_hash(df, rate_ppm=2000000)
