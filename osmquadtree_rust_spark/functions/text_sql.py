@@ -98,6 +98,9 @@ def md5_prefix_int_sql(s: str, dialect: str) -> str:
 # Built from chr() codes so the generated SQL never needs quote escaping
 # (' and \ are in the set).
 _NORM_FOLD_CODES = [
+    1, 2,  # the collapse-marker bytes — folding them FIRST makes the
+    #        chr(1)chr(2) marker unreachable even in hostile input (a
+    #        document containing raw \x01\x02 must not corrupt collapse)
     9, 10, 13,  # tab, LF, CR
     33, 34, 39, 40, 41, 44, 45, 46, 47,  # ! " ' ( ) , - . /
     58, 59, 63, 91, 92, 93, 123, 125,  # : ; ? [ \ ] { }

@@ -647,10 +647,16 @@ def _ccs(spark, sf_dir):
     kept = scored.filter(
         (F.col("en_score") >= _CC_EN_MIN) & (F.col("quality") >= _CC_Q_MIN)
     )
-    keepers = D.dedup_exact(kept, key="text", id_col="doc_id").select(
-        F.col("keeper").alias("doc_id")
+    # keeper selection as a window min carried through — a dedup_exact
+    # aggregate semi-joined back would plan as a broadcast build over the
+    # whole scoring subtree and recompute it (the join-back pathology the
+    # round-3 operator fixes eliminate engine-wide)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    final = kept.withColumn("__keep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keep")
     )
-    final = kept.join(keepers, "doc_id", "left_semi")
     return final.groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),

@@ -134,18 +134,19 @@ def ngram_shingles(
     """Distinct (id, shingle-hash) pairs; a shingle is n consecutive
     non-empty words joined by a single space, hashed with the
     cross-engine md5-prefix int (text_sql.md5_prefix_int_sql).  Documents
-    with fewer than n words contribute nothing.  Pure projection +
-    explode — the only shuffle is the downstream distinct."""
-    if n < 1:
-        raise ValueError(f"n={n} must be >= 1")
-    ws = F.expr(f"filter(split({text}, ' '), w -> length(w) > 0)")
-    base = df.select(F.col(id_col), ws.alias("__ws")).filter(F.size("__ws") >= n)
-    sh = F.expr(
-        f"transform(sequence(0, size(__ws) - {n}), "
-        f"i -> concat_ws(' ', slice(__ws, i + 1, {n})))"
-    )
+    with fewer than n words contribute nothing (their n-gram array is
+    empty and explode drops them).  Tokenization and slicing are the
+    SHARED text.split_words / text.ngram_array construction — the same
+    one with_repetition_ratio uses, so the two operators (and their
+    oracles) cannot silently diverge.  Pure projection + explode — the
+    only shuffle is the downstream distinct."""
+    from .text import ngram_array, split_words
+
+    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
     return (
-        base.select(F.col(id_col), F.explode(sh).alias("__sh"))
+        base.select(
+            F.col(id_col), F.explode(ngram_array(F.col("__ws"), n)).alias("__sh")
+        )
         .select(
             F.col(id_col),
             F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"),

@@ -145,6 +145,11 @@ def asof_join_bucketed(
         )
         + ">"
     )
+    if int(bucket) <= 0:
+        # bucket=0 would make floor(ts/0) NULL everywhere: every row of a
+        # key lands in one (key, NULL) partition and the skew protection
+        # silently vanishes while output stays coincidentally correct
+        raise ValueError(f"bucket={bucket} must be a positive interval")
     b = F.lit(int(bucket))
     upd_struct = F.struct(*[F.col(c) for c in payload_cols])
 
@@ -244,6 +249,8 @@ def bucketed_range_join(
     |intervals| x avg-buckets-per-interval — linear, never a cross
     product.  Complete by construction (an interval covers every bucket
     its span touches)."""
+    if int(bucket_seconds) <= 0:
+        raise ValueError(f"bucket_seconds={bucket_seconds} must be positive")
     b = F.lit(int(bucket_seconds))
 
     def _secs(df: DataFrame, col: str):

@@ -139,6 +139,35 @@ def token_stats_by(df: DataFrame, group: str = "source", text: str = "text") -> 
     )
 
 
+def split_words(text):
+    """Non-empty whitespace-split words as an array column — THE shared
+    tokenization for every word-level operator (repetition ratio, n-gram
+    shingles/dedup); their DuckDB oracles mirror this exact construction,
+    so a tokenization change must happen here and in all oracles at
+    once."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda w: F.length(w) > 0)
+
+
+def ngram_array(words, n: int):
+    """Word n-grams (joined by one space) of a words-array column; EMPTY
+    array for documents shorter than n words.  sequence(1, k) is guarded
+    for k < 1 — Spark's sequence STEPS DOWNWARD when stop < start (see
+    bucketed_range_join), so an unguarded short doc would explode a
+    descending index list.  Shared by with_repetition_ratio and
+    dedup.ngram_shingles (one tokenization, one slice convention)."""
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def with_repetition_ratio(
     df: DataFrame, text: str = "text", n: int = 3, out: str = "rep_ppm"
 ) -> DataFrame:
@@ -147,22 +176,11 @@ def with_repetition_ratio(
     as FLOOR-ppm (0 for documents shorter than n words).
 
     Pure JVM higher-order functions (split -> filter empties -> slice
-    n-grams -> array_distinct); no shuffle, no Python.  sequence(1, k) is
-    guarded for k < 1 — Spark's sequence STEPS DOWNWARD when stop < start
-    (see bucketed_range_join), so an unguarded empty doc would explode a
-    descending index list."""
-    words = F.filter(F.split(F.col(text), " "), lambda w: F.length(w) > 0)
-    d = df.withColumn("__ws", words).withColumn(
+    n-grams -> array_distinct); no shuffle, no Python."""
+    d = df.withColumn("__ws", split_words(text)).withColumn(
         "__k", F.greatest(F.size("__ws") - (n - 1), F.lit(0))
     )
-    ngrams = F.when(
-        F.col("__k") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.col("__k")),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = d.withColumn("__ng", ngrams)
+    d = d.withColumn("__ng", ngram_array(F.col("__ws"), n))
     rep = F.when(
         F.col("__k") >= 1,
         F.floor(

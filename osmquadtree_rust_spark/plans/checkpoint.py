@@ -311,6 +311,19 @@ def read_changes_between(
     if not entries:
         raise ValueError(f"no filelist at {base}")
     sel = [e for e in entries if int(ts_lo) < e["timestamp"] <= int(ts_hi)]
+    bases = [e for e in sel if e.get("kind") == "base"]
+    if bases:
+        # a base entry inside the window means history up to that point
+        # was squashed: the squashed snapshot is a full world with
+        # tombstones resolved, NOT a delta — returning it would silently
+        # violate apply(world(lo), delta) == world(hi) (resurrected
+        # deletes).  The caller's lo predates the squash point; they must
+        # re-baseline from an as-of read instead.
+        raise ValueError(
+            f"window ({ts_lo}, {ts_hi}] crosses base snapshot(s) "
+            f"{[e['snapshot'] for e in bases]} (history squashed); "
+            f"re-baseline with read_snapshot_as_of"
+        )
     if not sel:
         # legitimate empty window: 0 rows with the store's schema
         return read_snapshot(spark, base, entries[0]["snapshot"]).limit(0)
@@ -368,18 +381,26 @@ def squash_snapshots(
     return lineage
 
 
-def vacuum(base: str) -> list[str]:
+def vacuum(base: str, grace_seconds: float = 3600.0) -> list[str]:
     """Delete snapshot data (and its metrics/lineage/id-index) no longer
     referenced by the filelist — the expire-snapshots cleanup that makes
     `squash_snapshots` actually reclaim space.  Returns the removed
-    snapshot ids."""
+    snapshot ids.
+
+    `grace_seconds` protects in-flight commits: a writer may have
+    finished write_tiles_checkpointed but not yet reached
+    append_filelist, so unreferenced directories modified within the
+    grace window are left alone (the same reason Iceberg's
+    remove-orphan-files defaults to a multi-day horizon).  Pass 0 only
+    when no writer can be active."""
     import shutil
 
     live = {e["snapshot"] for e in read_filelist(base)}
+    now = time.time()
     removed = []
     for d in glob.glob(f"{base}/snapshot=*"):
         snap = os.path.basename(d).split("=", 1)[1]
-        if snap not in live:
+        if snap not in live and now - os.path.getmtime(d) >= grace_seconds:
             shutil.rmtree(d, ignore_errors=True)
             for aux in (
                 f"{base}/_metrics/snapshot={snap}",

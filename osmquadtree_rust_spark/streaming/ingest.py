@@ -119,11 +119,15 @@ def write_state(path: str, sequence: int, timestamp: int = 0) -> None:
 def pending_sequences(state_path: str, remote_dir: str) -> list[int]:
     """Sequences ready to apply, ascending and GAP-FREE: starting from
     local_sequence+1 (or the smallest available sequence when no state
-    exists yet), stop at the first missing sequence.  A gap means a diff
-    is still in flight or arrived out of order — applying past it would
-    advance the state beyond it and lose the diff forever (the reference
-    contract is 'every diff from local+1 .. remote, strictly in order',
-    run_update.rs:51-164)."""
+    exists yet), stop at the first missing sequence — applying past a gap
+    would advance the state beyond it and lose the diff forever (the
+    reference contract is 'every diff from local+1 .. remote, strictly in
+    order', run_update.rs:51-164).  Replication publishes sequences
+    strictly in order, so a missing local+1 with NOTHING later available
+    means we are current ([]); a missing local+1 with LATER sequences
+    present means it was pruned from the remote and can never arrive —
+    that raises instead of returning [], which would be indistinguishable
+    from 'caught up' and stall the daemon silently forever."""
     import glob
     import os
     import re
@@ -137,6 +141,17 @@ def pending_sequences(state_path: str, remote_dir: str) -> list[int]:
             avail.add(int(m.group(1)))
     if not avail:
         return []
+    if local >= 0 and min(avail) > local + 1:
+        # unrecoverable: the next needed diff has been pruned from the
+        # remote (min available is already past it).  This must NOT look
+        # like "caught up" — silently returning [] would stall the daemon
+        # forever while it believes it is current.  (A missing local+1
+        # with nothing later available is the normal in-flight case and
+        # still returns [].)
+        raise ValueError(
+            f"replication gap: need sequence {local + 1} but remote "
+            f"starts at {min(avail)} — re-baseline from a snapshot"
+        )
     seqs = []
     nxt = local + 1 if local >= 0 else min(avail)
     while nxt in avail:

@@ -272,8 +272,12 @@ def test_squash_and_vacuum(spark, tmp_path):
     with pytest.raises(ValueError):
         CK.squash_snapshots(spark, base, 300, "sq0")
 
-    # vacuum removes exactly the two dead snapshots
-    assert CK.vacuum(base) == ["s0", "s1"]
+    # default grace window protects freshly-written (possibly in-flight,
+    # not-yet-registered) snapshot dirs from removal
+    assert CK.vacuum(base) == []
+    assert os.path.exists(f"{base}/snapshot=s0")
+    # vacuum removes exactly the two dead snapshots once the grace is off
+    assert CK.vacuum(base, grace_seconds=0) == ["s0", "s1"]
     assert not os.path.exists(f"{base}/snapshot=s0")
     assert os.path.exists(f"{base}/snapshot=sq0")
     # the store still reads correctly from the survivors

@@ -305,7 +305,7 @@ def test_replication_gap_stops_catchup(spark, tmp_path):
 
     remote = str(tmp_path / "remote")
     state = str(tmp_path / "state.txt")
-    for seq in (3, 4, 6, 7):  # 5 is missing (in flight / out of order)
+    for seq in (3, 4, 6, 7):  # 5 is missing: catch-up must stop before it
         spark.createDataFrame([(seq,)], "id long").write.parquet(
             f"{remote}/{seq:09d}.parquet"
         )
@@ -570,3 +570,55 @@ def test_sample_by_hash_properties(spark):
     assert 800 <= len(s50 & other) <= 1200
     with pytest.raises(ValueError):
         TX.sample_by_hash(df, rate_ppm=2000000)
+
+
+def test_review_fixes_r3(spark, tmp_path):
+    """Round-3 review fixes: incremental window may not cross a squash
+    base; pruned replication gap raises instead of posing as caught-up;
+    hostile \\x01\\x02 input cannot corrupt normalize collapse; bucketed
+    temporal ops reject non-positive buckets."""
+    from osmquadtree_rust_spark.operators import temporal as TMP
+    from osmquadtree_rust_spark.operators import text as TX
+    from osmquadtree_rust_spark.plans import checkpoint as CK
+    from osmquadtree_rust_spark.streaming import ingest as I
+
+    # --- incremental read refuses windows crossing a squashed base
+    base = str(tmp_path / "store")
+    s0 = spark.range(0, 10).select(
+        F.col("id"), F.lit(0).cast("long").alias("changetype"),
+        (F.col("id") % 2).alias("tile"),
+    )
+    CK.write_tiles_checkpointed(s0, base, "s0", n_batches=2)
+    CK.append_filelist(base, "s0", 100, "base")
+    CK.write_tiles_checkpointed(s0.limit(4), base, "s1", n_batches=2)
+    CK.append_filelist(base, "s1", 150, "change")
+    CK.squash_snapshots(spark, base, 150, "sq0", n_batches=2)
+    with pytest.raises(ValueError, match="squash"):
+        CK.read_changes_between(spark, base, 100, 150)
+
+    # --- pruned replication gap raises; caught-up still returns []
+    remote = str(tmp_path / "remote")
+    state = str(tmp_path / "state.txt")
+    for seq in (100, 101):
+        spark.createDataFrame([(seq,)], "id long").write.parquet(
+            f"{remote}/{seq:09d}.parquet"
+        )
+    I.write_state(state, 10)
+    with pytest.raises(ValueError, match="replication gap"):
+        I.pending_sequences(state, remote)
+    I.write_state(state, 101)  # fully applied -> genuinely caught up
+    assert I.pending_sequences(state, remote) == []
+
+    # --- \x01\x02 in input folds to whitespace, never merges words
+    df = spark.createDataFrame([("foo\x01\x02 bar",), ("foo bar",)], "text string")
+    got = [r.norm_text for r in TX.with_normalized_text(df).collect()]
+    assert got == ["foo bar", "foo bar"]
+
+    # --- non-positive buckets rejected
+    ev = spark.createDataFrame([(1, 5)], "k long, ets long")
+    up = spark.createDataFrame([(1, 3, 1.0)], "k long, ets long, price double")
+    with pytest.raises(ValueError, match="bucket"):
+        TMP.asof_join_bucketed(ev, up, key="k", ts="ets", bucket=0)
+    iv = spark.createDataFrame([(1, 0, 10)], "iv_id long, start long, end long")
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        TMP.bucketed_range_join(ev, iv, ts="ets", bucket_seconds=0)
