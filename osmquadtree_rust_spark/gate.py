@@ -148,6 +148,39 @@ def _qch_o() -> str:
     )
 
 
+_ROLLUP_DEPTHS = (4, 10, 17)
+
+
+@_register("qt_rollup_pyramid")
+def _qrp(spark, sf_dir):
+    # tile-pyramid rollup: one pass produces every level's histogram;
+    # level consistency (parent count == sum of children) is implied by
+    # the per-level hash match against the independently-computed oracle
+    from .operators import count as CNT
+
+    pts = _events_points(spark, sf_dir)
+    cells = qs.with_point_qt(pts, "lon", "lat")
+    return CNT.qt_rollup(cells, depths=_ROLLUP_DEPTHS).select(
+        F.col("depth").cast("long"),
+        F.col("cell").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("qt_rollup_pyramid")
+def _qrp_o() -> str:
+    inner = qsql.qt_calculate_point_subquery(
+        _events_synth_sql(), "lon", "lat", "qt", ("event_id",)
+    )
+    levels = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS depth, "
+        f"CAST({qsql.qt_round_sql('qt', d)} AS BIGINT) AS cell, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2"
+        for d in _ROLLUP_DEPTHS
+    )
+    return f"WITH pts AS MATERIALIZED ({inner}) {levels}"
+
+
 @_register("qt_footprint_cells")
 def _qfc(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id")

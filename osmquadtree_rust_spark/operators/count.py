@@ -74,3 +74,44 @@ def count_by_changetype(df: DataFrame) -> DataFrame:
         )
         .orderBy("changetype")
     )
+
+
+def qt_rollup(
+    df: DataFrame, qt_col: str = "qt", depths: tuple[int, ...] = (4, 8, 12, 17)
+) -> DataFrame:
+    """Multi-depth spatial rollup: row counts per quadtree ancestor cell
+    at EACH requested depth — the tile-pyramid / hypertable-rollup
+    aggregation over the qt index (parent cell count == sum of its
+    children, so every pyramid level comes from the same pass).
+
+    One map-side projection explodes each row into len(depths)
+    (depth, ancestor-cell) pairs, then ONE keyed shuffle aggregates all
+    levels together — instead of len(depths) separate scans+shuffles.
+    The ancestor truncation is the shared qt_round bit math
+    (functions/qt_sql.qt_round_sql, reference quadtree.rs:450-458), so
+    the DuckDB oracle runs the identical expression text."""
+    from ..functions import qt_sql as qsql
+
+    ds = [int(d) for d in depths]
+    if not ds or len(set(ds)) != len(ds):
+        raise ValueError(f"depths={depths!r} must be non-empty and distinct")
+    for d in ds:
+        if not 0 <= d <= 18:
+            raise ValueError(f"depth {d} outside [0, 18]")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("depth"),
+                F.expr(qsql.qt_round_sql(qt_col, d, qsql.SPARK))
+                .cast("long")
+                .alias("cell"),
+            )
+            for d in ds
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.depth").alias("depth"), F.col("p.cell").alias("cell"))
+        .groupBy("depth", "cell")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -622,3 +622,41 @@ def test_review_fixes_r3(spark, tmp_path):
     iv = spark.createDataFrame([(1, 0, 10)], "iv_id long, start long, end long")
     with pytest.raises(ValueError, match="bucket_seconds"):
         TMP.bucketed_range_join(ev, iv, ts="ets", bucket_seconds=0)
+
+
+def test_qt_rollup_pyramid_consistency(spark):
+    """Parent count == sum of children across adjacent levels; total per
+    level == row count; validations reject bad depths."""
+    from osmquadtree_rust_spark.functions import qt_spark as QS
+    from osmquadtree_rust_spark.operators import count as CNT
+
+    rng = np.random.RandomState(3)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(3000, dtype=np.int64),
+                "lon": rng.randint(-1_700_000_000, 1_700_000_000, 3000).astype(np.int64),
+                "lat": rng.randint(-800_000_000, 800_000_000, 3000).astype(np.int64),
+            }
+        )
+    )
+    cells = QS.with_point_qt(pts, "lon", "lat")
+    out = CNT.qt_rollup(cells, depths=(3, 6, 12)).collect()
+    by_depth = {}
+    for r in out:
+        by_depth.setdefault(r.depth, {})[r.cell] = r.cnt
+    assert all(sum(v.values()) == 3000 for v in by_depth.values())
+    # every depth-6 cell's ancestor at depth 3 accumulates its count
+    from osmquadtree_rust_spark.functions import qt_numpy as QN
+
+    roll = {}
+    for cell, cnt in by_depth[6].items():
+        anc = int(QN.qt_round(np.int64(cell), 3))
+        roll[anc] = roll.get(anc, 0) + cnt
+    assert roll == by_depth[3]
+    with pytest.raises(ValueError):
+        CNT.qt_rollup(cells, depths=())
+    with pytest.raises(ValueError):
+        CNT.qt_rollup(cells, depths=(4, 4))
+    with pytest.raises(ValueError):
+        CNT.qt_rollup(cells, depths=(19,))
