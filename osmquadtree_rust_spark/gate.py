@@ -1197,6 +1197,148 @@ SELECT 'way' AS cls, CAST(way_id AS BIGINT) AS id FROM sel_ways
 
 
 # ===========================================================================
+# mergechanges composed end-to-end (the reference's flagship extract
+# command, utils/src/commands/mergechanges.rs): apply changes (node moves
+# + way deletes, via the REAL merge operator) -> bbox filter -> id
+# closure (ways complete, exnodes included) -> qt per surviving element.
+# The individual stages are each gated; this pins their interaction —
+# moved nodes change closure membership AND way bboxes/qts, deleted ways
+# drop their exclusive nodes.
+# ===========================================================================
+
+_MX_SHIFT = 5_000_000
+
+
+@_register("mergechanges_extract")
+def _mx(spark, sf_dir):
+    from .operators import merge as M
+    from .operators.filter import bbox_contains_point
+
+    edges = _lineitem_edges(spark, sf_dir)
+    em = synth.synth_geo_exprs(f"(node_id + {_MX_SHIFT})")
+
+    nodes0 = edges.select("node_id", "lon", "lat").distinct().withColumn(
+        "changetype", F.lit(0)
+    )
+    moved = (
+        nodes0.filter(F.col("node_id") % 9 == 2)
+        .withColumn("lon", F.expr(em["lon"]))
+        .withColumn("lat", F.expr(em["lat"]))
+        .withColumn("changetype", F.lit(M.MODIFY))
+    )
+    mnodes = M.apply_changes(nodes0, moved, keys=("node_id",)).drop("changetype")
+
+    ways0 = edges.select("way_id").distinct().withColumn("changetype", F.lit(0))
+    wdel = ways0.filter(F.col("way_id") % 23 == 1).withColumn(
+        "changetype", F.lit(M.DELETE)
+    )
+    mways = M.apply_changes(ways0, wdel, keys=("way_id",)).select("way_id")
+
+    medges = (
+        edges.select("way_id", "node_id")
+        .join(mways, "way_id", "left_semi")
+        .join(mnodes, "node_id")
+    )
+    in_nodes = (
+        medges.filter(bbox_contains_point(_CLOSURE_BBOX))
+        .select("node_id")
+        .distinct()
+    )
+    sel_ways = (
+        medges.join(in_nodes, "node_id", "left_semi").select("way_id").distinct()
+    )
+    exnodes = (
+        medges.join(sel_ways, "way_id", "left_semi")
+        .select("node_id")
+        .distinct()
+        .join(in_nodes, "node_id", "left_anti")
+    )
+    sel_nodes = in_nodes.select(F.lit("node").alias("cls"), "node_id").unionByName(
+        exnodes.select(F.lit("exnode").alias("cls"), "node_id")
+    )
+    nq = qs.with_point_qt(sel_nodes.join(mnodes, "node_id"), "lon", "lat")
+    boxes = (
+        medges.join(sel_ways, "way_id", "left_semi")
+        .groupBy("way_id")
+        .agg(
+            F.min("lon").alias("minlon"),
+            F.min("lat").alias("minlat"),
+            F.max("lon").alias("maxlon"),
+            F.max("lat").alias("maxlat"),
+        )
+    )
+    wq = qs.with_bbox_qt(boxes, "minlon", "minlat", "maxlon", "maxlat")
+    return nq.select(
+        "cls", F.col("node_id").cast("long").alias("id"), F.col("qt").cast("long")
+    ).unionByName(
+        wq.select(
+            F.lit("way").alias("cls"),
+            F.col("way_id").cast("long").alias("id"),
+            F.col("qt").cast("long"),
+        )
+    )
+
+
+@_oracle("mergechanges_extract")
+def _mx_o() -> str:
+    a, b, c, d = _CLOSURE_BBOX
+    em = synth.synth_geo_exprs(f"(node_id + {_MX_SHIFT})")
+    nq = qsql.qt_calculate_point_subquery(
+        "SELECT s.cls, s.node_id, n.lon, n.lat FROM sel_nodes s "
+        "JOIN mnodes n ON n.node_id = s.node_id",
+        "lon",
+        "lat",
+        "qt",
+        ("cls", "node_id"),
+    )
+    wq = qsql.qt_calculate_subquery(
+        "SELECT way_id, MIN(lon) AS minlon, MIN(lat) AS minlat, "
+        "MAX(lon) AS maxlon, MAX(lat) AS maxlat FROM medges "
+        "WHERE way_id IN (SELECT way_id FROM sel_ways) GROUP BY way_id",
+        "minlon",
+        "minlat",
+        "maxlon",
+        "maxlat",
+        "qt",
+        ("way_id",),
+    )
+    return f"""
+WITH edges AS MATERIALIZED ({_edges_sql()}),
+mnodes AS MATERIALIZED (
+  SELECT DISTINCT node_id,
+         CASE WHEN node_id % 9 = 2 THEN {em['lon']} ELSE lon END AS lon,
+         CASE WHEN node_id % 9 = 2 THEN {em['lat']} ELSE lat END AS lat
+  FROM edges
+),
+medges AS MATERIALIZED (
+  SELECT e.way_id, e.node_id, n.lon, n.lat
+  FROM (SELECT way_id, node_id FROM edges WHERE way_id % 23 <> 1) e
+  JOIN mnodes n ON n.node_id = e.node_id
+),
+in_nodes AS MATERIALIZED (
+  SELECT DISTINCT node_id FROM medges
+  WHERE lon >= {a} AND lat >= {b} AND lon <= {c} AND lat <= {d}
+),
+sel_ways AS MATERIALIZED (
+  SELECT DISTINCT way_id FROM medges
+  WHERE node_id IN (SELECT node_id FROM in_nodes)
+),
+sel_nodes AS MATERIALIZED (
+  SELECT 'node' AS cls, node_id FROM in_nodes
+  UNION ALL
+  SELECT 'exnode', node_id FROM (
+    SELECT DISTINCT node_id FROM medges
+    WHERE way_id IN (SELECT way_id FROM sel_ways)
+      AND node_id NOT IN (SELECT node_id FROM in_nodes)
+  ) x
+)
+SELECT cls, CAST(node_id AS BIGINT) AS id, CAST(qt AS BIGINT) AS qt FROM ({nq}) nqq
+UNION ALL
+SELECT 'way' AS cls, CAST(way_id AS BIGINT) AS id, CAST(qt AS BIGINT) AS qt FROM ({wq}) wqq
+"""
+
+
+# ===========================================================================
 # 9. windowed event aggregation (streaming shape on the static frame;
 #    hour buckets as epoch ints so both engines bucket identically)
 # ===========================================================================
