@@ -65,18 +65,18 @@ def geohash_int_sql(lon: str, lat: str, chars: int = 8, dialect: str = "duckdb")
     """
     if chars > 8:
         raise ValueError("geohash_int_sql supports chars <= 8")
+    x, y = geohash_xy_sql(lon, lat, chars, dialect)
+    return interleave_sql(x, y, chars, dialect)
+
+
+def geohash_xy_sql(
+    lon: str, lat: str, chars: int = 8, dialect: str = "duckdb"
+) -> tuple[str, str]:
+    """The cell's integer grid coordinates (x = lon index of lon_bits
+    bits, y = lat index) as SQL text — the de-interleaved form the
+    neighbor math operates on."""
     lon_bits, lat_bits = _bits_for(chars)
-
-    def shl(x, n):
-        if dialect == "spark":
-            return f"shiftleft({x}, {n})"
-        return f"(({x}) << ({n}))"
-
-    def shr(x, n):
-        if dialect == "spark":
-            return f"shiftright({x}, {n})"
-        return f"(({x}) >> ({n}))"
-
+    shl = _shl_fn(dialect)
     lon_u = f"(CAST({lon} AS BIGINT) + 1800000000)"
     lat_u = f"(CAST({lat} AS BIGINT) + 900000000)"
     xm = shl(lon_u, lon_bits)
@@ -89,6 +89,15 @@ def geohash_int_sql(lon: str, lat: str, chars: int = 8, dialect: str = "duckdb")
         f"LEAST(CAST(({ym} - ({ym}) % 1800000000) / 1800000000.0 AS BIGINT), "
         f"{(1 << lat_bits) - 1})"
     )
+    return x, y
+
+
+def interleave_sql(x: str, y: str, chars: int, dialect: str = "duckdb") -> str:
+    """Geohash bit interleave (lon first) of integer grid coordinates.
+    Keep x/y SMALL expressions (ideally plain column names) — each is
+    inlined once per bit."""
+    lon_bits, lat_bits = _bits_for(chars)
+    shl, shr = _shl_fn(dialect), _shr_fn(dialect)
     terms = []
     for i in range(5 * chars):
         pos = 5 * chars - 1 - i
@@ -98,3 +107,15 @@ def geohash_int_sql(lon: str, lat: str, chars: int = 8, dialect: str = "duckdb")
             src = shr(y, lat_bits - 1 - i // 2)
         terms.append(shl(f"(({src}) & 1)", pos))
     return "(" + " + ".join(terms) + ")"
+
+
+def _shl_fn(dialect: str):
+    if dialect == "spark":
+        return lambda x, n: f"shiftleft({x}, {n})"
+    return lambda x, n: f"(({x}) << ({n}))"
+
+
+def _shr_fn(dialect: str):
+    if dialect == "spark":
+        return lambda x, n: f"shiftright({x}, {n})"
+    return lambda x, n: f"(({x}) >> ({n}))"

@@ -1640,6 +1640,50 @@ WHERE d > 0 AND na > 0 AND nb > 0
 #     in both engines via integer bit math)
 # ===========================================================================
 
+_GHN_CHARS = 6
+
+
+@_register("geohash_neighbors")
+def _ghn(spark, sf_dir):
+    # up-to-8 surrounding cells per point: the recall-complete equi-join
+    # prefilter for geohash radius joins (antimeridian wraps, pole rows
+    # dropped) — pure shared integer bit math on the (x, y) grid
+    from .operators.spatial_join import geohash_neighbors
+
+    pts = _events_points(spark, sf_dir)
+    return geohash_neighbors(
+        pts, chars=_GHN_CHARS, id_col="event_id"
+    ).select(
+        F.col("event_id").cast("long"),
+        F.col("k").cast("long"),
+        F.col("neighbor").cast("long"),
+    )
+
+
+@_oracle("geohash_neighbors")
+def _ghn_o() -> str:
+    from .functions import geohash as GH
+
+    lon_bits, lat_bits = GH._bits_for(_GHN_CHARS)
+    m = 1 << lon_bits
+    x, y = GH.geohash_xy_sql("lon", "lat", _GHN_CHARS)
+    code = GH.interleave_sql(f"((x + dx + {m}) % {m})", "(y + dy)", _GHN_CHARS)
+    from .operators.spatial_join import NEIGHBOR_OFFSETS
+
+    vals = ", ".join(
+        f"({k}, {dx}, {dy})" for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)
+    )
+    return f"""
+WITH pts AS MATERIALIZED ({_events_synth_sql()}),
+g AS MATERIALIZED (SELECT event_id, {x} AS x, {y} AS y FROM pts),
+o(k, dx, dy) AS (VALUES {vals})
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(k AS BIGINT) AS k,
+       CAST({code} AS BIGINT) AS neighbor
+FROM g CROSS JOIN o
+WHERE y + dy >= 0 AND y + dy < {1 << lat_bits}
+"""
+
+
 @_register("geohash_cells")
 def _gh(spark, sf_dir):
     from .functions import geohash as GH

@@ -117,3 +117,55 @@ def pip_join(
                 )
 
     return points.select(id_col, lon, lat).mapInPandas(probe, schema)
+
+
+# W/E/S/SW/SE/N/NW/NE — the gate oracle mirrors this exact order
+NEIGHBOR_OFFSETS = [(-1, 0), (1, 0), (0, -1), (-1, -1), (1, -1), (0, 1), (-1, 1), (1, 1)]
+
+
+def geohash_neighbors(
+    points: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    chars: int = 6,
+    id_col: str = "id",
+) -> DataFrame:
+    """Explode each point into its geohash cell's up-to-8 surrounding
+    cells — the standard candidate-generation step for geohash radius /
+    proximity joins (two points within a cell width of each other always
+    share a cell or a neighbor pair, so `points x geohash_neighbors` is a
+    recall-complete equi-join prefilter for the exact distance verify).
+
+    Pure integer bit math on the de-interleaved (x, y) grid: longitude
+    wraps across the antimeridian (mod 2^lon_bits), latitude rows beyond
+    the poles are dropped (3 fewer neighbors in the top/bottom row).
+    Returns (id, k, neighbor) with k = 0..7 the offset index, row order
+    W/E/S/SW/SE/N/NW/NE.  Shares geohash_xy_sql / interleave_sql with the
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from ..functions import geohash as GH
+
+    spark = points.sparkSession
+    lon_bits, lat_bits = GH._bits_for(chars)
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
+    base = points.select(
+        F.col(id_col), F.expr(xs).alias("__x"), F.expr(ys).alias("__y")
+    )
+    offsets = spark.createDataFrame(
+        [(k, dx, dy) for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)],
+        "k int, dx int, dy int",
+    )
+    m = 1 << lon_bits
+    joined = base.join(F.broadcast(offsets))
+    xn = f"pmod(__x + dx, {m})"
+    yn = "(__y + dy)"
+    code = GH.interleave_sql(f"({xn})", f"({yn})", chars, "spark")
+    return (
+        joined.filter(F.expr(f"{yn} >= 0 AND {yn} < {1 << lat_bits}"))
+        .select(
+            F.col(id_col),
+            F.col("k").cast("long"),
+            F.expr(code).cast("long").alias("neighbor"),
+        )
+    )

@@ -660,3 +660,39 @@ def test_qt_rollup_pyramid_consistency(spark):
         CNT.qt_rollup(cells, depths=(4, 4))
     with pytest.raises(ValueError):
         CNT.qt_rollup(cells, depths=(19,))
+
+
+def test_geohash_neighbors_wrap_pole_and_recall(spark):
+    """Antimeridian wrap, pole-row truncation, self-exclusion, and the
+    proximity-recall property (nearby points share cell or neighbor)."""
+    from osmquadtree_rust_spark.functions import geohash as GH
+    from osmquadtree_rust_spark.operators.spatial_join import geohash_neighbors
+
+    chars = 4
+    pts = spark.createDataFrame(
+        [
+            (1, 1799999999, 0),        # just west of the antimeridian
+            (2, -1800000000, 0),       # just east of it (wrapped)
+            (3, 0, 899999999),         # top latitude row
+            (4, 0, 0),
+            (5, 1000, 1000),           # same cell as 4 at chars=4
+        ],
+        "id long, lon long, lat long",
+    )
+    rows = geohash_neighbors(pts, chars=chars).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, set()).add(r.neighbor)
+    cells = {
+        r.id: int(GH.geohash_int_np(np.array([r.lon]), np.array([r.lat]), chars)[0])
+        for r in pts.collect()
+    }
+    # top-row point loses its 3 northern neighbors
+    assert len(by_id[3]) == 5 and all(len(by_id[i]) == 8 for i in (1, 2, 4, 5))
+    # a cell is never its own neighbor
+    assert all(cells[i] not in by_id[i] for i in by_id)
+    # antimeridian: the wrapped points are mutual neighbors
+    assert cells[2] in by_id[1] and cells[1] in by_id[2]
+    # proximity recall: co-located points share a cell (trivially) and
+    # each neighbor set contains the other's cell only if cells differ
+    assert cells[4] == cells[5]
