@@ -1684,6 +1684,51 @@ WHERE y + dy >= 0 AND y + dy < {1 << lat_bits}
 """
 
 
+_GRJ_D = 40000  # 0.004 deg in 1e-7 fixed-point — under the chars=6 cell span
+_GRJ_FOLD = "((%s %% 10000000 + 10000000) %% 10000000)"  # densify into 1x1 deg
+
+
+@_register("geohash_radius_join")
+def _grj(spark, sf_dir):
+    # radius self-join through the neighbor-cell candidate generator;
+    # points folded into a 1x1-degree window so the synthetic world is
+    # dense enough for pairs to exist (the fold is shared SQL text)
+    from .operators.spatial_join import geohash_radius_join
+
+    pts = _events_points(spark, sf_dir).select(
+        "event_id",
+        F.expr(_GRJ_FOLD % "lon").alias("flon"),
+        F.expr(_GRJ_FOLD % "lat").alias("flat"),
+    )
+    return geohash_radius_join(
+        pts, _GRJ_D, lon="flon", lat="flat", chars=6, id_col="event_id"
+    ).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("dist_sq").cast("long"),
+    )
+
+
+@_oracle("geohash_radius_join")
+def _grj_o() -> str:
+    fold_lon = _GRJ_FOLD % "lon"
+    fold_lat = _GRJ_FOLD % "lat"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id, {fold_lon} AS flon, {fold_lat} AS flat
+  FROM ({_events_synth_sql()}) e
+)
+SELECT CAST(a.event_id AS BIGINT) AS a, CAST(b.event_id AS BIGINT) AS b,
+       CAST(LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
+            * LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
+            + ABS(a.flat - b.flat) * ABS(a.flat - b.flat) AS BIGINT) AS dist_sq
+FROM pts a JOIN pts b ON a.event_id < b.event_id
+WHERE LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
+      * LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
+      + ABS(a.flat - b.flat) * ABS(a.flat - b.flat) <= {_GRJ_D * _GRJ_D}
+"""
+
+
 @_register("geohash_cells")
 def _gh(spark, sf_dir):
     from .functions import geohash as GH

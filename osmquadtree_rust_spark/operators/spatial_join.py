@@ -129,6 +129,7 @@ def geohash_neighbors(
     lat: str = "lat",
     chars: int = 6,
     id_col: str = "id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Explode each point into its geohash cell's up-to-8 surrounding
     cells — the standard candidate-generation step for geohash radius /
@@ -150,7 +151,10 @@ def geohash_neighbors(
     lon_bits, lat_bits = GH._bits_for(chars)
     xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
     base = points.select(
-        F.col(id_col), F.expr(xs).alias("__x"), F.expr(ys).alias("__y")
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.expr(xs).alias("__x"),
+        F.expr(ys).alias("__y"),
     )
     offsets = spark.createDataFrame(
         [(k, dx, dy) for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)],
@@ -165,7 +169,78 @@ def geohash_neighbors(
         joined.filter(F.expr(f"{yn} >= 0 AND {yn} < {1 << lat_bits}"))
         .select(
             F.col(id_col),
+            *[F.col(c) for c in carry_cols],
             F.col("k").cast("long"),
             F.expr(code).cast("long").alias("neighbor"),
         )
+    )
+
+
+def geohash_radius_join(
+    points: DataFrame,
+    d_fixed: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    chars: int = 6,
+    id_col: str = "id",
+) -> DataFrame:
+    """All pairs (a < b) within Euclidean distance `d_fixed` (1e-7-degree
+    fixed-point units, longitude wrapped at the antimeridian): candidates
+    are the own-cell x (own+neighbor)-cells EQUI-join — recall-complete
+    because two points within d <= one cell span sit in cells differing
+    by at most 1 in each grid axis — then the exact integer distance
+    verify.  Coordinates ride THROUGH the candidate join (no join-back).
+
+    Everything is int64-exact: wrapped dlon <= 1.8e9 so dlon^2 + dlat^2
+    < 2^63; the DuckDB oracle may therefore stay brute-force quadratic.
+    Raises when d_fixed exceeds the cell span at `chars` (recall would
+    silently drop far-in-grid pairs) — pick fewer chars for larger
+    radii."""
+    from pyspark.sql import functions as F
+
+    from ..functions import geohash as GH
+
+    lon_bits, lat_bits = GH._bits_for(chars)
+    span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
+    if not 0 < int(d_fixed) <= span:
+        raise ValueError(
+            f"d_fixed={d_fixed} outside (0, {span}] for chars={chars} — "
+            f"recall-completeness needs d <= cell span"
+        )
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
+    code = GH.interleave_sql("(__x)", "(__y)", chars, "spark")
+    own = points.select(
+        F.col(id_col).alias("a"),
+        F.col(lon).alias("__alon"),
+        F.col(lat).alias("__alat"),
+        F.expr(xs).alias("__x"),
+        F.expr(ys).alias("__y"),
+    ).withColumn("code", F.expr(code).cast("long")).drop("__x", "__y")
+    bset = geohash_neighbors(
+        points, lon, lat, chars, id_col, carry_cols=(lon, lat)
+    ).select(
+        F.col(id_col).alias("b"),
+        F.col(lon).alias("__blon"),
+        F.col(lat).alias("__blat"),
+        F.col("neighbor").alias("code"),
+    ).unionByName(
+        own.select(
+            F.col("a").alias("b"),
+            F.col("__alon").alias("__blon"),
+            F.col("__alat").alias("__blat"),
+            "code",
+        )
+    )
+    dl = F.abs(F.col("__alon") - F.col("__blon"))
+    wl = F.least(dl, F.lit(3600000000) - dl)
+    da = F.abs(F.col("__alat") - F.col("__blat"))
+    return (
+        own.join(bset, "code")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist_sq", (wl * wl + da * da).cast("long"))
+        .filter(F.col("dist_sq") <= int(d_fixed) * int(d_fixed))
+        # no distinct needed: a pair matches exactly once — the a-side
+        # contributes its single own cell and the b-side's own+neighbor
+        # codes are all distinct, so (a, b) joins on at most one code
+        .select("a", "b", "dist_sq")
     )

@@ -696,3 +696,39 @@ def test_geohash_neighbors_wrap_pole_and_recall(spark):
     # proximity recall: co-located points share a cell (trivially) and
     # each neighbor set contains the other's cell only if cells differ
     assert cells[4] == cells[5]
+
+
+def test_geohash_radius_join_matches_bruteforce(spark):
+    """Random dense points + an antimeridian straddling pair: the
+    neighbor-candidate join must equal brute force exactly; oversized
+    radius raises (recall would silently break)."""
+    from osmquadtree_rust_spark.operators.spatial_join import geohash_radius_join
+
+    rng = np.random.RandomState(9)
+    n = 300
+    lons = rng.randint(0, 10_000_000, n).astype(np.int64)
+    lats = rng.randint(0, 10_000_000, n).astype(np.int64)
+    # straddle the antimeridian: two points 2000 fixed units apart
+    lons[0], lats[0] = 1_799_999_500, 5_000_000
+    lons[1], lats[1] = -1_799_998_500, 5_000_000
+    pts = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype=np.int64), "lon": lons, "lat": lats})
+    )
+    d = 40000
+    got = {
+        (r.a, r.b): r.dist_sq
+        for r in geohash_radius_join(pts, d, chars=6).collect()
+    }
+    exp = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            dl = abs(int(lons[i]) - int(lons[j]))
+            wl = min(dl, 3600000000 - dl)
+            da = abs(int(lats[i]) - int(lats[j]))
+            ds = wl * wl + da * da
+            if ds <= d * d:
+                exp[(i, j)] = ds
+    assert got == exp
+    assert (0, 1) in got and got[(0, 1)] == 2000 * 2000  # wrapped pair found
+    with pytest.raises(ValueError, match="cell span"):
+        geohash_radius_join(pts, 10_000_000, chars=6)
