@@ -1729,6 +1729,60 @@ WHERE LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
 """
 
 
+_BIJ_CAP = 200000  # span cap so chars=6 coverings stay ~3x3 cells
+
+
+@_register("bbox_intersection_join")
+def _bij(spark, sf_dir):
+    # rectangle-intersection self-join of the synthetic footprints via
+    # grid-covering candidates + reference-point dedup; spans capped and
+    # boxes folded into a dense 1x1-degree window (shared SQL text)
+    from .operators.spatial_join import bbox_intersection_join
+
+    e = synth.synth_geo_exprs("event_id")
+    fp = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(_GRJ_FOLD % f"({e['minlon']})").alias("minlon"),
+        F.expr(_GRJ_FOLD % f"({e['minlat']})").alias("minlat"),
+        F.expr(f"LEAST(({e['maxlon']}) - ({e['minlon']}), {_BIJ_CAP})").alias("__sx"),
+        F.expr(f"LEAST(({e['maxlat']}) - ({e['minlat']}), {_BIJ_CAP})").alias("__sy"),
+    ).select(
+        "event_id",
+        "minlon",
+        "minlat",
+        (F.col("minlon") + F.col("__sx")).alias("maxlon"),
+        (F.col("minlat") + F.col("__sy")).alias("maxlat"),
+    )
+    return bbox_intersection_join(fp, chars=6, id_col="event_id").select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("ix_area").cast("long"),
+    )
+
+
+@_oracle("bbox_intersection_join")
+def _bij_o() -> str:
+    e = synth.synth_geo_exprs("event_id")
+    fl = _GRJ_FOLD % f"({e['minlon']})"
+    fb = _GRJ_FOLD % f"({e['minlat']})"
+    sx = f"LEAST(({e['maxlon']}) - ({e['minlon']}), {_BIJ_CAP})"
+    sy = f"LEAST(({e['maxlat']}) - ({e['minlat']}), {_BIJ_CAP})"
+    return f"""
+WITH fp AS MATERIALIZED (
+  SELECT event_id, {fl} AS minlon, {fb} AS minlat,
+         {fl} + {sx} AS maxlon, {fb} + {sy} AS maxlat
+  FROM events
+)
+SELECT CAST(a.event_id AS BIGINT) AS a, CAST(b.event_id AS BIGINT) AS b,
+       CAST((LEAST(a.maxlon, b.maxlon) - GREATEST(a.minlon, b.minlon))
+            * (LEAST(a.maxlat, b.maxlat) - GREATEST(a.minlat, b.minlat))
+            AS BIGINT) AS ix_area
+FROM fp a JOIN fp b ON a.event_id < b.event_id
+WHERE a.minlon <= b.maxlon AND b.minlon <= a.maxlon
+  AND a.minlat <= b.maxlat AND b.minlat <= a.maxlat
+"""
+
+
 @_register("geohash_cells")
 def _gh(spark, sf_dir):
     from .functions import geohash as GH

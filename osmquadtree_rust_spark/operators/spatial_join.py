@@ -244,3 +244,105 @@ def geohash_radius_join(
         # codes are all distinct, so (a, b) joins on at most one code
         .select("a", "b", "dist_sq")
     )
+
+
+def bbox_intersection_join(
+    boxes: DataFrame,
+    chars: int = 6,
+    id_col: str = "id",
+    cols: tuple = ("minlon", "minlat", "maxlon", "maxlat"),
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Self-join of bboxes on exact rectangle intersection via the
+    integer geohash-grid covering: each box explodes into the depth-
+    `chars` grid cells it touches, candidates equi-join on the cell, and
+    each surviving pair is emitted from exactly ONE cell — the cell
+    containing the intersection's lower-left corner (the reference-point
+    dedup from the partitioned-spatial-join literature), so no distinct
+    shuffle is needed.  Recall-complete: the reference point of every
+    intersecting pair lies in both coverings.
+
+    Coverings are bounded by `max_cells_per_axis` (a box spanning more
+    cells raises inside the projection — a silent clamp would break
+    recall; lower `chars` for planet-scale boxes).  Pure int64 math
+    shared with the DuckDB oracle; boxes must not cross the antimeridian
+    (minlon <= maxlon)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import geohash as GH
+
+    mnx, mny, mxx, mxy = cols
+    x0s, y0s = GH.geohash_xy_sql(mnx, mny, chars, "spark")
+    x1s, y1s = GH.geohash_xy_sql(mxx, mxy, chars, "spark")
+
+    def guarded(lo: str, hi: str, axis: str) -> str:
+        return (
+            f"CASE WHEN ({hi}) - ({lo}) < {int(max_cells_per_axis)} THEN ({hi}) "
+            f"ELSE CAST(raise_error('bbox covering exceeds "
+            f"{int(max_cells_per_axis)} cells on {axis}; lower chars') "
+            f"AS BIGINT) END"
+        )
+
+    base = boxes.select(
+        F.col(id_col),
+        *[F.col(c) for c in cols],
+        F.expr(x0s).alias("__x0"),
+        F.expr(y0s).alias("__y0"),
+        F.expr(guarded(x0s, x1s, "lon")).alias("__x1"),
+        F.expr(guarded(y0s, y1s, "lat")).alias("__y1"),
+    )
+    cells = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in cols],
+        F.explode(F.expr("sequence(__x0, __x1)")).alias("__cx"),
+        "__y0",
+        "__y1",
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in cols],
+        "__cx",
+        F.explode(F.expr("sequence(__y0, __y1)")).alias("__cy"),
+    )
+    a = cells.select(
+        F.col(id_col).alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in cols],
+        "__cx",
+        "__cy",
+    )
+    b = cells.select(
+        F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in cols],
+        "__cx",
+        "__cy",
+    )
+    rx, _ = GH.geohash_xy_sql(f"GREATEST(a_{mnx}, b_{mnx})", f"GREATEST(a_{mny}, b_{mny})", chars, "spark")
+    _, ry = GH.geohash_xy_sql(f"GREATEST(a_{mnx}, b_{mnx})", f"GREATEST(a_{mny}, b_{mny})", chars, "spark")
+    return (
+        a.join(b, ["__cx", "__cy"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            (F.col(f"a_{mnx}") <= F.col(f"b_{mxx}"))
+            & (F.col(f"b_{mnx}") <= F.col(f"a_{mxx}"))
+            & (F.col(f"a_{mny}") <= F.col(f"b_{mxy}"))
+            & (F.col(f"b_{mny}") <= F.col(f"a_{mxy}"))
+        )
+        # reference-point dedup: emit only from the cell holding the
+        # intersection's lower-left corner
+        .filter(
+            (F.col("__cx") == F.expr(rx)) & (F.col("__cy") == F.expr(ry))
+        )
+        .withColumn(
+            "ix_area",
+            (
+                (
+                    F.least(F.col(f"a_{mxx}"), F.col(f"b_{mxx}"))
+                    - F.greatest(F.col(f"a_{mnx}"), F.col(f"b_{mnx}"))
+                )
+                * (
+                    F.least(F.col(f"a_{mxy}"), F.col(f"b_{mxy}"))
+                    - F.greatest(F.col(f"a_{mny}"), F.col(f"b_{mny}"))
+                )
+            ).cast("long"),
+        )
+        .select("a", "b", "ix_area")
+    )

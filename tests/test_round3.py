@@ -732,3 +732,43 @@ def test_geohash_radius_join_matches_bruteforce(spark):
     assert (0, 1) in got and got[(0, 1)] == 2000 * 2000  # wrapped pair found
     with pytest.raises(ValueError, match="cell span"):
         geohash_radius_join(pts, 10_000_000, chars=6)
+
+
+def test_bbox_intersection_join_bruteforce_and_guard(spark):
+    """Grid-covering + reference-point dedup equals brute force exactly
+    (each pair once); oversized coverings raise instead of losing
+    recall."""
+    from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
+
+    rng = np.random.RandomState(13)
+    n = 200
+    mnx = rng.randint(0, 9_000_000, n).astype(np.int64)
+    mny = rng.randint(0, 9_000_000, n).astype(np.int64)
+    w = rng.randint(1000, 300_000, n).astype(np.int64)
+    h = rng.randint(1000, 300_000, n).astype(np.int64)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": np.arange(n, dtype=np.int64), "minlon": mnx, "minlat": mny,
+             "maxlon": mnx + w, "maxlat": mny + h}
+        )
+    )
+    got = sorted(
+        (r.a, r.b, r.ix_area) for r in bbox_intersection_join(pts, chars=6).collect()
+    )
+    exp = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (mnx[i] <= mnx[j] + w[j] and mnx[j] <= mnx[i] + w[i]
+                    and mny[i] <= mny[j] + h[j] and mny[j] <= mny[i] + h[i]):
+                a = (min(mnx[i] + w[i], mnx[j] + w[j]) - max(mnx[i], mnx[j])) * (
+                    min(mny[i] + h[i], mny[j] + h[j]) - max(mny[i], mny[j])
+                )
+                exp.append((i, j, int(a)))
+    assert got == sorted(exp)
+    # a 2-degree-wide box spans >64 chars-6 cells -> hard error
+    big = spark.createDataFrame(
+        [(0, 0, 0, 20_000_000, 1000), (1, 0, 0, 1000, 1000)],
+        "id long, minlon long, minlat long, maxlon long, maxlat long",
+    )
+    with pytest.raises(Exception, match="covering exceeds"):
+        bbox_intersection_join(big, chars=6).collect()
