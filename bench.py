@@ -114,6 +114,9 @@ def main():
         "ngram_jaccard_neardup",
         "multimodal_neardup",
         "corpus_clean_stats",
+        "qt_rollup_pyramid",
+        "geohash_neighbors",
+        "mergechanges_extract",
     ]
     for name in bench_queries:
         fn = G.GATE[name]["spark"]
