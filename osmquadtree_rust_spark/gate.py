@@ -954,6 +954,58 @@ FROM ev e ASOF LEFT JOIN upd u
 """
 
 
+_ASOF_TOL = 50000  # staleness cutoff (seconds) — bites on a real fraction
+
+
+@_register("asof_join_tolerance")
+def _asof_join_t(spark, sf_dir):
+    # same inputs as asof_join_prices, with a staleness tolerance: a
+    # matched price older than event.ts - tolerance reverts to NULL.  The
+    # oracle is DuckDB's native ASOF executor plus the same cutoff on the
+    # matched update timestamp.
+    from .operators import temporal as TMP
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("ets"),
+    )
+    upd = _asof_updates(spark, sf_dir)
+    out = TMP.asof_join(ev, upd, key="user_id", ts="ets", tolerance=_ASOF_TOL)
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("ets").cast("long"),
+        F.col("price").cast("double"),
+    )
+
+
+@_oracle("asof_join_tolerance")
+def _asof_join_t_o() -> str:
+    return f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS ets
+  FROM events
+),
+u0 AS (
+  SELECT o_custkey % {_ASOF_USERS} AS user_id,
+         {_ASOF_TS0} + (o_orderkey * 37) % {_ASOF_SPAN} AS ets,
+         o_totalprice AS price, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey % {_ASOF_USERS},
+             {_ASOF_TS0} + (o_orderkey * 37) % {_ASOF_SPAN}
+             ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+),
+upd AS (SELECT user_id, ets, price FROM u0 WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ets,
+       CAST(CASE WHEN u.ets >= e.ets - {_ASOF_TOL} THEN u.price END
+            AS DOUBLE) AS price
+FROM ev e ASOF LEFT JOIN upd u
+  ON e.user_id = u.user_id AND e.ets >= u.ets
+"""
+
+
 @_register("asof_join_bucketed_prices")
 def _asof_join_b(spark, sf_dir):
     # identical inputs and oracle as asof_join_prices, driven through the

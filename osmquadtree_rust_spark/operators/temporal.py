@@ -26,9 +26,16 @@ def asof_join(
     key: str = "id",
     ts: str = "ts",
     payload_cols: tuple[str, ...] | None = None,
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each event row, attach the payload of the latest update with
     update.ts <= event.ts for the same key (NULL payload if none).
+
+    `tolerance` (same units as a NUMERIC ts column) nulls the payload
+    when the matched update is older than event.ts - tolerance — the
+    standard staleness cutoff in feature joins (a price from last month
+    should not back a trade today).  The matched update's ts rides inside
+    the payload struct, so the cutoff is a projection, not another join.
 
     Contract: `updates` must be unique per (key, ts) — pre-dedupe with
     dedup_max_version if not.  Implementation: union both sides tagged,
@@ -45,7 +52,11 @@ def asof_join(
             f"payload column(s) {sorted(clash)} collide with event columns; "
             f"rename one side before asof_join"
         )
-    reserved = {"__is_evt", "__upd"} & (set(ev_cols) | set(updates.columns))
+    if tolerance is not None and int(tolerance) < 0:
+        raise ValueError(f"tolerance={tolerance} must be >= 0")
+    reserved = {"__is_evt", "__upd", "__uts"} & (
+        set(ev_cols) | set(updates.columns)
+    )
     if reserved:
         raise ValueError(
             f"column(s) {sorted(reserved)} collide with asof_join's internal "
@@ -58,19 +69,17 @@ def asof_join(
     # resurrect an older value when the latest update's payload is
     # genuinely NULL and (b) stitch columns from different updates.
     upd_struct_type = F.struct(
-        *[F.col(c) for c in payload_cols]
+        F.col(ts).alias("__uts"), *[F.col(c) for c in payload_cols]
     )
+    struct_fields = [("__uts", updates.schema[ts].dataType.simpleString())] + [
+        (c, updates.schema[c].dataType.simpleString()) for c in payload_cols
+    ]
     tagged_e = events.select(
         *ev_cols,
         F.lit(1).alias("__is_evt"),
         F.lit(None)
         .cast(
-            "struct<"
-            + ", ".join(
-                f"{c}: {updates.schema[c].dataType.simpleString()}"
-                for c in payload_cols
-            )
-            + ">"
+            "struct<" + ", ".join(f"{c}: {t}" for c, t in struct_fields) + ">"
         )
         .alias("__upd"),
     )
@@ -92,11 +101,18 @@ def asof_join(
     filled = tagged_e.unionByName(tagged_u).withColumn(
         "__upd", F.last("__upd", ignorenulls=True).over(w)
     )
+    def out_col(c):
+        v = F.col(f"__upd.{c}")
+        if tolerance is None:
+            return v.alias(c)
+        fresh = F.col("__upd.__uts") >= F.col(ts) - F.lit(int(tolerance))
+        return F.when(fresh, v).alias(c)
+
     return (
         filled.filter(F.col("__is_evt") == 1)
         .select(
             *ev_cols,
-            *[F.col(f"__upd.{c}").alias(c) for c in payload_cols],
+            *[out_col(c) for c in payload_cols],
         )
     )
 

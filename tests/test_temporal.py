@@ -112,3 +112,25 @@ def test_connected_components_guards(spark):
         connected_components(verts, chain, max_iter=2)
     ok = connected_components(verts, chain, max_iter=10)
     assert {r.comp for r in ok.collect()} == {0}
+
+
+def test_asof_tolerance_cuts_stale_matches(spark):
+    from pyspark.sql import functions as F
+
+    from osmquadtree_rust_spark.operators.temporal import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)], "id long, ts long"
+    )
+    up = spark.createDataFrame([(1, 90, 5.0)], "id long, ts long, px double")
+    out = {(r.id, r.ts): r.px for r in asof_join(ev, up, tolerance=50).collect()}
+    assert out[(1, 100)] == 5.0      # 10 old, fresh
+    assert out[(1, 200)] is None     # 110 old, stale -> NULL
+    assert out[(2, 100)] is None     # never matched
+    # exact boundary is inclusive (uts >= ts - tol)
+    out2 = {(r.id, r.ts): r.px for r in asof_join(ev, up, tolerance=110).collect()}
+    assert out2[(1, 200)] == 5.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tolerance"):
+        asof_join(ev, up, tolerance=-1)
