@@ -1781,6 +1781,44 @@ WHERE LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
 """
 
 
+_GHR_LEVELS = (2, 4, 6)
+
+
+@_register("geohash_rollup")
+def _ghr(spark, sf_dir):
+    # prefix pyramid over the geohash index — qt_rollup's shape on the
+    # alternate index, one shuffle for every level
+    from .functions import geohash as GH
+    from .operators import count as CNT
+
+    pts = _events_points(spark, sf_dir)
+    code = F.expr(GH.geohash_int_sql("lon", "lat", 8, dialect="spark"))
+    return CNT.geohash_rollup(
+        pts.withColumn("gh", code), levels=_GHR_LEVELS
+    ).select(
+        F.col("chars").cast("long"),
+        F.col("prefix").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("geohash_rollup")
+def _ghr_o() -> str:
+    from .functions import geohash as GH
+
+    g = GH.geohash_int_sql("lon", "lat", 8)
+    levels = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS chars, "
+        f"CAST(gh >> {5 * (8 - k)} AS BIGINT) AS prefix, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM codes GROUP BY 1, 2"
+        for k in _GHR_LEVELS
+    )
+    return (
+        f"WITH codes AS MATERIALIZED "
+        f"(SELECT {g} AS gh FROM ({_events_synth_sql()}) e) {levels}"
+    )
+
+
 _BIJ_CAP = 200000  # span cap so chars=6 coverings stay ~3x3 cells
 
 

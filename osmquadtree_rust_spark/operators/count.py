@@ -115,3 +115,36 @@ def qt_rollup(
         .groupBy("depth", "cell")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def geohash_rollup(
+    df: DataFrame, code_col: str = "gh", full_chars: int = 8,
+    levels: tuple[int, ...] = (2, 4, 6),
+) -> DataFrame:
+    """Prefix pyramid over the geohash index: counts per `k`-char prefix
+    for each requested k, from a single explode + one shuffle (the
+    qt_rollup shape on the alternate index).  A k-char prefix is the top
+    5k bits of the 5*full_chars-bit code — integer shift, no strings."""
+    ls = [int(k) for k in levels]
+    if not ls or len(set(ls)) != len(ls):
+        raise ValueError(f"levels={levels!r} must be non-empty and distinct")
+    for k in ls:
+        if not 1 <= k <= full_chars:
+            raise ValueError(f"level {k} outside [1, {full_chars}]")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("chars"),
+                F.expr(f"shiftright({code_col}, {5 * (full_chars - k)})")
+                .cast("long")
+                .alias("prefix"),
+            )
+            for k in ls
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.chars").alias("chars"), F.col("p.prefix").alias("prefix"))
+        .groupBy("chars", "prefix")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
