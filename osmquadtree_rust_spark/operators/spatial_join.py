@@ -147,6 +147,14 @@ def geohash_neighbors(
 
     from ..functions import geohash as GH
 
+    reserved = {"k", "dx", "dy", "neighbor", "__x", "__y"} & (
+        {id_col, lon, lat} | set(carry_cols)
+    )
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with geohash_neighbors' "
+            f"internal names; rename them first"
+        )
     spark = points.sparkSession
     lon_bits, lat_bits = GH._bits_for(chars)
     xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
@@ -276,8 +284,14 @@ def bbox_intersection_join(
     x1s, y1s = GH.geohash_xy_sql(mxx, mxy, chars, "spark")
 
     def guarded(lo: str, hi: str, axis: str) -> str:
+        # inverted boxes (hi < lo) must raise, not silently emit a
+        # descending sequence() covering and garbage negative areas
         return (
-            f"CASE WHEN ({hi}) - ({lo}) < {int(max_cells_per_axis)} THEN ({hi}) "
+            f"CASE WHEN ({hi}) < ({lo}) "
+            f"THEN CAST(raise_error('inverted bbox on {axis} "
+            f"(min > max); split antimeridian-crossing boxes first') "
+            f"AS BIGINT) "
+            f"WHEN ({hi}) - ({lo}) < {int(max_cells_per_axis)} THEN ({hi}) "
             f"ELSE CAST(raise_error('bbox covering exceeds "
             f"{int(max_cells_per_axis)} cells on {axis}; lower chars') "
             f"AS BIGINT) END"
@@ -315,8 +329,9 @@ def bbox_intersection_join(
         "__cx",
         "__cy",
     )
-    rx, _ = GH.geohash_xy_sql(f"GREATEST(a_{mnx}, b_{mnx})", f"GREATEST(a_{mny}, b_{mny})", chars, "spark")
-    _, ry = GH.geohash_xy_sql(f"GREATEST(a_{mnx}, b_{mnx})", f"GREATEST(a_{mny}, b_{mny})", chars, "spark")
+    rx, ry = GH.geohash_xy_sql(
+        f"GREATEST(a_{mnx}, b_{mnx})", f"GREATEST(a_{mny}, b_{mny})", chars, "spark"
+    )
     return (
         a.join(b, ["__cx", "__cy"])
         .filter(F.col("a") < F.col("b"))

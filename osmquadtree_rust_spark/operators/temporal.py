@@ -124,8 +124,10 @@ def asof_join_bucketed(
     ts: str = "ts",
     payload_cols: tuple[str, ...] | None = None,
     bucket: int = 3600,
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """Skew-safe as-of join: identical semantics to asof_join, but the
+    """Skew-safe as-of join: identical semantics to asof_join (including
+    the optional staleness `tolerance`), but the
     window partitions on (key, time-bucket) instead of key alone, so a hot
     key with millions of rows spreads over its buckets instead of landing
     on ONE task (the single keyed-task risk VERDICT r02 flagged).
@@ -149,15 +151,21 @@ def asof_join_bucketed(
             f"payload column(s) {sorted(clash)} collide with event columns; "
             f"rename one side before asof_join_bucketed"
         )
-    reserved = {"__is_evt", "__upd", "__bkt"} & (set(ev_cols) | set(updates.columns))
+    if tolerance is not None and int(tolerance) < 0:
+        raise ValueError(f"tolerance={tolerance} must be >= 0")
+    reserved = {"__is_evt", "__upd", "__bkt", "__uts"} & (
+        set(ev_cols) | set(updates.columns)
+    )
     if reserved:
         raise ValueError(
             f"column(s) {sorted(reserved)} collide with internal tag columns"
         )
     upd_type = (
-        "struct<"
-        + ", ".join(
-            f"{c}: {updates.schema[c].dataType.simpleString()}" for c in payload_cols
+        "struct<__uts: "
+        + updates.schema[ts].dataType.simpleString()
+        + "".join(
+            f", {c}: {updates.schema[c].dataType.simpleString()}"
+            for c in payload_cols
         )
         + ">"
     )
@@ -167,7 +175,9 @@ def asof_join_bucketed(
         # silently vanishes while output stays coincidentally correct
         raise ValueError(f"bucket={bucket} must be a positive interval")
     b = F.lit(int(bucket))
-    upd_struct = F.struct(*[F.col(c) for c in payload_cols])
+    upd_struct = F.struct(
+        F.col(ts).alias("__uts"), *[F.col(c) for c in payload_cols]
+    )
 
     # 1. newest update per (key, bucket): max of (ts, payload) struct —
     #    lexicographic, ts first; updates are unique per (key, ts)
@@ -245,9 +255,16 @@ def asof_join_bucketed(
         .unionByName(tagged_s)
         .withColumn("__upd", F.last("__upd", ignorenulls=True).over(w))
     )
+    def out_col(c):
+        v = F.col(f"__upd.{c}")
+        if tolerance is None:
+            return v.alias(c)
+        fresh = F.col("__upd.__uts") >= F.col(ts) - F.lit(int(tolerance))
+        return F.when(fresh, v).alias(c)
+
     return filled.filter(F.col("__is_evt") == 1).select(
         *ev_cols,
-        *[F.col(f"__upd.{c}").alias(c) for c in payload_cols],
+        *[out_col(c) for c in payload_cols],
     )
 
 

@@ -134,3 +134,47 @@ def test_asof_tolerance_cuts_stale_matches(spark):
 
     with _pt.raises(ValueError, match="tolerance"):
         asof_join(ev, up, tolerance=-1)
+
+
+def test_asof_bucketed_tolerance_matches_plain(spark):
+    """The skew-safe form must honor tolerance identically to asof_join,
+    including across bucket boundaries (carried seeds keep the ORIGINAL
+    update ts, not the bucket start)."""
+    import numpy as np
+    import pandas as pd
+
+    from osmquadtree_rust_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    rng = np.random.RandomState(5)
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": rng.randint(0, 6, 500).astype(np.int64),
+                "ts": rng.randint(0, 100000, 500).astype(np.int64),
+            }
+        )
+    ).distinct()
+    up = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": rng.randint(0, 6, 60).astype(np.int64),
+                "ts": rng.randint(0, 100000, 60).astype(np.int64),
+                "px": rng.rand(60),
+            }
+        )
+    ).dropDuplicates(["id", "ts"])
+    for tol in (None, 5000, 40000):
+        a = {
+            (r.id, r.ts): r.px
+            for r in asof_join(ev, up, tolerance=tol).collect()
+        }
+        b = {
+            (r.id, r.ts): r.px
+            for r in asof_join_bucketed(
+                ev, up, bucket=7000, tolerance=tol
+            ).collect()
+        }
+        assert a == b, tol
