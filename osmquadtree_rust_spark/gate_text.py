@@ -977,6 +977,52 @@ def _s2c_o():
     )
 
 
+_S2R_LEVELS = (7, 10, 12)
+
+
+@_register("s2_rollup")
+def _s2r(spark, sf_dir):
+    # ancestor pyramid over the S2 index at the BASELINE res-7..12 band
+    from pyspark.sql.types import LongType
+
+    from .functions import s2
+    from .gate import _events_points
+    from .operators import count as CNT
+
+    pts = _events_points(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def s2_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = s2.s2_cell_id_fixed(
+            lon.to_numpy(np.int64), lat.to_numpy(np.int64)
+        )
+        return pd.Series(s2.to_signed(cid))
+
+    leaf = pts.withColumn("s2", s2_udf("lon", "lat"))
+    return CNT.s2_rollup(leaf, levels=_S2R_LEVELS).select(
+        F.col("level").cast("long"),
+        F.col("cell").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("s2_rollup")
+def _s2r_o():
+    from .functions import s2_sql
+    from .gate import _events_synth_sql
+
+    inner = s2_sql.s2_leaf_subquery(
+        _events_synth_sql(), "lon", "lat", "s2", ("event_id",)
+    )
+    levels = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS level, "
+        f"CAST({s2_sql.s2_parent_sql('s2', k)} AS BIGINT) AS cell, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM leafs GROUP BY 1, 2"
+        for k in _S2R_LEVELS
+    )
+    return f"WITH leafs AS MATERIALIZED ({inner}) {levels}"
+
+
 # ===========================================================================
 # H3-style hex cells (public-spec aperture-7 algorithm in numpy).  Fully
 # oracled: the encode was shaped so its float path is sin/cos + exact IEEE

@@ -148,3 +148,38 @@ def geohash_rollup(
         .groupBy("chars", "prefix")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def s2_rollup(
+    df: DataFrame, cell_col: str = "s2", levels: tuple[int, ...] = (7, 10, 12)
+) -> DataFrame:
+    """Ancestor pyramid over the S2 index (signed leaf cell ids): counts
+    per ancestor cell at each requested level from one explode + one
+    shuffle — the qt_rollup shape on the S2 hierarchy (BASELINE's
+    "res 7..12" band).  Parent is the shared two's-complement bit math
+    (functions/s2_sql.s2_parent_sql), identical text on both engines."""
+    from ..functions import s2_sql
+
+    ls = [int(k) for k in levels]
+    if not ls or len(set(ls)) != len(ls):
+        raise ValueError(f"levels={levels!r} must be non-empty and distinct")
+    for k in ls:
+        if not 0 <= k <= 30:
+            raise ValueError(f"level {k} outside [0, 30]")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("level"),
+                F.expr(s2_sql.s2_parent_sql(cell_col, k))
+                .cast("long")
+                .alias("cell"),
+            )
+            for k in ls
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.level").alias("level"), F.col("p.cell").alias("cell"))
+        .groupBy("level", "cell")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
