@@ -977,6 +977,55 @@ def _s2c_o():
     )
 
 
+_H3R_FROM = 12
+_H3R_LEVELS = (7, 9, 11)
+
+
+@_register("h3_rollup")
+def _h3r(spark, sf_dir):
+    # aperture-7 ancestor pyramid: res-12 leafs rolled to 7/9/11
+    from pyspark.sql.types import LongType
+
+    from .functions import h3
+    from .gate import _events_points
+    from .operators import count as CNT
+
+    pts = _events_points(spark, sf_dir)
+
+    @F.pandas_udf(LongType())
+    def h3_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cid = h3.latlng_to_cell(
+            lon.to_numpy(np.int64), lat.to_numpy(np.int64), _H3R_FROM
+        )
+        return pd.Series(cid.astype(np.int64))
+
+    leaf = pts.withColumn("h3", h3_udf("lon", "lat"))
+    return CNT.h3_rollup(
+        leaf, from_res=_H3R_FROM, levels=_H3R_LEVELS
+    ).select(
+        F.col("res").cast("long"),
+        F.col("cell").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("h3_rollup")
+def _h3r_o():
+    from .functions import h3_sql
+    from .gate import _events_synth_sql
+
+    inner = h3_sql.h3_cell_subquery(
+        _events_synth_sql(), _H3R_FROM, "lon", "lat", "h3", ("event_id",)
+    )
+    levels = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS res, "
+        f"CAST({h3_sql.h3_parent_sql('h3', k, _H3R_FROM)} AS BIGINT) AS cell, "
+        f"CAST(COUNT(*) AS BIGINT) AS cnt FROM leafs GROUP BY 1, 2"
+        for k in _H3R_LEVELS
+    )
+    return f"WITH leafs AS MATERIALIZED ({inner}) {levels}"
+
+
 _S2R_LEVELS = (7, 10, 12)
 
 

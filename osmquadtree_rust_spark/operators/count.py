@@ -183,3 +183,40 @@ def s2_rollup(
         .groupBy("level", "cell")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def h3_rollup(
+    df: DataFrame,
+    cell_col: str = "h3",
+    from_res: int = 12,
+    levels: tuple[int, ...] = (7, 9, 11),
+) -> DataFrame:
+    """Ancestor pyramid over the H3 aperture-7 hierarchy: counts per
+    parent cell at each requested resolution from one explode + one
+    shuffle.  Parent is the shared digit-truncation bit math
+    (functions/h3_sql.h3_parent_sql), identical text on both engines."""
+    from ..functions import h3_sql
+
+    ls = [int(k) for k in levels]
+    if not ls or len(set(ls)) != len(ls):
+        raise ValueError(f"levels={levels!r} must be non-empty and distinct")
+    for k in ls:
+        if not 0 <= k < from_res:
+            raise ValueError(f"level {k} outside [0, {from_res})")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("res"),
+                F.expr(h3_sql.h3_parent_sql(cell_col, k, from_res))
+                .cast("long")
+                .alias("cell"),
+            )
+            for k in ls
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.res").alias("res"), F.col("p.cell").alias("cell"))
+        .groupBy("res", "cell")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
