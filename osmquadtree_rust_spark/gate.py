@@ -1781,6 +1781,39 @@ WHERE LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))
 """
 
 
+_ERG_BS = 512
+
+
+@_register("extract_regroup")
+def _erg(spark, sf_dir):
+    # the extract writer's 8000-element regrouping (bucketed two-pass, no
+    # global single-task window) pinned against the plain definition:
+    # block = floor(global id rank / block_size)
+    from .plans.extract import regroup_blocks
+
+    ids = (
+        _lineitem_edges(spark, sf_dir)
+        .select((F.col("way_id") * 100000 + F.col("node_id")).alias("id"))
+        .distinct()
+    )
+    return regroup_blocks(ids, block_size=_ERG_BS).select(
+        F.col("id").cast("long"), F.col("block").cast("long")
+    )
+
+
+@_oracle("extract_regroup")
+def _erg_o() -> str:
+    return f"""
+WITH ids AS (
+  SELECT DISTINCT l_orderkey * 100000 + l_partkey AS id FROM lineitem
+)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS DOUBLE)
+                  / {_ERG_BS}) AS BIGINT) AS block
+FROM ids
+"""
+
+
 _GHR_LEVELS = (2, 4, 6)
 
 
