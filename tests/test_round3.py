@@ -532,18 +532,25 @@ def test_normalize_text_cross_engine(spark):
         "  Hello,   WORLD!! (it's\t a\n\n test) -- ok/maybe  ",
         "", "   ", "a", "A.B.C", "x\\y'z", "already clean text",
         "....", "a" + " " * 40 + "b",  # long space run: 3-pass collapse
+        "foo\x01\x02 bar", "\x01\x02", "a\x01b\x02c",  # marker bytes
     ]
-    df = spark.createDataFrame([(c,) for c in cases], "text string")
-    got = [r.norm_text for r in TX.with_normalized_text(df).collect()]
+    # 100 seeded random ASCII strings over the full printable+control mix
+    rng = np.random.RandomState(21)
+    pool = [chr(c) for c in range(1, 127)]
+    for _ in range(100):
+        k = rng.randint(0, 40)
+        cases.append("".join(pool[i] for i in rng.randint(0, len(pool), k)))
+    df = spark.createDataFrame(list(enumerate(cases)), "i long, text string")
+    got = {r.i: r.norm_text for r in TX.with_normalized_text(df).collect()}
     expr = TS.normalize_text_sql("t")
     con = duckdb.connect()
-    want = [
-        con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [c]).fetchone()[0]
-        for c in cases
-    ]
+    want = {
+        i: con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [c]).fetchone()[0]
+        for i, c in enumerate(cases)
+    }
     assert got == want
     assert got[0] == "hello world it s a test ok maybe"
-    assert got[-1] == "a b"
+    assert got[8] == "a b"
 
 
 def test_sample_by_hash_properties(spark):
