@@ -61,6 +61,13 @@ def minhash_lsh_candidates(
         # exactly mh<digits> — a stray 'mh_meta'/'mhash_src' column must
         # not inflate the inferred signature width
         k = sum(1 for c in sigs.columns if re.fullmatch(r"mh\d+", c))
+        if k == 0:
+            # zero inferred columns would pass the divisibility check and
+            # md5('') every row into ONE bucket — a silent all-pairs
+            # cross product where the old hardcoded k=4 failed loudly
+            raise ValueError(
+                f"no mh<N> signature columns found in {sigs.columns}"
+            )
     if bands < 1 or k % bands != 0:
         raise ValueError(f"bands={bands} must divide signature width k={k}")
     rpb = k // bands
@@ -292,6 +299,15 @@ def connected_components(
     spark = vertices.sparkSession
     if reliable and checkpoint_dir is None:
         raise ValueError("reliable=True needs checkpoint_dir")
+    if reliable and "://" in str(checkpoint_dir):
+        # generation cleanup below uses driver-local shutil.rmtree, which
+        # silently no-ops on hdfs://-style URIs — the leak the docstring
+        # promises to avoid.  Cluster URIs need Hadoop-FS cleanup; be
+        # loud instead of leaking ~max_iter full copies.
+        raise ValueError(
+            f"checkpoint_dir={checkpoint_dir!r} must be a local path in "
+            f"this build (cleanup uses shutil.rmtree)"
+        )
 
     import shutil
 

@@ -96,8 +96,14 @@ def decode_verify(
                 ref = ref_pixels(str(image_id), int(w), int(h))
                 if fmt in lossless_fmts:
                     lossless[idx] = True
-                    sums[idx] = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    if px.ndim == 3 and px.shape[2] == 3:
+                        sums[idx] = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
                     ok[idx] = 1 if bool(np.array_equal(px, ref)) else 0
+                elif px.shape != ref.shape:
+                    # a corrupt/mislabeled row whose decoded dims differ
+                    # from the metadata is a per-row VERIFY FAILURE, not a
+                    # job-killing broadcast error in the subtraction
+                    ok[idx] = 0
                 else:
                     mse = float(
                         np.mean(

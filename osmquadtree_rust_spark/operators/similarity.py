@@ -348,6 +348,15 @@ def cosine_neardup_pairs_int8(
     any SIMD width.  threshold_ppm = floor(cos²·10⁶), e.g. cos >= 0.9
     -> 810000.  Candidate generation reuses the sign-LSH banding (integer
     inputs are exact in the double projections)."""
+    # int64 overflow bound: threshold_ppm*na*nb and d*d*1e6 with
+    # na,nb,|d| <= dim*127^2 stay under 2^63 only for dim <= 188 —
+    # beyond that Spark (non-ANSI) would WRAP silently while DuckDB
+    # raises, turning "identical on any engine" into a divergence
+    if dim > 188:
+        raise ValueError(
+            f"dim={dim} overflows the pure-int64 verify (max 188); "
+            f"use cosine_neardup_pairs on the float embeddings instead"
+        )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -179,14 +179,18 @@ def asof_join_bucketed(
         F.col(ts).alias("__uts"), *[F.col(c) for c in payload_cols]
     )
 
-    # 1. newest update per (key, bucket): max of (ts, payload) struct —
-    #    lexicographic, ts first; updates are unique per (key, ts)
+    # 1. newest update per (key, bucket): max_by on ts alone — a plain
+    #    max over struct(ts, payload) would require the PAYLOAD to be
+    #    orderable too, breaking map-typed payload columns that the plain
+    #    asof_join handles fine; ties are impossible (updates unique per
+    #    (key, ts))
     ub = (
         updates.withColumn("__bkt", F.floor(F.col(ts) / b).cast("long"))
         .groupBy(key, "__bkt")
         .agg(
-            F.max(
-                F.struct(F.col(ts).alias("__t"), upd_struct.alias("__p"))
+            F.struct(
+                F.max(ts).alias("__t"),
+                F.max_by(upd_struct, F.col(ts)).alias("__p"),
             ).alias("__last")
         )
     )
@@ -207,7 +211,10 @@ def asof_join_bucketed(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     seeds = (
-        domain.withColumn("__carry", F.max("__last").over(wcarry))
+        domain.withColumn(
+            "__carry",
+            F.max_by(F.col("__last"), F.col("__last.__t")).over(wcarry),
+        )
         .filter(F.col("__carry").isNotNull())
         .select(
             F.col(key),
@@ -299,11 +306,15 @@ def bucketed_range_join(
     # sequence(start, stop) with stop < start steps DOWNWARD, so one
     # malformed end<=start interval would silently explode a huge
     # descending bucket list through the join
+    # last covered bucket of the half-open [start, end): ceil(end/b) - 1.
+    # Equivalent to floor((end-1)/b) for integer seconds but ALSO correct
+    # for fractional epoch columns (end=60.5, b=60 covers bucket 1, which
+    # the integer-only formula would drop — a silent missing-match class)
     iv = intervals.filter(F.col(end) > F.col(start)).withColumn(
         "__bkts",
         F.sequence(
             F.floor(_secs(intervals, start) / b).cast("long"),
-            F.floor((_secs(intervals, end) - 1) / b).cast("long"),
+            (F.ceil(_secs(intervals, end) / b) - 1).cast("long"),
         ),
     ).withColumn("__bkt", F.explode("__bkts")).drop("__bkts")
     return (

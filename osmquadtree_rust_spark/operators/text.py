@@ -68,6 +68,8 @@ def hash_split(
     The industry-standard RNG-free split — stable across reruns, engines
     and cluster sizes; changing the salt re-rolls the split.  Adds
     `split` = 'train' | 'val'."""
+    if "'" in salt or "\\" in salt:
+        raise ValueError(f"salt {salt!r} must not contain quotes/backslashes")
     h = TS.md5_prefix_int_sql(
         f"concat('{salt}', ':', CAST({id_col} AS STRING))", TS.SPARK
     )
@@ -95,6 +97,10 @@ def sample_by_hash(
     threshold compare is pure integer math."""
     if not 0 <= rate_ppm <= 1000000:
         raise ValueError(f"rate_ppm={rate_ppm} must be in [0, 1e6]")
+    if "'" in salt or "\\" in salt:
+        # the salt is interpolated into a SQL string literal; quotes or
+        # backslashes would corrupt the generated expression
+        raise ValueError(f"salt {salt!r} must not contain quotes/backslashes")
     h = TS.md5_prefix_int_sql(
         f"concat('{salt}', ':', CAST({id_col} AS STRING))", TS.SPARK
     )
@@ -177,6 +183,12 @@ def with_repetition_ratio(
 
     Pure JVM higher-order functions (split -> filter empties -> slice
     n-grams -> array_distinct); no shuffle, no Python."""
+    reserved = {"__ws", "__k", "__ng", "n_ngrams", out} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with "
+            f"with_repetition_ratio's internal/output names"
+        )
     d = df.withColumn("__ws", split_words(text)).withColumn(
         "__k", F.greatest(F.size("__ws") - (n - 1), F.lit(0))
     )

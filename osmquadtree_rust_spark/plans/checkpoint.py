@@ -310,6 +310,16 @@ def read_changes_between(
     entries = sorted(read_filelist(base), key=lambda e: e["timestamp"])
     if not entries:
         raise ValueError(f"no filelist at {base}")
+    if entries[0]["timestamp"] > int(ts_lo):
+        # the log no longer reaches back to ts_lo (history was squashed
+        # past it): a consumer holding world(lo) cannot be brought to
+        # world(hi) by ANY delta this log can produce — an empty or
+        # partial answer here would silently violate the apply contract
+        raise ValueError(
+            f"log starts at {entries[0]['timestamp']} > ts_lo={ts_lo} "
+            f"(history squashed past the consumer's snapshot); "
+            f"re-baseline with read_snapshot_as_of"
+        )
     sel = [e for e in entries if int(ts_lo) < e["timestamp"] <= int(ts_hi)]
     bases = [e for e in sel if e.get("kind") == "base"]
     if bases:

@@ -178,3 +178,28 @@ def test_asof_bucketed_tolerance_matches_plain(spark):
             ).collect()
         }
         assert a == b, tol
+
+
+def test_asof_bucketed_handles_map_payload(spark):
+    """Map-typed payloads are not orderable; the bucketed form must use
+    max_by on ts alone, matching plain asof_join."""
+    from osmquadtree_rust_spark.operators.temporal import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 100), (1, 9000), (2, 50)], "id long, ts long"
+    )
+    up = spark.createDataFrame(
+        [(1, 90, {"a": "x"}), (1, 8000, {"a": "y"})],
+        "id long, ts long, attrs map<string,string>",
+    )
+    a = {(r.id, r.ts): r.attrs for r in asof_join(ev, up).collect()}
+    b = {
+        (r.id, r.ts): r.attrs
+        for r in asof_join_bucketed(ev, up, bucket=1000).collect()
+    }
+    assert a == b
+    assert a[(1, 100)] == {"a": "x"} and a[(1, 9000)] == {"a": "y"}
+    assert a[(2, 50)] is None
