@@ -1026,6 +1026,41 @@ def _h3r_o():
     return f"WITH leafs AS MATERIALIZED ({inner}) {levels}"
 
 
+@_register("top_k_per_source")
+def _tkps(spark, sf_dir):
+    # per-domain curation cut: best 5 docs per source by quality score,
+    # deterministic tie-break on doc_id
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = TX.with_quality_score(docs)
+    return TX.top_k_per_group(
+        scored, group="source", order="quality", k=5
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("source"),
+        F.col("quality").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("top_k_per_source")
+def _tkps_o():
+    q = TS.quality_score_sql("text")
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, source, CAST({q} AS BIGINT) AS quality FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(quality AS BIGINT) AS quality, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
 _S2R_LEVELS = (7, 10, 12)
 
 

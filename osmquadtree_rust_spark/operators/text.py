@@ -207,3 +207,33 @@ def with_repetition_ratio(
     return d.withColumn(out, rep).withColumn(
         "n_ngrams", F.col("__k").cast("long")
     ).drop("__ws", "__k", "__ng")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group: str = "source",
+    order: str = "quality",
+    k: int = 5,
+    id_col: str = "doc_id",
+    out: str = "rk",
+) -> DataFrame:
+    """Keep the best k rows per group (order desc, id asc tie-break) —
+    the per-domain curation cut every corpus pipeline applies ("best N
+    documents per source").  One keyed window shuffle; the deterministic
+    tie-break makes results engine-exact.  Hot groups bound the window
+    partition by group size — for a group that exceeds one task, pre-cut
+    with an approximate per-group threshold first."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    reserved = {out} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column {out!r} already exists; pass a different out")
+    w = Window.partitionBy(group).orderBy(
+        F.col(order).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(out, F.row_number().over(w))
+        .filter(F.col(out) <= k)
+    )
