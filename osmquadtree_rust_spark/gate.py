@@ -1423,6 +1423,37 @@ def _wec_o() -> str:
     )
 
 
+@_register("hopping_window_counts")
+def _hwc(spark, sf_dir):
+    # sliding windows (1h window, 30m slide): each event in exactly 2
+    # windows — integer window-start arithmetic shared with the oracle
+    from .streaming.ingest import hopping_window_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = hopping_window_counts(ev, window_seconds=3600, slide_seconds=1800)
+    return out.select(
+        F.col("win_start").cast("long"),
+        F.col("event_type"),
+        F.col("n").cast("long"),
+        F.col("total_value"),
+    )
+
+
+@_oracle("hopping_window_counts")
+def _hwc_o() -> str:
+    return """
+WITH ex AS (
+  SELECT (FLOOR(FLOOR(epoch(ts)) / 1800) - i) * 1800 AS win_start,
+         event_type, value
+  FROM events, UNNEST(range(0, 2)) AS u(i)
+)
+SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM ex GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # 10. classified dataset diff (compareelements.rs analog)
 # ===========================================================================

