@@ -42,6 +42,47 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _verification_order(names: list[str]) -> list[str]:
+    """Order gate names least-recently-driver-verified first.
+
+    The driver's correctness harness records a bounded window (the first ~50
+    entries of queries()); with >50 gates, a fixed registration order starves
+    the tail forever.  Read the CORRECTNESS_r*.json files committed alongside
+    this entry point and sort by (last round with a fully-green row,
+    registration index): never-verified and previously-failing gates come
+    first, the most recently confirmed ones last.  Deterministic given the
+    committed files, and self-maintaining as gates are added.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False  # rows-only gates lack it
+                and not row.get("err")
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    reg_index = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_green.get(n, 0), reg_index[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,16 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {
-        name: wrap(spec["spark"])
-        for name, spec in _gate.GATE.items()
-        if "spark" in spec
-    }
+    names = [n for n, spec in _gate.GATE.items() if "spark" in spec]
+    return {name: wrap(_gate.GATE[name]["spark"]) for name in _verification_order(names)}
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {}
-    for name, spec in _gate.GATE.items():
-        if "oracle" in spec and "spark" in spec:
-            out[name] = spec["oracle"]()
-    return out
+    names = [
+        n for n, spec in _gate.GATE.items() if "oracle" in spec and "spark" in spec
+    ]
+    return {name: _gate.GATE[name]["oracle"]() for name in _verification_order(names)}

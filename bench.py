@@ -37,6 +37,10 @@ def main():
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # self-labeling contention evidence: a high pre-run load average means the
+    # numbers below measure neighbor load, not this code (r3 diagnosis cost)
+    loadavg_before = [round(x, 2) for x in os.getloadavg()]
+
     times: dict[str, float] = {}
 
     # untimed warmup: exercise codegen + Python worker pool once so the
@@ -136,6 +140,8 @@ def main():
                 "images": n_images,
                 "images_per_sec_tiling": round(n_images / t_tiling, 1),
                 "cpus": cpus,
+                "loadavg_before": loadavg_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

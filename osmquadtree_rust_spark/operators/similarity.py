@@ -226,8 +226,10 @@ def cosine_neardup_pairs(
         # mul/add/div/sqrt); the *output* column is FLOOR-ppm hardened
         .filter(F.col("__cos") >= threshold)
         .select(
-            F.col("a").cast("long"),
-            F.col("b").cast("long"),
+            # keep the caller's id type: a long-cast would turn string ids
+            # into NULL for every pair instead of erroring
+            F.col("a"),
+            F.col("b"),
             F.floor(F.col("__cos") * 1000000.0).cast("long").alias("cos_ppm"),
         )
     )
@@ -311,8 +313,18 @@ def quantize_int8(
     one extra quantization step of asymmetry, irrelevant at int8
     precision).  Zero vectors quantize to all-zero with scale 0.
     Everything is native JVM higher-order functions; scale rides along as
-    scale_ppm = FLOOR(scale * 1e6) for engine-exact comparison."""
-    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale_ppm = FLOOR(scale * 1e6) for engine-exact comparison.
+
+    NULL / NaN elements raise (CASE->raise_error inside the __amax
+    projection, same loud-guard pattern as check_dim): abs/array_max would
+    otherwise propagate NaN into __amax, every quantized component would
+    go NULL, and downstream int8 verifies silently drop those rows."""
+    amax = F.expr(
+        f"CASE WHEN {vec_col} IS NULL "
+        f"OR exists({vec_col}, x -> x IS NULL OR isnan(CAST(x AS DOUBLE))) "
+        f"THEN CAST(raise_error('quantize_int8: NULL/NaN embedding element') AS DOUBLE) "
+        f"ELSE array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))) END"
+    )
     q = F.when(F.col("__amax") == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0).cast("long"))).otherwise(
         F.transform(
             F.col(vec_col),
@@ -408,8 +420,9 @@ def cosine_neardup_pairs_int8(
             )
         )
         .select(
-            F.col("a").cast("long"),
-            F.col("b").cast("long"),
+            # keep the caller's id type (see cosine_neardup_pairs)
+            F.col("a"),
+            F.col("b"),
             F.expr("(__d * __d * 1000000) DIV (__na * __nb)").alias("cos2_ppm"),
         )
     )
@@ -510,7 +523,8 @@ def kmeans_quantized(
         cents = new
     assign = F.expr(ivf_assign_int_expr(vec_col, cents))
     out = df.select(
-        F.col(id_col).cast("long"), assign.cast("long").alias("cluster")
+        # keep the caller's id type (see cosine_neardup_pairs)
+        F.col(id_col), assign.cast("long").alias("cluster")
     )
     return out, cents
 

@@ -283,11 +283,14 @@ def bbox_intersection_join(
     x0s, y0s = GH.geohash_xy_sql(mnx, mny, chars, "spark")
     x1s, y1s = GH.geohash_xy_sql(mxx, mxy, chars, "spark")
 
-    def guarded(lo: str, hi: str, axis: str) -> str:
+    def guarded(lo: str, hi: str, raw_lo: str, raw_hi: str, axis: str) -> str:
         # inverted boxes (hi < lo) must raise, not silently emit a
-        # descending sequence() covering and garbage negative areas
+        # descending sequence() covering and garbage negative areas.
+        # The raw-coordinate check comes first: an inverted box whose
+        # corners fall in the SAME grid cell passes the grid-space check
+        # (hi == lo) yet still yields a negative ix_area downstream.
         return (
-            f"CASE WHEN ({hi}) < ({lo}) "
+            f"CASE WHEN ({raw_hi}) < ({raw_lo}) OR ({hi}) < ({lo}) "
             f"THEN CAST(raise_error('inverted bbox on {axis} "
             f"(min > max); split antimeridian-crossing boxes first') "
             f"AS BIGINT) "
@@ -302,8 +305,8 @@ def bbox_intersection_join(
         *[F.col(c) for c in cols],
         F.expr(x0s).alias("__x0"),
         F.expr(y0s).alias("__y0"),
-        F.expr(guarded(x0s, x1s, "lon")).alias("__x1"),
-        F.expr(guarded(y0s, y1s, "lat")).alias("__y1"),
+        F.expr(guarded(x0s, x1s, mnx, mxx, "lon")).alias("__x1"),
+        F.expr(guarded(y0s, y1s, mny, mxy, "lat")).alias("__y1"),
     )
     cells = base.select(
         F.col(id_col),

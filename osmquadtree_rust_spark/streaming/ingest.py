@@ -295,7 +295,21 @@ def hopping_window_counts(
             f"window={w} must be a positive multiple of slide={sl}"
         )
     n = w // sl
-    t = f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)"
+    # dtype dispatch (mirrors bucketed_range_join's _secs): a numeric
+    # epoch-seconds column must pass through directly — unix_timestamp()
+    # would cast it to string, fail to parse, and silently land every row
+    # in one NULL win_start group
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype is None:
+        raise ValueError(f"ts column {ts_col!r} not in {events.columns}")
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        t = f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)"
+    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
+        t = f"CAST(FLOOR({ts_col}) AS BIGINT)"
+    else:
+        raise ValueError(
+            f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
+        )
     starts = F.expr(
         f"transform(sequence(0, {n - 1}), "
         f"i -> (FLOOR({t} / {sl}) - i) * {sl})"
