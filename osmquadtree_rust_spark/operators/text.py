@@ -216,23 +216,48 @@ def top_k_per_group(
     k: int = 5,
     id_col: str = "doc_id",
     out: str = "rk",
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Keep the best k rows per group (order desc, id asc tie-break) —
     the per-domain curation cut every corpus pipeline applies ("best N
-    documents per source").  One keyed window shuffle; the deterministic
-    tie-break makes results engine-exact.  Hot groups bound the window
-    partition by group size — for a group that exceeds one task, pre-cut
-    with an approximate per-group threshold first."""
+    documents per source").
+
+    Skew-safe two-pass form (same design language as asof_join_bucketed):
+    a naive single window partitioned by `group` puts a hot source (one
+    domain = 30% of a crawl) on ONE task.  Instead:
+
+      pass 1: window over (group, salt) with salt = pmod(hash(id), S) —
+              S-way parallel even for a single giant group; keep the
+              per-bucket top k, so <= k*S survivors per group.
+      pass 2: exact window over the survivors per group — bounded at
+              k*S rows per group regardless of input skew.
+
+    Provably identical to the single-pass result: a row with global rank
+    <= k has < k rows above it overall, hence < k above it in its own
+    salt bucket, so pass 1 keeps it; pass 2 then recomputes the exact
+    global rank with the full tie-break.  The salt never reaches the
+    output, so its hash function needs no cross-engine discipline.
+
+    salt_buckets=1 degrades to the single-pass plan (one window)."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k={k} must be >= 1")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
     reserved = {out} & set(df.columns)
     if reserved:
         raise ValueError(f"column {out!r} already exists; pass a different out")
-    w = Window.partitionBy(group).orderBy(
-        F.col(order).desc(), F.col(id_col).asc()
-    )
+    ordering = (F.col(order).desc(), F.col(id_col).asc())
+    if salt_buckets > 1:
+        salt = F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
+        w1 = Window.partitionBy(F.col(group), salt).orderBy(*ordering)
+        df = (
+            df.withColumn("__lrk", F.row_number().over(w1))
+            .filter(F.col("__lrk") <= k)
+            .drop("__lrk")
+        )
+    w = Window.partitionBy(group).orderBy(*ordering)
     return (
         df.withColumn(out, F.row_number().over(w))
         .filter(F.col(out) <= k)

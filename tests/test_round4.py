@@ -1,0 +1,124 @@
+"""Round-4 additions: skew-safe top-k, operator guards, interop vectors."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _skewed_docs(spark, n=2000, hot_share=2):
+    # every `hot_share`-th row lands in one group -> a planted 50%-hot group
+    rows = [
+        (i, "hot" if i % hot_share == 0 else f"s{i % 7}", (i * 37) % 101)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, quality long")
+
+
+def test_topk_salted_equals_single_pass(spark):
+    from osmquadtree_rust_spark.operators.text import top_k_per_group
+
+    df = _skewed_docs(spark)
+    salted = top_k_per_group(df, salt_buckets=16).orderBy("source", "rk").collect()
+    single = top_k_per_group(df, salt_buckets=1).orderBy("source", "rk").collect()
+    assert salted == single
+    assert len(salted) == 8 * 5  # 8 groups x k=5
+
+
+def test_topk_full_input_window_is_salted(spark):
+    from osmquadtree_rust_spark.operators.text import top_k_per_group
+
+    df = _skewed_docs(spark)
+    out = top_k_per_group(df, salt_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    keyed = [s for s in specs if "source" in s]
+    # two windows: the exact pass over <= k*S survivors (outer, printed
+    # first) and the salted pass over the FULL input (inner, printed last).
+    # The window nearest the scan must carry the salt in its partition spec
+    # so a 50%-hot group never lands on one task.
+    assert len(keyed) == 2, plan[:2000]
+    assert "_w0" in keyed[-1], keyed
+    assert "_w0" not in keyed[0], keyed
+
+
+def test_topk_rejects_bad_params(spark):
+    from osmquadtree_rust_spark.operators.text import top_k_per_group
+
+    df = _skewed_docs(spark, n=10)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        top_k_per_group(df, salt_buckets=0)
+
+
+def test_quantize_int8_raises_on_nan(spark):
+    from osmquadtree_rust_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, float("nan")]), (2, [0.1, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL/NaN embedding element"):
+        quantize_int8(df).collect()
+
+
+def test_quantize_int8_raises_on_null_element(spark):
+    from osmquadtree_rust_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, None])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="NULL/NaN embedding element"):
+        quantize_int8(df).collect()
+
+
+def test_neardup_preserves_string_ids(spark):
+    from osmquadtree_rust_spark.operators.similarity import cosine_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("a1", [1.0, 0.0, 0.0, 0.0]), ("a2", [1.0, 0.001, 0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = cosine_neardup_pairs(df, threshold=0.9, bands=2, planes_per_band=3, dim=4)
+    rows = out.collect()
+    assert rows and rows[0]["a"] == "a1" and rows[0]["b"] == "a2"
+
+
+def test_hopping_window_numeric_epoch(spark):
+    from osmquadtree_rust_spark.streaming.ingest import hopping_window_counts
+
+    df = spark.createDataFrame(
+        [(100, "a", 1.0), (1900, "a", 2.0), (4000, "b", 3.0)],
+        "ts long, event_type string, value double",
+    )
+    out = hopping_window_counts(df, window_seconds=3600, slide_seconds=1800)
+    rows = {(r["win_start"], r["event_type"]): r["n"] for r in out.collect()}
+    # ts=100 and ts=1900 share the [0, 3600) window; each event is in 2 windows
+    assert rows[(0, "a")] == 2
+    assert rows[(-1800, "a")] == 1
+    assert rows[(1800, "a")] == 1
+    assert rows[(1800, "b")] == 1
+    assert rows[(3600, "b")] == 1
+    assert len(rows) == 5
+
+
+def test_hopping_window_rejects_string_ts(spark):
+    from osmquadtree_rust_spark.streaming.ingest import hopping_window_counts
+
+    df = spark.createDataFrame([("x", "a", 1.0)], "ts string, event_type string, value double")
+    with pytest.raises(ValueError, match="non-temporal"):
+        hopping_window_counts(df)
+
+
+def test_bbox_join_inverted_within_cell_raises(spark):
+    from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
+
+    # inverted box whose corners fall inside ONE depth-6 grid cell: the
+    # grid-space guard alone (x1 == x0) would pass it silently
+    df = spark.createDataFrame(
+        [(1, 10.0002, 50.0, 10.0001, 50.0001), (2, 10.0, 50.0, 10.001, 50.001)],
+        "id long, minlon double, minlat double, maxlon double, maxlat double",
+    )
+    with pytest.raises(Exception, match="inverted bbox"):
+        bbox_intersection_join(df, chars=6).collect()
