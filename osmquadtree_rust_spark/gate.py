@@ -1454,6 +1454,57 @@ FROM ex GROUP BY 1, 2
 """
 
 
+_SESSION_GAP = 7200
+
+
+@_register("session_stats")
+def _sess(spark, sf_dir):
+    # batch sessionization (gaps-and-islands): per-user sessions with a
+    # 2h inactivity gap — the exact relational twin of the
+    # applyInPandasWithState streaming operator (streaming/sessions.py)
+    from .streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_seconds=_SESSION_GAP)
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("session_start").cast("long"),
+        F.col("session_end").cast("long"),
+        F.col("n_events").cast("long"),
+        F.col("total_value"),
+    )
+
+
+@_oracle("session_stats")
+def _sess_o() -> str:
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS secs, value
+  FROM events
+),
+flagged AS MATERIALIZED (
+  SELECT user_id, event_id, secs, value,
+         CASE WHEN LAG(secs) OVER w IS NULL
+                   OR secs - LAG(secs) OVER w > {_SESSION_GAP}
+              THEN 1 ELSE 0 END AS newf
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)
+),
+islands AS MATERIALIZED (
+  SELECT user_id, secs, value,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(secs) AS BIGINT) AS session_start,
+       CAST(MAX(secs) AS BIGINT) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM islands GROUP BY user_id, sid
+"""
+
+
 # ===========================================================================
 # 10. classified dataset diff (compareelements.rs analog)
 # ===========================================================================

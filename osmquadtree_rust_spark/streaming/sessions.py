@@ -91,3 +91,67 @@ def sessionize(events, gap_seconds: int = GAP_SECONDS):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_batch(
+    events,
+    gap_seconds: int = GAP_SECONDS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Exact batch (gaps-and-islands) form of sessionize(): a new session
+    starts when the gap to the previous event of the same user exceeds
+    gap_seconds.  LAG flags session starts, a running SUM numbers the
+    islands, one hash aggregate folds each island into a session row
+    (user_id, session_start, session_end, n_events, total_value).
+
+    Equivalent to running sessionize() to completion and flushing open
+    state (every island here is a session; the streaming form holds the
+    last island of each user open awaiting more data).  Windows partition
+    per user — bounded by per-user event counts, no global hot key.
+    Ordering is (secs, order_col) with a unique tie-break column, so
+    results are engine-exact; total_value sums via DECIMAL(18,6) to kill
+    float-order sensitivity (same discipline as windowed_event_counts)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds={gap_seconds} must be >= 0")
+    # dtype dispatch (same contract as hopping_window_counts): numeric
+    # epoch columns pass through, timestamps go via unix_timestamp
+    dtype = dict(events.dtypes).get(ts_col)
+    if dtype is None:
+        raise ValueError(f"ts column {ts_col!r} not in {events.columns}")
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        secs = F.expr(f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)")
+    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
+        secs = F.expr(f"CAST(FLOOR({ts_col}) AS BIGINT)")
+    else:
+        raise ValueError(
+            f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
+        )
+    w = Window.partitionBy(user_col).orderBy("__secs", order_col)
+    prev = F.lag("__secs").over(w)
+    newf = F.when(
+        prev.isNull() | (F.col("__secs") - prev > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy("__secs", order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("__secs", secs)
+        .withColumn("__new", newf)
+        .withColumn("__sid", F.sum("__new").over(run))
+        .groupBy(user_col, "__sid")
+        .agg(
+            F.min("__secs").alias("session_start"),
+            F.max("__secs").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.expr(
+                f"CAST(SUM(CAST({value_col} AS DECIMAL(18,6))) AS DOUBLE)"
+            ).alias("total_value"),
+        )
+        .drop("__sid")
+    )

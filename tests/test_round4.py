@@ -111,6 +111,55 @@ def test_hopping_window_rejects_string_ts(spark):
         hopping_window_counts(df)
 
 
+def test_sessionize_batch_matches_streaming_semantics(spark):
+    # same planted input as test_sessionize_stream: the batch form must
+    # produce the streaming form's closed sessions PLUS the flushed open
+    # state (user 1's late return, user 2's single session)
+    from osmquadtree_rust_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.createDataFrame(
+        [
+            (0, 1, 1000, 1.0),
+            (1, 1, 1100, 2.0),
+            (2, 1, 1200, 3.0),
+            (3, 2, 1000, 5.0),
+            (4, 2, 2500, 6.0),
+            (5, 1, 10000, 9.0),
+        ],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = sessionize_batch(ev, gap_seconds=1800)
+    rows = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, 1000): (1200, 3, 6.0),
+        (1, 10000): (10000, 1, 9.0),
+        (2, 1000): (2500, 2, 11.0),
+    }
+
+
+def test_sessionize_batch_zero_gap_and_empty(spark):
+    from osmquadtree_rust_spark.streaming.sessions import sessionize_batch
+
+    ev = spark.createDataFrame(
+        [(0, 1, 100, 1.0), (1, 1, 100, 2.0), (2, 1, 101, 4.0)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    # gap 0: only identical-second events share a session... no — a 1s
+    # gap is > 0, so each distinct second is its own island; equal
+    # seconds merge
+    rows = sessionize_batch(ev, gap_seconds=0).orderBy("session_start").collect()
+    assert [(r["session_start"], r["n_events"]) for r in rows] == [(100, 2), (101, 1)]
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, ts long, value double"
+    )
+    assert sessionize_batch(empty).count() == 0
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
