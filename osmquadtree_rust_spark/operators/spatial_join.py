@@ -184,12 +184,31 @@ def geohash_neighbors(
     )
 
 
+def auto_radius_chars(d_fixed: int, max_chars: int = 12) -> int:
+    """Finest geohash depth whose cell span still covers `d_fixed` — the
+    grid math geohash_radius_join users shouldn't have to re-derive: finer
+    cells mean fewer candidate pairs, but recall-completeness needs
+    d <= cell span, so pick the largest chars satisfying it."""
+    from ..functions import geohash as GH
+
+    if int(d_fixed) <= 0:
+        raise ValueError(f"d_fixed={d_fixed} must be positive")
+    for c in range(int(max_chars), 0, -1):
+        lon_bits, lat_bits = GH._bits_for(c)
+        span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
+        if span >= int(d_fixed):
+            return c
+    raise ValueError(
+        f"d_fixed={d_fixed} exceeds the whole-world cell span even at chars=1"
+    )
+
+
 def geohash_radius_join(
     points: DataFrame,
     d_fixed: int,
     lon: str = "lon",
     lat: str = "lat",
-    chars: int = 6,
+    chars: int | None = None,
     id_col: str = "id",
 ) -> DataFrame:
     """All pairs (a < b) within Euclidean distance `d_fixed` (1e-7-degree
@@ -201,13 +220,16 @@ def geohash_radius_join(
 
     Everything is int64-exact: wrapped dlon <= 1.8e9 so dlon^2 + dlat^2
     < 2^63; the DuckDB oracle may therefore stay brute-force quadratic.
-    Raises when d_fixed exceeds the cell span at `chars` (recall would
-    silently drop far-in-grid pairs) — pick fewer chars for larger
-    radii."""
+    chars=None (default) derives the finest depth whose cell span covers
+    d_fixed (auto_radius_chars); an explicit chars still raises when
+    d_fixed exceeds its cell span (recall would silently drop
+    far-in-grid pairs)."""
     from pyspark.sql import functions as F
 
     from ..functions import geohash as GH
 
+    if chars is None:
+        chars = auto_radius_chars(d_fixed)
     lon_bits, lat_bits = GH._bits_for(chars)
     span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
     if not 0 < int(d_fixed) <= span:

@@ -160,6 +160,42 @@ def test_sessionize_batch_zero_gap_and_empty(spark):
     assert sessionize_batch(empty).count() == 0
 
 
+def test_radius_join_auto_chars(spark):
+    # d_fixed=200000 exceeds the chars=6 cell span (54931) and used to
+    # force the user to re-derive grid math; chars=None now auto-selects
+    # the finest covering depth and the result matches brute force
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        auto_radius_chars,
+        geohash_radius_join,
+    )
+
+    d = 200000
+    assert auto_radius_chars(d) == 5
+    assert auto_radius_chars(54931) == 6
+    with pytest.raises(ValueError, match="must be positive"):
+        auto_radius_chars(0)
+
+    pts = [(i, 100000000 + (i * 37917) % 1000000, 450000000 + (i * 70123) % 1000000)
+           for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    with pytest.raises(ValueError, match="recall-completeness"):
+        geohash_radius_join(df, d, chars=6)
+    got = {
+        (r["a"], r["b"], r["dist_sq"])
+        for r in geohash_radius_join(df, d).collect()
+    }
+    brute = set()
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            if i < j:
+                dl = abs(xi - xj)
+                wl = min(dl, 3600000000 - dl)
+                ds = wl * wl + (yi - yj) ** 2
+                if ds <= d * d:
+                    brute.add((i, j, ds))
+    assert got == brute and brute
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
