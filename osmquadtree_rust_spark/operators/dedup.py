@@ -235,6 +235,77 @@ def ngram_neardup_pairs(
     )
 
 
+def ngram_jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 500000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard verify RESTRICTED to given candidate pairs (a, b) —
+    the conjunction fast path: when another modality already produced the
+    candidates (e.g. phash banding), verifying captions only on those
+    pairs is strictly cheaper than running the full shared-shingle
+    equi-join over the corpus.
+
+    Semantics are identical to filtering ngram_neardup_pairs to the given
+    pairs (property-tested): df_cap's document frequencies are counted
+    over the FULL corpus before restricting, and per-doc set sizes are
+    invariant under the doc restriction.  threshold_ppm must be > 0 —
+    zero-overlap pairs drop out of the intersection join, which is only
+    correct because they could never pass a positive threshold.
+
+    The caller should persist/checkpoint `pairs` — it is consumed twice
+    (id harvest + final join) and Spark recomputes unpersisted subtrees
+    per consumer (see the join-back lessons in ngram_neardup_pairs)."""
+    if threshold_ppm <= 0:
+        raise ValueError(
+            f"threshold_ppm={threshold_ppm} must be > 0 (zero-overlap "
+            f"pairs are dropped by the intersection join)"
+        )
+    sh = ngram_shingles(df, text, id_col, n)
+    if df_cap is not None:
+        if df_cap < 1:
+            raise ValueError(f"df_cap={df_cap} must be >= 1")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    ids = pairs.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
+    ).distinct()
+    sh = sh.join(ids, id_col, "left_semi")
+    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
+    lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
+    inter = (
+        pairs.select("a", "b")
+        .join(la, "a")
+        .join(lb, ["b", "shh"])
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("__i"),
+            F.max("__sza").alias("__sza"),
+            F.max("__szb").alias("__szb"),
+        )
+    )
+    return (
+        inter.withColumn("__u", F.col("__sza") + F.col("__szb") - F.col("__i"))
+        .filter(F.col("__i") * 1000000 >= F.lit(int(threshold_ppm)) * F.col("__u"))
+        .withColumn(
+            "jaccard_ppm",
+            F.floor(
+                (F.col("__i").cast("double") / F.col("__u").cast("double"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .select("a", "b", "jaccard_ppm")
+    )
+
+
 def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: per bit, sign of sum(+1/-1).
 

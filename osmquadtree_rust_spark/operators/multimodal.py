@@ -257,6 +257,7 @@ def multimodal_neardup_pairs(
     n: int = 3,
     df_cap: int | None = None,
     policy: str = "both",
+    fast: bool = True,
 ) -> DataFrame:
     """Joint near-dup over image+caption PAIRS — the north-star input
     table's (phash, caption) columns judged together.
@@ -270,11 +271,18 @@ def multimodal_neardup_pairs(
     Both sides are recall-exact candidate generators (pigeonhole banding
     for the phash, shared-shingle equi-join for the caption), so the
     result is provably identical to brute force under either policy and
-    the DuckDB oracle may stay quadratic.  This form runs BOTH full
-    pipelines and combines on (a, b); for 'both' at extreme scale the
-    cheaper conjunction is image-candidates -> caption verify only on
-    those pairs (strictly fewer rows than either full pipeline), at the
-    cost of the generic composition — switch if the 2x matters.
+    the DuckDB oracle may stay quadratic.
+
+    policy='both' takes the conjunction fast path by default
+    (fast=True): image-banded candidates first, then the caption n-gram
+    verify RESTRICTED to those pairs (ngram_jaccard_on_pairs) — strictly
+    fewer rows than the caption pipeline over the full corpus, since the
+    shingle equi-join only ever sees docs that already image-matched.
+    The image candidate set is persisted before the double consumption
+    (id harvest + verify join) so its banding subtree computes once.
+    fast=False keeps the generic run-both-pipelines composition
+    (property-tested equal); 'any' always composes generically (it needs
+    both full pipelines by definition).
 
     Returns (a, b, hamming, jaccard_ppm); under 'any' one metric may be
     NULL when only the other modality matched."""
@@ -288,6 +296,20 @@ def multimodal_neardup_pairs(
         ),
         max_hamming=max_hamming,
     )
+    # the restricted verify requires threshold_ppm > 0 (its intersection
+    # join drops zero-overlap pairs); at 0, use the generic composition
+    if policy == "both" and fast and threshold_ppm > 0:
+        img = img.persist()
+        txt = D.ngram_jaccard_on_pairs(
+            img,
+            pairs.select(
+                F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")
+            ),
+            n=n,
+            threshold_ppm=threshold_ppm,
+            df_cap=df_cap,
+        )
+        return img.join(txt, ["a", "b"])
     txt = D.ngram_neardup_pairs(
         pairs.select(F.col(id_col).alias("doc_id"), F.col(caption_col).alias("text")),
         n=n,

@@ -196,6 +196,59 @@ def test_radius_join_auto_chars(spark):
     assert got == brute and brute
 
 
+def test_multimodal_both_fast_equals_generic(spark):
+    # the restricted caption-verify (fast path) must be provably equal to
+    # the generic run-both-pipelines composition on the gate's planted
+    # three-class corpus (both-near / image-only / caption-only dups)
+    from osmquadtree_rust_spark import gate_text as GT
+    from osmquadtree_rust_spark.operators import multimodal as MM
+
+    corpus = GT._mm_corpus(spark, "/root/testdata/sf0.001")
+    fast = MM.multimodal_neardup_pairs(corpus, n=GT._MM_N, policy="both", fast=True)
+    gen = MM.multimodal_neardup_pairs(corpus, n=GT._MM_N, policy="both", fast=False)
+    key = lambda r: (r["a"], r["b"], r["hamming"], r["jaccard_ppm"])
+    fr = sorted(map(key, fast.collect()))
+    gr = sorted(map(key, gen.collect()))
+    assert fr == gr and fr
+
+
+def test_ngram_on_pairs_matches_full_with_df_cap(spark):
+    # df_cap semantics must be corpus-global even when the verify is
+    # restricted to candidate pairs
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon common common footer"),
+            (2, "alpha beta gamma delta epsilon common common footer"),
+            (3, "zeta eta theta iota kappa common common footer"),
+            (4, "unrelated words entirely different tokens here common common footer"),
+        ],
+        "doc_id long, text string",
+    )
+    full = D.ngram_neardup_pairs(docs, n=3, threshold_ppm=300000, df_cap=3)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "a long, b long"
+    )
+    restricted = D.ngram_jaccard_on_pairs(
+        cand, docs, n=3, threshold_ppm=300000, df_cap=3
+    )
+    frows = {(r["a"], r["b"]): r["jaccard_ppm"] for r in full.collect()}
+    rrows = {(r["a"], r["b"]): r["jaccard_ppm"] for r in restricted.collect()}
+    # restricted == full ∩ candidate-pairs
+    expect = {k: v for k, v in frows.items() if k in {(1, 2), (1, 3), (3, 4)}}
+    assert rrows == expect and (1, 2) in rrows
+
+
+def test_ngram_on_pairs_rejects_zero_threshold(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        D.ngram_jaccard_on_pairs(cand, docs, threshold_ppm=0)
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
