@@ -370,17 +370,10 @@ def connected_components(
     spark = vertices.sparkSession
     if reliable and checkpoint_dir is None:
         raise ValueError("reliable=True needs checkpoint_dir")
-    if reliable and "://" in str(checkpoint_dir):
-        # generation cleanup below uses driver-local shutil.rmtree, which
-        # silently no-ops on hdfs://-style URIs — the leak the docstring
-        # promises to avoid.  Cluster URIs need Hadoop-FS cleanup; be
-        # loud instead of leaking ~max_iter full copies.
-        raise ValueError(
-            f"checkpoint_dir={checkpoint_dir!r} must be a local path in "
-            f"this build (cleanup uses shutil.rmtree)"
-        )
-
-    import shutil
+    # generation cleanup goes through the Hadoop FileSystem API (fsio),
+    # so hdfs://-style checkpoint_dir URIs are cleaned instead of leaking
+    # ~max_iter full label copies (driver-local shutil would no-op there)
+    from .. import fsio
 
     _gen = {"n": 0}
 
@@ -396,7 +389,7 @@ def connected_components(
         if path is None:
             df.unpersist()
         else:
-            shutil.rmtree(path, ignore_errors=True)
+            fsio.rmtree_any(path, spark)
 
     id_type = vertices.schema[id_col].dataType.simpleString()
     if id_type not in ("bigint", "int", "smallint", "tinyint"):
@@ -442,7 +435,7 @@ def connected_components(
         if changed == 0:
             break
     if edges_path is not None:
-        shutil.rmtree(edges_path, ignore_errors=True)
+        fsio.rmtree_any(edges_path, spark)
     if changed != 0:
         # returning split components silently would be data corruption
         raise RuntimeError(

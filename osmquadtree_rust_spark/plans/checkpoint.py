@@ -232,11 +232,12 @@ def append_filelist(
 
 
 def read_filelist(base: str) -> list[dict]:
+    from .. import fsio
+
     lpath = f"{base}/_filelist.json"
-    if not os.path.exists(lpath):
+    if not fsio.exists_any(lpath):
         return []
-    with open(lpath) as fh:
-        return json.load(fh)
+    return json.loads(fsio.read_text_any(lpath))
 
 
 def read_snapshot_as_of(
@@ -402,24 +403,29 @@ def vacuum(base: str, grace_seconds: float = 3600.0) -> list[str]:
     append_filelist, so unreferenced directories modified within the
     grace window are left alone (the same reason Iceberg's
     remove-orphan-files defaults to a multi-day horizon).  Pass 0 only
-    when no writer can be active."""
-    import shutil
+    when no writer can be active.
+
+    Listings and deletes go through the Hadoop FileSystem API (fsio), so
+    `base` may be a cluster URI (hdfs://, s3a://, file://) — an active
+    SparkSession resolves the scheme; plain local paths need none.
+    Filelist WRITES (append/squash) remain local-path in this build."""
+    from .. import fsio
 
     live = {e["snapshot"] for e in read_filelist(base)}
     now = time.time()
     removed = []
-    for d in glob.glob(f"{base}/snapshot=*"):
-        snap = os.path.basename(d).split("=", 1)[1]
-        if snap not in live and now - os.path.getmtime(d) >= grace_seconds:
-            shutil.rmtree(d, ignore_errors=True)
+    for ent in fsio.list_dir_any(base):
+        if not ent["is_dir"] or not ent["name"].startswith("snapshot="):
+            continue
+        snap = ent["name"].split("=", 1)[1]
+        if snap not in live and now - ent["mtime"] >= grace_seconds:
+            fsio.rmtree_any(ent["path"])
             for aux in (
                 f"{base}/_metrics/snapshot={snap}",
                 f"{base}/_idindex/snapshot={snap}",
             ):
-                shutil.rmtree(aux, ignore_errors=True)
-            lpath = f"{base}/_lineage/snapshot={snap}.json"
-            if os.path.exists(lpath):
-                os.remove(lpath)
+                fsio.rmtree_any(aux)
+            fsio.remove_file_any(f"{base}/_lineage/snapshot={snap}.json")
             removed.append(snap)
     return sorted(removed)
 

@@ -249,6 +249,49 @@ def test_ngram_on_pairs_rejects_zero_threshold(spark):
         D.ngram_jaccard_on_pairs(cand, docs, threshold_ppm=0)
 
 
+def test_connected_components_reliable_file_uri(spark, tmp_path):
+    # cluster-URI checkpoint dirs used to be a hard error; deletes now go
+    # through the Hadoop FileSystem API, so a file:// URI must work AND
+    # clean its dead generations
+    import os
+
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    verts = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "a long, b long")
+    ckpt = tmp_path / "ckpt_uri"
+    out = D.connected_components(
+        verts, pairs, reliable=True, checkpoint_dir=f"file://{ckpt}"
+    )
+    got = {r.doc_id: r.comp for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6, 7: 7}
+    gens = sorted(os.listdir(ckpt))
+    assert len(gens) == 1, gens
+
+
+def test_vacuum_file_uri(spark, tmp_path):
+    import json
+    import os
+
+    from osmquadtree_rust_spark.plans import checkpoint as CK
+
+    base = str(tmp_path / "store")
+    os.makedirs(f"{base}/snapshot=live")
+    os.makedirs(f"{base}/snapshot=dead")
+    os.makedirs(f"{base}/_metrics/snapshot=dead")
+    with open(f"{base}/_filelist.json", "w") as fh:
+        json.dump([{"snapshot": "live", "timestamp": 1, "kind": "base"}], fh)
+    removed = CK.vacuum(f"file://{base}", grace_seconds=0)
+    assert removed == ["dead"]
+    assert not os.path.exists(f"{base}/snapshot=dead")
+    assert not os.path.exists(f"{base}/_metrics/snapshot=dead")
+    assert os.path.exists(f"{base}/snapshot=live")
+    # grace window protects fresh dirs
+    os.makedirs(f"{base}/snapshot=fresh")
+    assert CK.vacuum(f"file://{base}", grace_seconds=3600) == []
+    assert os.path.exists(f"{base}/snapshot=fresh")
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
