@@ -186,6 +186,32 @@ def contains(ancestor, descendant) -> np.ndarray:
     return (range_min(ancestor) <= d) & (d <= range_max(ancestor))
 
 
+def to_token(cell_id) -> list[str]:
+    """Canonical S2 token form (published s2cell_id encoding): the 16-digit
+    lowercase hex id with trailing zero digits stripped; the zero id is
+    "X".  This is the interop surface most external S2 datasets carry."""
+    out = []
+    for v in np.asarray(cell_id, dtype=np.uint64).ravel():
+        if int(v) == 0:
+            out.append("X")
+            continue
+        out.append(f"{int(v):016x}".rstrip("0"))
+    return out
+
+
+def from_token(tokens) -> np.ndarray:
+    """Inverse of to_token (right-pad the hex digits with zeros)."""
+    vals = []
+    for t in tokens:
+        if t in ("X", "x", ""):
+            vals.append(0)
+            continue
+        if len(t) > 16:
+            raise ValueError(f"invalid S2 token {t!r}")
+        vals.append(int(t, 16) << (4 * (16 - len(t))))
+    return np.array(vals, dtype=np.uint64)
+
+
 def to_signed(cell_id) -> np.ndarray:
     """Reinterpret uint64 ids as int64 for storage in Spark LongType."""
     return np.asarray(cell_id, dtype=np.uint64).view(np.int64)

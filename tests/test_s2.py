@@ -23,6 +23,53 @@ def test_known_vector_and_faces():
         assert f == exp
 
 
+def test_interop_vectors_hand_derived():
+    """Known-answer vectors derivable by hand from the PUBLISHED S2 layout
+    (no S2 runtime ships in this sandbox — see PLANS.md §19):
+
+    - face cell ids are (face << 61) | 2^60 (published bit packing);
+    - the center of each face (u = v = 0 -> s = t = 0.5 -> i = j = 2^29)
+      walks the published kPosToIJ/kPosToOrientation tables to Hilbert
+      position 2^59, so its leaf id is (face << 61) | 2^60 | 1 — the walk
+      is reproduced digit-by-digit in the PLANS entry;
+    - lng=180 lands one leaf below center (sin(pi) = 1.22e-16, not 0, so
+      u < 0 tips s just under 0.5) — the identical cos/sin + IEEE double
+      path any libm-based S2 build takes.
+    """
+    centers = s2.s2_cell_id(
+        np.array([0.0, 0.0, 90.0, 0.0, -90.0]),
+        np.array([0.0, 90.0, 0.0, -90.0, 0.0]),
+    )
+    for f, cid in zip([0, 1, 2, 4, 5], centers):
+        assert int(cid) == (f << 61) | (1 << 60) | 1, (f, hex(int(cid)))
+    anti = int(s2.s2_cell_id(np.array([0.0]), np.array([180.0]))[0])
+    assert anti == (3 << 61) | ((1 << 60) - 1), hex(anti)
+    # face cells via parent-0 truncation
+    assert [int(x) for x in s2.parent(centers, 0)] == [
+        (f << 61) | (1 << 60) for f in [0, 1, 2, 4, 5]
+    ]
+
+
+def test_tokens():
+    faces = np.array([(f << 61) | (1 << 60) for f in range(6)], dtype=np.uint64)
+    assert s2.to_token(faces) == ["1", "3", "5", "7", "9", "b"]
+    assert (s2.from_token(["1", "3", "5", "7", "9", "b"]) == faces).all()
+    leaf = s2.s2_cell_id(np.array([0.0]), np.array([0.0]))
+    assert s2.to_token(leaf) == ["1000000000000001"]
+    assert s2.to_token(np.array([0], dtype=np.uint64)) == ["X"]
+    assert int(s2.from_token(["X"])[0]) == 0
+    # round-trip over random ids at mixed levels
+    rng = np.random.RandomState(11)
+    ids = s2.parent(
+        s2.s2_cell_id(rng.uniform(-80, 80, 500), rng.uniform(-179, 179, 500)), 12
+    )
+    assert (s2.from_token(s2.to_token(ids)) == ids).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        s2.from_token(["12345678901234567"])
+
+
 def test_hierarchy_and_ranges():
     rng = np.random.RandomState(7)
     lat = rng.uniform(-89, 89, 5000)
