@@ -1767,3 +1767,78 @@ FROM (SELECT tile, COUNT(*) AS n_images FROM assigned GROUP BY tile) n
 JOIN (SELECT tile, MAX(cnt) AS max_count FROM cov GROUP BY tile) m
   ON n.tile = m.tile
 """
+
+
+# ===========================================================================
+# count-min sketch + heavy hitters (bounded-memory frequency estimation;
+# operators/sketch.py).  The corpus is enriched with two per-doc unique
+# tokens so the vocabulary (~1k) exceeds the sketch width (256) and
+# collisions genuinely occur; heavy_hitters' sketch prefilter must still
+# return the EXACT answer (count-min never under-counts -> recall 1, the
+# verify aggregate restores precision), so its oracle is the direct
+# exact computation.
+# ===========================================================================
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_THRESHOLD = 100
+_CMS_TEXT_SPARK = "concat(text, ' u', CAST(doc_id AS STRING), ' u', CAST(doc_id AS STRING))"
+_CMS_TEXT_DUCK = _CMS_TEXT_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+def _cms_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CMS_TEXT_SPARK).alias("text")
+    )
+
+
+@_register("cms_sketch")
+def _cms(spark, sf_dir):
+    from .operators import sketch as SK
+
+    out = SK.count_min_sketch(
+        _cms_corpus(spark, sf_dir), depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    return out.select(
+        F.col("d").cast("long"),
+        F.col("bucket").cast("long"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("cms_sketch")
+def _cms_o():
+    from .operators import sketch as SK
+
+    inner = f"SELECT doc_id, {_CMS_TEXT_DUCK} AS text FROM documents"
+    return SK.cms_bucket_oracle_sql(
+        f"({inner})", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
+@_register("heavy_hitter_tokens")
+def _hht(spark, sf_dir):
+    from .operators import sketch as SK
+
+    out = SK.heavy_hitters(
+        _cms_corpus(spark, sf_dir),
+        threshold=_CMS_THRESHOLD,
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+    )
+    return out.select(F.col("word"), F.col("cnt").cast("long"))
+
+
+@_oracle("heavy_hitter_tokens")
+def _hht_o():
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, {_CMS_TEXT_DUCK} AS text FROM documents
+),
+words AS MATERIALIZED (
+  SELECT unnest(string_split(text, ' ')) AS word FROM corpus
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM words WHERE length(word) > 0
+GROUP BY word HAVING COUNT(*) >= {_CMS_THRESHOLD}
+"""

@@ -1,0 +1,192 @@
+"""Deterministic count-min sketch + heavy hitters.
+
+The bounded-memory frequency-estimation family a 100 TB token pipeline
+needs: the full vocabulary of a web corpus does not fit anywhere, but a
+depth x width counter grid does (d*w rows, independent of corpus size),
+and every true heavy hitter is guaranteed to survive the sketch
+prefilter (count-min never under-counts), so `heavy_hitters` returns
+EXACT counts with provable recall 1.
+
+Everything is engine-deterministic: token hashing is the repo's shared
+md5-prefix universal-hash family (functions/text_sql.py, same SQL text
+in the DuckDB oracles), the sketch is a plain hash aggregate, and the
+estimate is an integer MIN — no randomness, no float.
+
+Scale shapes:
+- count_min_sketch: one map-side-combined shuffle whose payload is
+  bounded by depth*width per task, not by vocabulary size;
+- cms_lookup: the sketch is broadcast (d*w rows); probes never shuffle;
+- heavy_hitters: sketch prefilter cuts the exact-count aggregation to
+  candidate tokens only (df_est >= threshold), the standard
+  sketch-then-verify shape shared with the near-dup families.
+
+Generalizes the reference's exact count statistics (count.rs:34-516) to
+the approximate/streaming regime the reference never needed (its planet
+element types are enumerable; an open token vocabulary is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text_sql as TS
+from .dedup import word_hashes
+
+DEFAULT_DEPTH = 4
+DEFAULT_WIDTH = 8192
+
+
+def _bucket_sql(wh: str, a: int, b: int, width: int) -> str:
+    """Shared Spark/DuckDB text: row-d bucket of a word-hash expression."""
+    return f"((({a} * {wh} + {b}) % {TS.MINHASH_P}) % {int(width)})"
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """(d, bucket, cnt): token occurrences of the corpus folded into a
+    depth x width counter grid via the shared universal-hash family.
+    One explode + one hash aggregate; output size <= depth*width rows."""
+    if depth < 1 or depth > 64:
+        raise ValueError(f"depth={depth} outside [1, 64]")
+    if width < 2:
+        raise ValueError(f"width={width} must be >= 2")
+    wh = word_hashes(df, text, id_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                F.expr(_bucket_sql("wh", a, b, width)).cast("long").alias("bucket"),
+            )
+            for d, (a, b) in enumerate(TS.minhash_coeffs(depth))
+        ]
+    )
+    return (
+        wh.select(F.explode(rows).alias("s"))
+        .select("s.d", "s.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    word_col: str = "word",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Estimated occurrence count per probe word: est = MIN over the
+    depth rows (count-min upper bound; exact when no bucket collides).
+    The sketch side is broadcast — probes never shuffle.  Words absent
+    from the corpus may still return a positive estimate (collisions);
+    they never return less than their true count (0)."""
+    wh_sql = TS.minhash_word_hash_sql(word_col, TS.SPARK)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                F.expr(_bucket_sql(f"({wh_sql})", a, b, width))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for d, (a, b) in enumerate(TS.minhash_coeffs(depth))
+        ]
+    )
+    exploded = probes.select(F.col(word_col), F.explode(rows).alias("s")).select(
+        word_col, "s.d", "s.bucket"
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(word_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    threshold: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> DataFrame:
+    """Tokens occurring >= threshold times, with EXACT counts.
+
+    Sketch-then-verify: the count-min estimate upper-bounds the true
+    count, so filtering token occurrences on est >= threshold can never
+    drop a true heavy hitter (recall 1); the exact aggregate then runs
+    only over surviving occurrences.  Output is therefore identical to
+    the direct exact computation — the sketch is a physical
+    optimization, not a semantics change — which is exactly what the
+    DuckDB oracle checks.
+
+    Shape at 100 TB: the sketch is COLLECTED to the driver (<= d*w rows
+    by construction — sketch size is the point; same metadata-scale
+    precedent as the k-means centroid stats) and re-created lineage-free,
+    so the d broadcast lookups don't recompute the corpus-scan subtree
+    per join (broadcast build sides are never reused — see CLAUDE.md).
+    The only full-vocabulary-keyed shuffle in the naive exact plan is
+    replaced by: one token scan + d broadcast joins + an aggregate over
+    candidate occurrences only."""
+    if threshold < 1:
+        raise ValueError(f"threshold={threshold} must be >= 1")
+    spark = df.sparkSession
+    sketch_rows = count_min_sketch(df, text, id_col, depth, width).collect()
+    sk = spark.createDataFrame(
+        [(int(r["d"]), int(r["bucket"]), int(r["cnt"])) for r in sketch_rows]
+        or [(0, -1, 0)],  # typed placeholder for an empty corpus
+        "d long, bucket long, cnt long",
+    )
+    stream = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .withColumn("__wh", F.expr(TS.minhash_word_hash_sql("word", TS.SPARK)))
+    )
+    ests = []
+    for d, (a, b) in enumerate(TS.minhash_coeffs(depth)):
+        side = (
+            sk.filter(F.col("d") == d)
+            .select(F.col("bucket").alias(f"__b{d}"), F.col("cnt").alias(f"__c{d}"))
+        )
+        stream = stream.withColumn(
+            f"__b{d}", F.expr(_bucket_sql("__wh", a, b, width)).cast("long")
+        ).join(F.broadcast(side), f"__b{d}", "left")
+        ests.append(F.coalesce(F.col(f"__c{d}"), F.lit(0)))
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
+    return (
+        stream.filter(est >= int(threshold))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= int(threshold))
+    )
+
+
+def cms_bucket_oracle_sql(
+    table: str,
+    text: str = "text",
+    depth: int = DEFAULT_DEPTH,
+    width: int = DEFAULT_WIDTH,
+) -> str:
+    """DuckDB construction of the identical sketch (shared hash text)."""
+    wh = TS.minhash_word_hash_sql("word", TS.DUCKDB)
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS d, "
+        f"CAST({_bucket_sql(f'({wh})', a, b, width)} AS BIGINT) AS bucket "
+        f"FROM words"
+        for d, (a, b) in enumerate(TS.minhash_coeffs(depth))
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT unnest(string_split({text}, ' ')) AS word FROM {table}
+),
+filtered AS MATERIALIZED (SELECT word FROM words WHERE length(word) > 0),
+buckets AS MATERIALIZED ({arms.replace('FROM words', 'FROM filtered')})
+SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM buckets GROUP BY d, bucket
+"""

@@ -292,6 +292,56 @@ def test_vacuum_file_uri(spark, tmp_path):
     assert os.path.exists(f"{base}/snapshot=fresh")
 
 
+def test_cms_upper_bound_and_heavy_hitters(spark):
+    from osmquadtree_rust_spark.operators import sketch as SK
+
+    # tiny width forces collisions; estimates must never under-count and
+    # heavy_hitters must still equal the direct exact computation
+    docs = spark.createDataFrame(
+        [(i, "hot " * 20 + f"u{i} v{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    width, depth = 8, 3
+    sketch = SK.count_min_sketch(docs, depth=depth, width=width)
+    vocab = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    truth = {r["word"]: r["n"] for r in vocab.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    est = {
+        r["word"]: r["est"]
+        for r in SK.cms_lookup(sketch, vocab.distinct(), depth=depth, width=width).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[w] >= c for w, c in truth.items())  # never under-counts
+    collided = sum(1 for w in truth if est[w] > truth[w])
+    assert collided > 0  # width 8 vs 81 tokens: collisions must occur
+
+    hh = {
+        r["word"]: r["cnt"]
+        for r in SK.heavy_hitters(docs, threshold=100, depth=depth, width=width).collect()
+    }
+    assert hh == {"hot": 800}
+    # absent probe word: estimate is a (possibly positive) upper bound of 0
+    ghost = spark.createDataFrame([("nosuchword",)], "word string")
+    g = SK.cms_lookup(sketch, ghost, depth=depth, width=width).collect()[0]["est"]
+    assert g >= 0
+
+
+def test_cms_guards(spark):
+    from osmquadtree_rust_spark.operators import sketch as SK
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="depth"):
+        SK.count_min_sketch(docs, depth=0)
+    with pytest.raises(ValueError, match="width"):
+        SK.count_min_sketch(docs, width=1)
+    with pytest.raises(ValueError, match="threshold"):
+        SK.heavy_hitters(docs, threshold=0)
+    # empty corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert SK.heavy_hitters(empty, threshold=1).count() == 0
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
