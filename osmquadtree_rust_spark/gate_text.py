@@ -1842,3 +1842,95 @@ SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM words WHERE length(word) > 0
 GROUP BY word HAVING COUNT(*) >= {_CMS_THRESHOLD}
 """
+
+
+# ===========================================================================
+# batched IVF ANN join: every query row gets its exact top-k within its
+# n_probe best clusters (operators/similarity.ivf_topk_join).  Queries
+# are the first _ANNJ_NQ embedding rows; centroids reuse _ivf_inputs.
+# All dots are pinned left-to-right float folds on both engines.
+# ===========================================================================
+
+_ANNJ_NQ = 5
+_ANNJ_K = 10
+
+
+@_register("ann_topk_join")
+def _annj(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, _ = _ivf_inputs(sf_dir)
+    queries = emb.filter(F.col("vec_id") < _ANNJ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = SIM.ivf_topk_join(
+        queries, emb, centroids, k=_ANNJ_K, n_probe=_IVF_PROBE,
+        q_vec_col="embedding",
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("score_ppm").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("ann_topk_join")
+def _annj_o():
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    centroids, _ = _ivf_inputs(sf_dir)
+    dim = len(centroids[0])
+
+    def dot_lit(tbl, c):
+        return " + ".join(
+            f"CAST({tbl}.embedding[{i + 1}] AS DOUBLE) * CAST({repr(float(v))} AS DOUBLE)"
+            for i, v in enumerate(c)
+        )
+
+    # per-query centroid dots, one UNION arm per centroid
+    arms = " UNION ALL ".join(
+        f"SELECT q.vec_id AS query_id, CAST({j} AS BIGINT) AS cl, "
+        f"({dot_lit('q', c)}) AS cd FROM q"
+        for j, c in enumerate(centroids)
+    )
+    # corpus argmax assignment (weak >= toward earlier j = first max wins)
+    dots = [f"({dot_lit('e', c)})" for c in centroids]
+    branches = []
+    for j in range(len(centroids)):
+        conds = [f"{dots[j]} >= {dots[i]}" for i in range(len(centroids)) if i != j]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {j}")
+    assign = f"(CASE {' '.join(branches)} ELSE 0 END)"
+    pair_dot = " + ".join(
+        f"CAST(q.embedding[{i + 1}] AS DOUBLE) * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_ANNJ_NQ}
+),
+qdots AS MATERIALIZED ({arms}),
+probes AS MATERIALIZED (
+  SELECT query_id, cl FROM (
+    SELECT query_id, cl,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd DESC, cl) AS pr
+    FROM qdots
+  ) WHERE pr <= {_IVF_PROBE}
+),
+corp AS MATERIALIZED (
+  SELECT vec_id, embedding, CAST({assign} AS BIGINT) AS cl FROM embeddings e
+),
+scored AS MATERIALIZED (
+  SELECT p.query_id, e.vec_id, ({pair_dot}) AS d
+  FROM probes p
+  JOIN corp e ON e.cl = p.cl
+  JOIN q ON q.vec_id = p.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(FLOOR(d * 1000000.0) AS BIGINT) AS score_ppm, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT query_id, vec_id, d,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_ANNJ_K}
+"""

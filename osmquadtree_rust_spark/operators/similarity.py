@@ -556,3 +556,86 @@ def ivf_topk(
         F.col("__cluster").isin(probe_ids)
     )
     return brute_force_topk(cand.drop("__cluster"), query, k, vec_col, id_col)
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "query_id",
+    q_vec_col: str | None = None,
+) -> DataFrame:
+    """Batched IVF ANN: EVERY query row gets its top-k corpus matches —
+    the serving-side join (ivf_topk handles one driver-side query; a
+    retrieval pipeline scores millions of queries at once).
+
+    Plan shape: queries explode into their C centroid dots (posexplode of
+    one array expression), a per-query window keeps the n_probe best
+    clusters (ties -> smaller cluster id, matching ivf_assign_expr);
+    corpus rows compute their cluster once as a projection; candidates
+    are the (cluster) equi-join; the exact per-query top-k is a second
+    window over dot desc with id tie-break.  At 100 TB the corpus
+    cluster is the table's partition/bucket key, so the equi-join prunes
+    to probed partitions; both windows partition per query and are
+    bounded by n_probe * cluster size.  Recall < 1 by design (exact
+    within probed cells), same contract as ivf_topk.
+
+    The query vector rides THROUGH the join (no join-back); dots are
+    pinned left-to-right folds, engine-exact vs the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    q_vec_col = q_vec_col or vec_col
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(f"n_probe={n_probe} outside [1, {len(centroids)}]")
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    reserved = {"__cl", "__cd", "__pr", "__qv", "__cv", "__dot", "rk"} & (
+        set(queries.columns) | set(corpus.columns)
+    )
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} collide with internals")
+    qd = queries.select(
+        F.col(q_id_col),
+        F.col(q_vec_col).alias("__qv"),
+        F.posexplode(F.expr(ivf_dots_expr(q_vec_col, centroids))).alias(
+            "__cl", "__cd"
+        ),
+    )
+    wp = Window.partitionBy(q_id_col).orderBy(
+        F.col("__cd").desc(), F.col("__cl").asc()
+    )
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= int(n_probe))
+        .select(q_id_col, "__qv", "__cl")
+    )
+    corp = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        F.expr(ivf_assign_expr(vec_col, centroids)).alias("__cl"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(__qv, __cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    wk = Window.partitionBy(q_id_col).orderBy(
+        F.col("__dot").desc(), F.col(id_col).asc()
+    )
+    return (
+        probes.join(corp, "__cl")
+        .withColumn("__dot", dot)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.floor(F.col("__dot") * 1000000.0).cast("long").alias("score_ppm"),
+            F.col("rk").cast("long"),
+        )
+    )

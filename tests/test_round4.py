@@ -342,6 +342,47 @@ def test_cms_guards(spark):
     assert SK.heavy_hitters(empty, threshold=1).count() == 0
 
 
+def test_ivf_topk_join_full_probe_is_exact(spark):
+    # probing ALL clusters must equal brute force per query
+    import itertools
+
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    rng_vecs = [
+        [((i * 13 + d * 7) % 19 - 9) / 10.0 for d in range(8)] for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vecs)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, rng_vecs[i]) for i in range(4)],
+        "query_id long, embedding array<double>",
+    )
+    cents = [rng_vecs[0], rng_vecs[10], rng_vecs[20]]
+    out = SIM.ivf_topk_join(queries, corpus, cents, k=5, n_probe=3)
+    got = {
+        (r["query_id"], r["rk"]): (r["vec_id"], r["score_ppm"])
+        for r in out.collect()
+    }
+    import math
+
+    for qi in range(4):
+        scored = sorted(
+            (
+                (-sum(a * b for a, b in zip(rng_vecs[qi], v)), i)
+                for i, v in enumerate(rng_vecs)
+            ),
+        )
+        for rk, (negd, vid) in enumerate(scored[:5], start=1):
+            gvid, gppm = got[(100 + qi, rk)]
+            assert gvid == vid, (qi, rk, gvid, vid)
+            assert gppm == math.floor(-negd * 1e6)
+    with pytest.raises(ValueError, match="n_probe"):
+        SIM.ivf_topk_join(queries, corpus, cents, n_probe=4)
+    with pytest.raises(ValueError, match="collide"):
+        SIM.ivf_topk_join(queries.withColumn("rk", F.lit(1)), corpus, cents)
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
