@@ -2048,3 +2048,61 @@ SELECT CAST(COUNT(*) AS BIGINT) AS num,
        CAST(MAX(mx) AS BIGINT) AS max_ref
 FROM per_way
 """
+
+
+# ===========================================================================
+# all-points kNN within radius: geohash_radius_join candidates symmetrized
+# + the salted skew-safe top-k, ranked by exact integer distance
+# (operators/spatial_join.knn_within_radius)
+# ===========================================================================
+
+_KNN_RJ_K = 3
+
+
+@_register("knn_radius_join")
+def _knnrj(spark, sf_dir):
+    from .operators.spatial_join import knn_within_radius
+
+    pts = _events_points(spark, sf_dir).select(
+        "event_id",
+        F.expr(_GRJ_FOLD % "lon").alias("flon"),
+        F.expr(_GRJ_FOLD % "lat").alias("flat"),
+    )
+    out = knn_within_radius(
+        pts, _GRJ_D, k=_KNN_RJ_K, lon="flon", lat="flat", id_col="event_id"
+    )
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("dist_sq").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("knn_radius_join")
+def _knnrj_o() -> str:
+    fold_lon = _GRJ_FOLD % "lon"
+    fold_lat = _GRJ_FOLD % "lat"
+    dl = "ABS(a.flon - b.flon)"
+    dist = (
+        f"LEAST({dl}, 3600000000 - {dl}) * LEAST({dl}, 3600000000 - {dl}) "
+        f"+ ABS(a.flat - b.flat) * ABS(a.flat - b.flat)"
+    )
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id, {fold_lon} AS flon, {fold_lat} AS flat
+  FROM ({_events_synth_sql()}) e
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_id AS a, b.event_id AS b, CAST({dist} AS BIGINT) AS dist_sq
+  FROM pts a JOIN pts b ON a.event_id != b.event_id
+  WHERE {dist} <= {_GRJ_D * _GRJ_D}
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, dist_sq,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT a, b, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY dist_sq, b) AS rk
+  FROM pairs
+) WHERE rk <= {_KNN_RJ_K}
+"""

@@ -217,8 +217,10 @@ def top_k_per_group(
     id_col: str = "doc_id",
     out: str = "rk",
     salt_buckets: int = 16,
+    ascending: bool = False,
 ) -> DataFrame:
-    """Keep the best k rows per group (order desc, id asc tie-break) —
+    """Keep the best k rows per group (order desc — or asc with
+    ascending=True, e.g. distance ranking — id asc tie-break) —
     the per-domain curation cut every corpus pipeline applies ("best N
     documents per source").
 
@@ -248,7 +250,10 @@ def top_k_per_group(
     reserved = {out} & set(df.columns)
     if reserved:
         raise ValueError(f"column {out!r} already exists; pass a different out")
-    ordering = (F.col(order).desc(), F.col(id_col).asc())
+    ordering = (
+        F.col(order).asc() if ascending else F.col(order).desc(),
+        F.col(id_col).asc(),
+    )
     if salt_buckets > 1:
         salt = F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
         w1 = Window.partitionBy(F.col(group), salt).orderBy(*ordering)

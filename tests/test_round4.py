@@ -383,6 +383,33 @@ def test_ivf_topk_join_full_probe_is_exact(spark):
         SIM.ivf_topk_join(queries.withColumn("rk", F.lit(1)), corpus, cents)
 
 
+def test_knn_within_radius_matches_brute_force(spark):
+    from osmquadtree_rust_spark.operators.spatial_join import knn_within_radius
+
+    pts = [(i, 100000000 + (i * 37917) % 800000, 450000000 + (i * 70123) % 800000)
+           for i in range(60)]
+    d, k = 300000, 2
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    got = {
+        (r["a"], r["rk"]): (r["b"], r["dist_sq"])
+        for r in knn_within_radius(df, d, k=k).collect()
+    }
+    expect = {}
+    for i, xi, yi in pts:
+        nbrs = []
+        for j, xj, yj in pts:
+            if i == j:
+                continue
+            dl = abs(xi - xj)
+            wl = min(dl, 3600000000 - dl)
+            ds = wl * wl + (yi - yj) ** 2
+            if ds <= d * d:
+                nbrs.append((ds, j))
+        for rk, (ds, j) in enumerate(sorted(nbrs)[:k], start=1):
+            expect[(i, rk)] = (j, ds)
+    assert got == expect and expect
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
