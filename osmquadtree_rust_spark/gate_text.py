@@ -1934,3 +1934,38 @@ FROM (
   FROM scored
 ) WHERE rk <= {_ANNJ_K}
 """
+
+
+# ===========================================================================
+# token co-occurrence (skip-gram counts): exact forward window counts,
+# the integer substrate of PMI / embedding training (operators/text.py)
+# ===========================================================================
+
+_COOC_WINDOW = 3
+
+
+@_register("token_cooccurrence")
+def _cooc(spark, sf_dir):
+    out = TX.token_cooccurrence(
+        _t(spark, sf_dir, "documents"), window=_COOC_WINDOW
+    )
+    return out.select("w_a", "w_b", F.col("cnt").cast("long"))
+
+
+@_oracle("token_cooccurrence")
+def _cooc_o():
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, i AS pos, ws[i + 1] AS w
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i
+        FROM wsx WHERE len(ws) > 0) g
+)
+SELECT a.w AS w_a, b.w AS w_b, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {_COOC_WINDOW}
+GROUP BY 1, 2
+"""

@@ -209,6 +209,41 @@ def with_repetition_ratio(
     ).drop("__ws", "__k", "__ng")
 
 
+def token_cooccurrence(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Forward co-occurrence counts (w_a, w_b, cnt): w_b occurs 1..window
+    positions after w_a within a document — the skip-gram count matrix
+    feeding PMI / embedding-training pipelines.  Counts are exact
+    integers; derived float scores (PMI needs log) are left to the
+    caller because cross-engine log is outside this repo's determinism
+    contract (see CLAUDE.md).
+
+    Shape: positions via ONE posexplode per side, the pair space built
+    by an (id, position) EQUI-join against `window` exploded offsets —
+    linear in tokens*window, never a per-document quadratic theta join.
+    Tokenization is the shared split_words construction."""
+    if window < 1:
+        raise ValueError(f"window={window} must be >= 1")
+    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
+    left = (
+        base.select(F.col(id_col), F.posexplode("__ws").alias("__pos", "w_a"))
+        .withColumn("__off", F.explode(F.expr(f"sequence(1, {int(window)})")))
+        .withColumn("__pos_b", F.col("__pos") + F.col("__off"))
+    )
+    right = base.select(
+        F.col(id_col), F.posexplode("__ws").alias("__pos_b", "w_b")
+    )
+    return (
+        left.join(right, [id_col, "__pos_b"])
+        .groupBy("w_a", "w_b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group: str = "source",

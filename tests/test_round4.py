@@ -410,6 +410,29 @@ def test_knn_within_radius_matches_brute_force(spark):
     assert got == expect and expect
 
 
+def test_token_cooccurrence_small(spark):
+    from osmquadtree_rust_spark.operators.text import token_cooccurrence
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b  a")],  # double space: empty token dropped
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w_a"], r["w_b"]): r["cnt"]
+        for r in token_cooccurrence(df, window=2).collect()
+    }
+    # doc1 pairs (window 2): (a,b),(a,a),(b,a),(b,c),(a,c); doc2: (b,a)
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "a"): 1,
+        ("b", "a"): 2,
+        ("b", "c"): 1,
+        ("a", "c"): 1,
+    }
+    with pytest.raises(ValueError, match="window"):
+        token_cooccurrence(df, window=0)
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
