@@ -121,6 +121,13 @@ def main():
         "qt_rollup_pyramid",
         "geohash_neighbors",
         "mergechanges_extract",
+        # round 4 additions
+        "session_stats",
+        "heavy_hitter_tokens",
+        "ann_topk_join",
+        "knn_radius_join",
+        "token_cooccurrence",
+        "top_k_per_source",
     ]
     for name in bench_queries:
         fn = G.GATE[name]["spark"]
