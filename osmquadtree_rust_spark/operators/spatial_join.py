@@ -303,11 +303,25 @@ def knn_within_radius(
     pairs = geohash_radius_join(
         points, d_fixed, lon=lon, lat=lat, chars=chars, id_col=id_col
     )
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), F.col("dist_sq")
-        )
-    )
+    # symmetrize by exploding each row into both directions in ONE pass —
+    # a union of pairs with its own swap would evaluate the whole
+    # radius-join subtree twice (the union-branch recompute trap from
+    # CLAUDE.md).  The dominant cost at bench scale is the radius join
+    # itself, whose two join branches each evaluate the points subtree —
+    # at real scale those are parquet re-scans, the right trade vs
+    # materialization.
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b"), F.col("dist_sq")),
+                F.struct(
+                    F.col("b").alias("a"),
+                    F.col("a").alias("b"),
+                    F.col("dist_sq"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b", "s.dist_sq")
     from .text import top_k_per_group
 
     return top_k_per_group(
