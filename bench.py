@@ -129,11 +129,16 @@ def main():
         "token_cooccurrence",
         "top_k_per_source",
     ]
-    for name in bench_queries:
-        fn = G.GATE[name]["spark"]
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+    # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
+    # scaling harness, whose efficiency metric is the tiling pipeline
+    # alone, so each trial costs ~1/3 the wall time and more trials fit
+    # in a quiet-host window
+    if os.environ.get("BENCH_TILING_ONLY", "0") != "1":
+        for name in bench_queries:
+            fn = G.GATE[name]["spark"]
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
     print(

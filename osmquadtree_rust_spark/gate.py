@@ -2106,3 +2106,76 @@ FROM (
   FROM pairs
 ) WHERE rk <= {_KNN_RJ_K}
 """
+
+
+# ===========================================================================
+# interval merge + coverage report (operators/temporal.merge_intervals /
+# coverage_stats): per-user validity intervals synthesized from events
+# (duration = 1800 + event_id % 7200, shared SQL text), merged into
+# maximal islands, folded to covered/islands/span/max_gap
+# ===========================================================================
+
+_IVC_DUR = "(1800 + (event_id % 7200))"
+
+
+@_register("interval_coverage")
+def _ivc(spark, sf_dir):
+    from .operators.temporal import coverage_stats
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.expr("CAST(FLOOR(unix_timestamp(ts)) AS BIGINT)").alias("start"),
+        F.expr(
+            f"CAST(FLOOR(unix_timestamp(ts)) AS BIGINT) + {_IVC_DUR}"
+        ).alias("end"),
+    )
+    out = coverage_stats(iv, key="user_id")
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("covered").cast("long"),
+        F.col("n_islands").cast("long"),
+        F.col("span").cast("long"),
+        F.col("max_gap").cast("long"),
+    )
+
+
+@_oracle("interval_coverage")
+def _ivc_o() -> str:
+    return f"""
+WITH iv AS MATERIALIZED (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) + {_IVC_DUR} AS e
+  FROM events
+),
+flagged AS MATERIALIZED (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER wp IS NULL OR s > MAX(e) OVER wp
+              THEN 1 ELSE 0 END AS newf
+  FROM iv
+  WINDOW wp AS (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS MATERIALIZED (
+  SELECT user_id, s, e,
+         SUM(newf) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS isl
+  FROM flagged
+),
+m AS MATERIALIZED (
+  SELECT user_id, MIN(s) AS island_start, MAX(e) AS island_end
+  FROM islands GROUP BY user_id, isl
+),
+g AS MATERIALIZED (
+  SELECT user_id, island_start, island_end,
+         island_start - LAG(island_end) OVER (PARTITION BY user_id
+                                              ORDER BY island_start) AS gap
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(island_end - island_start) AS BIGINT) AS covered,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(island_end) - MIN(island_start) AS BIGINT) AS span,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
+FROM g GROUP BY user_id
+"""

@@ -322,3 +322,93 @@ def bucketed_range_join(
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
         .drop("__bkt")
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key: str = "id",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching half-open intervals [start, end) per
+    key into maximal islands — the coverage primitive behind sensor
+    uptime, snapshot validity spans, and ingestion-gap reports.
+
+    Gaps-and-islands with a running MAX: an interval starts a new island
+    iff its start exceeds the max end seen so far among earlier
+    intervals of the key (ordered by start, end — tie-break keeps the
+    numbering deterministic); a running SUM of the flags numbers the
+    islands; one aggregate folds each island to
+    (key, island_start, island_end, n_intervals).  Touching intervals
+    ([0,10) + [10,20)) merge, matching the half-open convention.
+
+    Windows partition per key (bounded by per-key interval counts);
+    integer-exact throughout — no floats anywhere.  Degenerate
+    end <= start intervals raise (they would silently shrink coverage).
+
+    Same engine shape as sessionize_batch — sessions are the point-event
+    special case of this interval form."""
+    if {"__pmax", "__new", "__isl"} & set(intervals.columns):
+        raise ValueError("columns __pmax/__new/__isl are reserved")
+    # the guard REPLACES the start column so it sits inside an expression
+    # every downstream window uses — a guard projected into a dropped
+    # column would be pruned by Catalyst and never evaluate
+    guard = F.when(
+        F.col(end) <= F.col(start),
+        F.expr(
+            f"raise_error(concat('merge_intervals: end <= start for key ', "
+            f"CAST({key} AS STRING)))"
+        ).cast(dict(intervals.dtypes)[start]),
+    ).otherwise(F.col(start))
+    w = Window.partitionBy(key).orderBy(start, end).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wprev = Window.partitionBy(key).orderBy(start, end).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    d = (
+        intervals.withColumn(start, guard)
+        .withColumn("__pmax", F.max(end).over(wprev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pmax").isNull() | (F.col(start) > F.col("__pmax")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    return (
+        d.groupBy(key, "__isl")
+        .agg(
+            F.min(start).alias("island_start"),
+            F.max(end).alias("island_end"),
+            F.count("*").cast("long").alias("n_intervals"),
+        )
+        .drop("__isl")
+    )
+
+
+def coverage_stats(
+    intervals: DataFrame,
+    key: str = "id",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Per-key coverage summary over merged islands: covered units
+    (sum of island lengths), island count, span, and largest gap —
+    the uptime/completeness report."""
+    m = merge_intervals(intervals, key, start, end)
+    wprev = Window.partitionBy(key).orderBy("island_start")
+    g = m.withColumn(
+        "__gap",
+        F.col("island_start") - F.lag("island_end").over(wprev),
+    )
+    return g.groupBy(key).agg(
+        F.sum(F.col("island_end") - F.col("island_start"))
+        .cast("long")
+        .alias("covered"),
+        F.count("*").cast("long").alias("n_islands"),
+        (F.max("island_end") - F.min("island_start")).cast("long").alias("span"),
+        F.coalesce(F.max("__gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )

@@ -119,6 +119,14 @@ def sessionize_batch(
 
     if gap_seconds < 0:
         raise ValueError(f"gap_seconds={gap_seconds} must be >= 0")
+    reserved = {"__secs", "__new", "__sid", "session_start", "session_end",
+                "n_events", "total_value"} & set(events.columns)
+    reserved -= {value_col}
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with sessionize_batch's "
+            f"internal/output names; rename them first"
+        )
     # dtype dispatch (same contract as hopping_window_counts): numeric
     # epoch columns pass through, timestamps go via unix_timestamp
     dtype = dict(events.dtypes).get(ts_col)

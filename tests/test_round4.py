@@ -433,6 +433,42 @@ def test_token_cooccurrence_small(spark):
         token_cooccurrence(df, window=0)
 
 
+def test_merge_intervals_and_coverage(spark):
+    from osmquadtree_rust_spark.operators.temporal import (
+        coverage_stats,
+        merge_intervals,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 10),    # island A
+            (1, 5, 12),    # overlaps A
+            (1, 12, 20),   # touches A (half-open merge)
+            (1, 30, 40),   # island B (gap 10)
+            (2, 100, 200),
+        ],
+        "id long, start long, end long",
+    )
+    m = {
+        (r["id"], r["island_start"]): (r["island_end"], r["n_intervals"])
+        for r in merge_intervals(iv).collect()
+    }
+    assert m == {(1, 0): (20, 3), (1, 30): (40, 1), (2, 100): (200, 1)}
+    c = {
+        r["id"]: (r["covered"], r["n_islands"], r["span"], r["max_gap"])
+        for r in coverage_stats(iv).collect()
+    }
+    assert c == {1: (30, 2, 40, 10), 2: (100, 1, 100, 0)}
+
+
+def test_merge_intervals_degenerate_raises(spark):
+    from osmquadtree_rust_spark.operators.temporal import merge_intervals
+
+    iv = spark.createDataFrame([(1, 10, 10)], "id long, start long, end long")
+    with pytest.raises(Exception, match="end <= start"):
+        merge_intervals(iv).collect()
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 

@@ -4,7 +4,14 @@ identical input and report throughput at both plus efficiency = (T_N/T_4N)/4.
 This is the sandbox stand-in for the north rule's N vs 4N executor
 criterion (no real cluster available here).  Writes BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_low=8] [n_high=32]
+Noise control (this shared host swings 2-3x from neighbor load — see the
+variance note in the report): each parallelism level runs
+BENCH_SCALING_TRIALS tiling-only trials (default 3) with a load-average
+cooldown before each, and the report takes the per-level MINIMUM wall
+time (the standard noise-robust benchmark estimator) while disclosing
+every trial.
+
+Usage: python tools/bench_scaling.py [n_low=2] [n_high=8]
 """
 
 from __future__ import annotations
@@ -13,8 +20,19 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def cooldown(threshold: float = 1.0, max_wait: float = 300.0) -> None:
+    """Wait for the 1-min load average to decay below `threshold` so a
+    trial doesn't measure the previous trial's shutdown tail."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(10)
 
 
 def run(cpus: int) -> dict:
@@ -27,6 +45,7 @@ def run(cpus: int) -> dict:
     env.setdefault("BENCH_IMAGES", "120000000")
     env.setdefault("BENCH_NOOP", "1")
     env.setdefault("BENCH_PERSIST", "0")
+    env.setdefault("BENCH_TILING_ONLY", "1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -39,6 +58,17 @@ def run(cpus: int) -> dict:
     return json.loads(line)
 
 
+def run_best(cpus: int, trials: int) -> tuple[dict, list[float]]:
+    """Best-of-N by tiling wall time; returns (best_run, all_walls)."""
+    results = []
+    for _ in range(trials):
+        cooldown()
+        results.append(run(cpus))
+    walls = [r["queries"]["tiling_pipeline"] for r in results]
+    best = min(results, key=lambda r: r["queries"]["tiling_pipeline"])
+    return best, walls
+
+
 def main():
     # Default N=2 vs 4N=8: this host's memory bandwidth saturates at ~8
     # active threads (measured: ~2 GB/s aggregate), so 8->32 measures the
@@ -47,8 +77,9 @@ def main():
     # executor brings its own memory channels).
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_high = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    lo = run(n_low)
-    hi = run(n_high)
+    trials = int(os.environ.get("BENCH_SCALING_TRIALS", "3"))
+    lo, lo_walls = run_best(n_low, trials)
+    hi, hi_walls = run_best(n_high, trials)
     ratio = n_high / n_low
     t_lo = lo["queries"]["tiling_pipeline"]
     t_hi = hi["queries"]["tiling_pipeline"]
@@ -75,6 +106,10 @@ N -> 4N executor scaling rule (BASELINE.json north_rule).
 - throughput scaling {n_low} -> {n_high} threads: {ips_hi / ips_lo:.2f}x
   over a {ratio:.0f}x core increase
 - **scaling efficiency (T_{n_low}/T_{n_high})/{ratio:.0f} = {eff:.3f}**
+- best of {trials} cooled-down trials per level (1-min loadavg < 1 before
+  each); all tiling walls: local[{n_low}] = {lo_walls},
+  local[{n_high}] = {hi_walls} — minimum taken per level (noise-robust
+  estimator on this shared host, see the variance note below)
 
 Per-query seconds:
 
