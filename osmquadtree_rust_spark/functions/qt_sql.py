@@ -106,6 +106,27 @@ def qt_from_xyz_sql(x: str, y: str, z: int, dialect: str = DUCKDB) -> str:
     return f"({_shl(f'({body})', 63 - 2 * z, dialect)} + {z})"
 
 
+def qt_to_x_sql(c: str, z: int, dialect: str = DUCKDB) -> str:
+    """Tile x of a cell at FIXED depth z (unrolled to_xyz, quadtree.rs:
+    61-87): x bit i (from the top) is cell bit 61-2i."""
+    z = int(z)
+    terms = [
+        _shl(f"({_shr(c, 61 - 2 * i, dialect)} & 1)", z - 1 - i, dialect)
+        for i in range(z)
+    ]
+    return "(" + (" + ".join(terms) if terms else "0") + ")"
+
+
+def qt_to_y_sql(c: str, z: int, dialect: str = DUCKDB) -> str:
+    """Tile y of a cell at FIXED depth z (bit 62-2i per level)."""
+    z = int(z)
+    terms = [
+        _shl(f"({_shr(c, 62 - 2 * i, dialect)} & 1)", z - 1 - i, dialect)
+        for i in range(z)
+    ]
+    return "(" + (" + ".join(terms) if terms else "0") + ")"
+
+
 # ---------------------------------------------------------------------------
 # floating-point encode: bbox -> cell, unrolled per level
 # ---------------------------------------------------------------------------

@@ -2179,3 +2179,76 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap
 FROM g GROUP BY user_id
 """
+
+
+# ===========================================================================
+# qt_neighbors: 8-neighbor expansion on the NATIVE quadtree index
+# (operators/spatial_join.qt_neighbors) — level-14 cells of the event
+# points (boundary points that encode shallower than 14 are filtered on
+# both sides, shared semantics)
+# ===========================================================================
+
+_QTN_LEVEL = 14
+
+
+@_register("qt_neighbors")
+def _qtn(spark, sf_dir):
+    from .operators.spatial_join import qt_neighbors
+
+    pts = _events_points(spark, sf_dir)
+    cells = (
+        qs.with_point_qt(pts, "lon", "lat")
+        .withColumn("cell", qs.qt_round("qt", _QTN_LEVEL))
+        .filter(F.expr(f"(cell & 31) = {_QTN_LEVEL}"))
+        .select("event_id", "cell")
+    )
+    out = qt_neighbors(
+        cells, _QTN_LEVEL, qt_col="cell", id_col="event_id"
+    )
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("k").cast("long"),
+        F.col("neighbor").cast("long"),
+    )
+
+
+@_oracle("qt_neighbors")
+def _qtn_o() -> str:
+    from .operators.spatial_join import NEIGHBOR_OFFSETS
+
+    inner = qsql.qt_calculate_point_subquery(
+        _events_synth_sql(), "lon", "lat", "qt", ("event_id",)
+    )
+    # stage the raw encode FIRST: qt_round_sql references its argument 4x
+    # and the depth filter doubles that — inlining the 18-level encode
+    # chain 8x is the DuckDB substitution blowup (CLAUDE.md); each later
+    # stage only ever touches materialized columns
+    r = qsql.qt_round_sql("qt", _QTN_LEVEL)
+    xs = qsql.qt_to_x_sql("cell", _QTN_LEVEL)
+    ys = qsql.qt_to_y_sql("cell", _QTN_LEVEL)
+    m = 1 << _QTN_LEVEL
+    arms = []
+    for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+        xn = f"((x + ({dx}) + {m}) % {m})"
+        yn = f"(y + ({dy}))"
+        code = qsql.qt_from_xyz_sql(xn, yn, _QTN_LEVEL)
+        arms.append(
+            f"SELECT event_id, CAST({k} AS BIGINT) AS k, "
+            f"CAST({code} AS BIGINT) AS neighbor FROM xy "
+            f"WHERE {yn} >= 0 AND {yn} < {m}"
+        )
+    return f"""
+WITH q0 AS MATERIALIZED (
+  SELECT event_id, CAST(qt AS BIGINT) AS qt FROM ({inner}) q
+),
+cells AS MATERIALIZED (
+  SELECT event_id, CAST({r} AS BIGINT) AS cell FROM q0
+),
+cells14 AS MATERIALIZED (
+  SELECT event_id, cell FROM cells WHERE (cell & 31) = {_QTN_LEVEL}
+),
+xy AS MATERIALIZED (
+  SELECT event_id, {xs} AS x, {ys} AS y FROM cells14
+)
+{" UNION ALL ".join(arms)}
+"""

@@ -204,6 +204,73 @@ def auto_radius_chars(d_fixed: int, max_chars: int = 12) -> int:
     )
 
 
+def qt_neighbors(
+    cells: DataFrame,
+    level: int,
+    qt_col: str = "qt",
+    id_col: str = "id",
+    carry_cols: tuple = (),
+) -> DataFrame:
+    """8-neighbor expansion on the reference's NATIVE quadtree index at a
+    fixed level — the qt twin of geohash_neighbors, enabling proximity
+    prefilters directly on the engine's primary cell column without
+    re-encoding to another grid.
+
+    Pure integer bit math (qt_sql.qt_to_x/y + qt_from_xyz, shared SQL
+    text with the DuckDB oracle): tile x wraps mod 2^level across the
+    antimeridian (web-mercator convention, same as the geohash form); y
+    rows beyond the top/bottom edge are dropped (3 fewer neighbors
+    there).  Cells whose depth != level raise inside the x projection
+    (a silently wrong neighbor set is worse than an error — qt_round
+    first).  Returns (id, k, neighbor), k = 0..7 in W/E/S/SW/SE/N/NW/NE
+    order."""
+    from ..functions import qt_sql as QS
+
+    z = int(level)
+    if not 1 <= z <= 20:
+        raise ValueError(f"level={z} outside [1, 20]")
+    reserved = {"k", "dx", "dy", "neighbor", "__x", "__y"} & (
+        {id_col, qt_col} | set(carry_cols)
+    )
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with qt_neighbors' "
+            f"internal names; rename them first"
+        )
+    spark = cells.sparkSession
+    xs = QS.qt_to_x_sql(qt_col, z, QS.SPARK)
+    ys = QS.qt_to_y_sql(qt_col, z, QS.SPARK)
+    guard_x = (
+        f"CASE WHEN {QS.qt_depth_sql(qt_col)} = {z} THEN {xs} "
+        f"ELSE CAST(raise_error('qt_neighbors: cell depth != {z}; "
+        f"qt_round first') AS BIGINT) END"
+    )
+    base = cells.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.expr(guard_x).alias("__x"),
+        F.expr(ys).alias("__y"),
+    )
+    offsets = spark.createDataFrame(
+        [(k, dx, dy) for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)],
+        "k int, dx int, dy int",
+    )
+    m = 1 << z
+    joined = base.join(F.broadcast(offsets))
+    xn = f"pmod(__x + dx, {m})"
+    yn = "(__y + dy)"
+    code = QS.qt_from_xyz_sql(f"({xn})", f"({yn})", z, QS.SPARK)
+    return (
+        joined.filter(F.expr(f"{yn} >= 0 AND {yn} < {m}"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.col("k").cast("long"),
+            F.expr(code).cast("long").alias("neighbor"),
+        )
+    )
+
+
 def geohash_radius_join(
     points: DataFrame,
     d_fixed: int,

@@ -469,6 +469,43 @@ def test_merge_intervals_degenerate_raises(spark):
         merge_intervals(iv).collect()
 
 
+def test_qt_neighbors_bit_exact(spark):
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import qt_numpy as Q
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        NEIGHBOR_OFFSETS,
+        qt_neighbors,
+    )
+
+    z = 5
+    m = 1 << z
+    tiles = [(0, 0), (3, 7), (m - 1, 0), (0, m - 1), (17, 17)]
+    cells = [
+        (i, int(Q.from_xyz(np.array([x]), np.array([y]), np.array([z]))[0]))
+        for i, (x, y) in enumerate(tiles)
+    ]
+    df = spark.createDataFrame(cells, "id long, qt long")
+    got = {
+        (r["id"], r["k"]): r["neighbor"] for r in qt_neighbors(df, z).collect()
+    }
+    expect = {}
+    for i, (x, y) in enumerate(tiles):
+        for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS):
+            yn = y + dy
+            if not 0 <= yn < m:
+                continue  # pole rows dropped
+            xn = (x + dx) % m  # antimeridian wrap
+            expect[(i, k)] = int(
+                Q.from_xyz(np.array([xn]), np.array([yn]), np.array([z]))[0]
+            )
+    assert got == expect
+    # wrong-depth cells must raise, not emit a wrong neighbor set
+    bad = spark.createDataFrame([(9, cells[0][1])], "id long, qt long")
+    with pytest.raises(Exception, match="cell depth"):
+        qt_neighbors(bad, z + 1).collect()
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
