@@ -1969,3 +1969,51 @@ FROM toks a JOIN toks b
   ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + {_COOC_WINDOW}
 GROUP BY 1, 2
 """
+
+
+# ===========================================================================
+# fraction-based curation cut: best 40% per source by quality
+# (operators/text.top_frac_per_group — the percentage twin of the
+# top_k_per_source gate)
+# ===========================================================================
+
+_TFPS_FRAC_PPM = 400000
+
+
+@_register("top_frac_per_source")
+def _tfps(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = TX.with_quality_score(docs)
+    out = TX.top_frac_per_group(
+        scored, group="source", order="quality", frac_ppm=_TFPS_FRAC_PPM
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("source"),
+        F.col("quality").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("top_frac_per_source")
+def _tfps_o():
+    q = TS.quality_score_sql("text")
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, source, CAST({q} AS BIGINT) AS quality FROM documents
+),
+counts AS MATERIALIZED (
+  SELECT source, CAST(FLOOR(COUNT(*) * {_TFPS_FRAC_PPM} / 1000000) AS BIGINT) AS kg
+  FROM scored GROUP BY source
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, source, quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
+       CAST(r.quality AS BIGINT) AS quality, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN counts c ON r.source = c.source
+WHERE r.rk <= c.kg
+"""

@@ -209,6 +209,63 @@ def with_repetition_ratio(
     ).drop("__ws", "__k", "__ng")
 
 
+def top_frac_per_group(
+    df: DataFrame,
+    group: str = "source",
+    order: str = "quality",
+    frac_ppm: int = 500000,
+    id_col: str = "doc_id",
+    out: str = "rk",
+    salt_buckets: int = 16,
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep the best floor(n_group * frac_ppm / 1e6) rows per group — the
+    percentage form of the curation cut (top_k_per_group keeps a fixed
+    count; corpora usually specify "best 40% per source").
+
+    Exact integer semantics: k_g = FLOOR(n_g * frac_ppm / 1e6) per group
+    (a group smaller than 1e6/frac_ppm rows keeps nothing — the floor is
+    part of the contract, mirrored by the oracle).  Skew-safe the same
+    way as top_k_per_group: pass 1 ranks within (group, salt) and keeps
+    per-bucket rank <= k_g (any row with global rank <= k_g ranks <= k_g
+    in its own bucket), pass 2 recomputes the exact rank over the
+    bounded survivors.  Group sizes come from a hash aggregate (partial
+    aggregation absorbs hot groups) broadcast back — the input is
+    consumed twice (counts + ranking); at scale that is two parquet
+    scans, the standard trade vs materialization."""
+    from pyspark.sql import Window
+
+    if not 0 < int(frac_ppm) <= 1000000:
+        raise ValueError(f"frac_ppm={frac_ppm} outside (0, 1000000]")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
+    reserved = {out, "__kg"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    counts = df.groupBy(group).agg(
+        F.floor(F.count("*") * int(frac_ppm) / 1000000).cast("long").alias("__kg")
+    )
+    d = df.join(F.broadcast(counts), group)
+    ordering = (
+        F.col(order).asc() if ascending else F.col(order).desc(),
+        F.col(id_col).asc(),
+    )
+    if salt_buckets > 1:
+        salt = F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
+        w1 = Window.partitionBy(F.col(group), salt).orderBy(*ordering)
+        d = (
+            d.withColumn("__lrk", F.row_number().over(w1))
+            .filter(F.col("__lrk") <= F.col("__kg"))
+            .drop("__lrk")
+        )
+    w = Window.partitionBy(group).orderBy(*ordering)
+    return (
+        d.withColumn(out, F.row_number().over(w))
+        .filter(F.col(out) <= F.col("__kg"))
+        .drop("__kg")
+    )
+
+
 def token_cooccurrence(
     df: DataFrame,
     text: str = "text",

@@ -506,6 +506,32 @@ def test_qt_neighbors_bit_exact(spark):
         qt_neighbors(bad, z + 1).collect()
 
 
+def test_top_frac_salted_equals_single_pass(spark):
+    from osmquadtree_rust_spark.operators.text import top_frac_per_group
+
+    df = _skewed_docs(spark)
+    a = top_frac_per_group(df, frac_ppm=300000, salt_buckets=16)
+    b = top_frac_per_group(df, frac_ppm=300000, salt_buckets=1)
+    ra = sorted((r["source"], r["doc_id"], r["rk"]) for r in a.collect())
+    rb = sorted((r["source"], r["doc_id"], r["rk"]) for r in b.collect())
+    assert ra == rb and ra
+    # per-group keep counts: floor(n_g * 0.3)
+    import collections
+
+    n = collections.Counter(r[0] for r in ra)
+    sizes = collections.Counter(
+        r["source"] for r in df.select("source").collect()
+    )
+    assert all(n[g] == (sizes[g] * 300000) // 1000000 for g in sizes)
+    # tiny group below the floor keeps nothing
+    tiny = spark.createDataFrame(
+        [(1, "t", 5), (2, "t", 6)], "doc_id long, source string, quality long"
+    )
+    assert top_frac_per_group(tiny, frac_ppm=300000).count() == 0
+    with pytest.raises(ValueError, match="frac_ppm"):
+        top_frac_per_group(df, frac_ppm=0)
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
