@@ -174,3 +174,60 @@ def test_incremental_read_prunes_tiles(spark, tmp_path):
     p = _plan(pruned)
     pf = [c[:80] for c in p.split("PartitionFilters: ")[1:]]
     assert pf and all("tile" in c and "IN (1,3)" in c for c in pf), pf
+
+
+def test_round4_ops_no_quadratic_or_single_partition(spark):
+    """Round-4 operators: no nested-loop/cartesian pair generation (the
+    broadcast cross against a literal <=9-row offsets frame is the one
+    sanctioned NLJ) and no SinglePartition window over data-scale input."""
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import qt_numpy as Q
+    from osmquadtree_rust_spark.operators import sketch as SK
+    from osmquadtree_rust_spark.operators import similarity as SIM
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        knn_within_radius,
+        qt_neighbors,
+    )
+    from osmquadtree_rust_spark.operators.text import (
+        token_cooccurrence,
+        top_frac_per_group,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "alpha beta gamma delta " * 3) for i in range(60)],
+        "doc_id long, source string, text string",
+    )
+    pts = spark.createDataFrame(
+        [(i, 100000000 + i * 37917, 450000000 + i * 70123) for i in range(50)],
+        "id long, lon long, lat long",
+    )
+    cells = spark.createDataFrame(
+        [(i, int(Q.from_xyz(np.array([i % 8]), np.array([i % 8]), np.array([5]))[0]))
+         for i in range(20)],
+        "id long, qt long",
+    )
+    emb = _embeddings(spark, n=60, dim=8)
+    # filter, not limit(): GlobalLimit plans its own SinglePartition
+    # exchange and would trip the window assertion below spuriously
+    queries = emb.filter("vec_id < 4").withColumnRenamed("vec_id", "query_id")
+    cents = [[float(j == d) for d in range(8)] for j in range(3)]
+
+    scored = docs.withColumn("quality", F.length("text").cast("long"))
+    plans = {
+        "cooc": _plan(token_cooccurrence(docs, window=2)),
+        "top_frac": _plan(top_frac_per_group(scored)),
+        "knn": _plan(knn_within_radius(pts, 300000, k=2)),
+        "qt_nbrs": _plan(qt_neighbors(cells, 5)),
+        "hh": _plan(SK.heavy_hitters(docs, threshold=5)),
+        "annj": _plan(SIM.ivf_topk_join(queries, emb, cents, k=3, n_probe=2)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, (name, p[:1500])
+        # windows must never run on one task: every windowspecdefinition
+        # needs a hashpartitioning Exchange upstream, not SinglePartition
+        if "windowspecdefinition" in p:
+            assert "Exchange SinglePartition" not in p, (name, p[:2000])
+    # the only NLJ allowed anywhere is the <=9-row offsets broadcast
+    for name in ("cooc", "top_frac", "hh", "annj"):
+        assert "BroadcastNestedLoopJoin" not in plans[name], name
