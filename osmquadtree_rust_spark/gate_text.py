@@ -2017,3 +2017,41 @@ SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
 FROM ranked r JOIN counts c ON r.source = c.source
 WHERE r.rk <= c.kg
 """
+
+
+# ===========================================================================
+# deterministic random-projection dim reduction (JL compressor):
+# 64 floats -> 8 quantized ints per vector, engine-exact
+# (operators/similarity.random_projection)
+# ===========================================================================
+
+_RP_OUT = 8
+_RP_QUANT = 1000
+_RP_DIM = 64
+
+
+@_register("random_projection")
+def _rp(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.random_projection(
+        emb, out_dim=_RP_OUT, quant=_RP_QUANT, dim=_RP_DIM
+    )
+    return out.select(
+        F.col("vec_id").cast("long"),
+        *[F.col(f"rp{d}").cast("long") for d in range(_RP_OUT)],
+    )
+
+
+@_oracle("random_projection")
+def _rp_o():
+    sels = []
+    for d in range(_RP_OUT):
+        w = SIM.plane_weights(d, _RP_DIM)
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w[i]}" for i in range(_RP_DIM)
+        )
+        sels.append(f"CAST(FLOOR(({dot}) * {_RP_QUANT}) AS BIGINT) AS rp{d}")
+    return (
+        f"SELECT CAST(vec_id AS BIGINT) AS vec_id, {', '.join(sels)} "
+        f"FROM embeddings"
+    )

@@ -119,6 +119,45 @@ def hyperplane_bucket_expr(
     return bucket
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    first_plane: int = 0,
+) -> DataFrame:
+    """Deterministic random-projection dim reduction: rp_d =
+    FLOOR(dot(vec, plane_weights(first_plane + d)) * quant) — the
+    Johnson-Lindenstrauss compressor a 100 TB embedding table runs
+    before brute-force rescoring (out_dim ints instead of `dim` floats
+    per row; relative distances approximately preserved).
+
+    Pure projection, no shuffle; integer-literal weights with pinned
+    left-to-right folds (plane_proj_expr contract) and FLOOR
+    quantization make the output engine-exact, so the gate compares
+    values, not statistics.  The dim guard reuses hyperplane_bucket's
+    loud-failure pattern (a short vector NULLs every projection)."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim={out_dim} must be >= 1")
+    if quant < 1:
+        raise ValueError(f"quant={quant} must be >= 1")
+    cols = [F.col(id_col)]
+    for d in range(out_dim):
+        proj = plane_proj_expr(vec_col, plane_weights(first_plane + d, dim))
+        guarded = (
+            f"(CASE WHEN size({vec_col}) = {dim} "
+            f"THEN FLOOR(({proj}) * {int(quant)}) "
+            f"ELSE CAST(raise_error('embedding shorter or longer than "
+            f"dim={dim}') AS BIGINT) END)"
+            if d == 0
+            else f"FLOOR(({proj}) * {int(quant)})"
+        )
+        cols.append(F.expr(guarded).cast("long").alias(f"rp{d}"))
+    return df.select(*cols)
+
+
 def query_bucket(query: list[float], n_planes: int, first_plane: int = 0) -> int:
     """Driver-side bucket of a literal query vector, same planes/order."""
     qb = 0

@@ -532,6 +532,30 @@ def test_top_frac_salted_equals_single_pass(spark):
         top_frac_per_group(df, frac_ppm=0)
 
 
+def test_random_projection_guard_and_determinism(spark):
+    from osmquadtree_rust_spark.operators import similarity as SIM
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 8), (2, [0.1] * 8)], "vec_id long, embedding array<double>"
+    )
+    out = SIM.random_projection(df, out_dim=3, quant=100, dim=8)
+    rows = {r["vec_id"]: (r["rp0"], r["rp1"], r["rp2"]) for r in out.collect()}
+    # python-side reference: same weights, same left-to-right fold
+    import math
+
+    for vid, vec in [(1, [0.5] * 8), (2, [0.1] * 8)]:
+        exp = tuple(
+            math.floor(
+                sum(x * w for x, w in zip(vec, SIM.plane_weights(d, 8))) * 100
+            )
+            for d in range(3)
+        )
+        assert rows[vid] == exp
+    bad = spark.createDataFrame([(3, [0.1] * 5)], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="shorter or longer"):
+        SIM.random_projection(bad, out_dim=2, dim=8).collect()
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
