@@ -2055,3 +2055,63 @@ def _rp_o():
         f"SELECT CAST(vec_id AS BIGINT) AS vec_id, {', '.join(sels)} "
         f"FROM embeddings"
     )
+
+
+# ===========================================================================
+# compress-then-rescore ANN: coarse integer top-C in rp space, exact dot
+# rescoring of the candidates (operators/similarity.rp_topk)
+# ===========================================================================
+
+_RPT_K = 10
+_RPT_CAND = 40
+
+
+@_register("rp_topk_rescore")
+def _rpt(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    _, query = _ivf_inputs(sf_dir)
+    out = SIM.rp_topk(
+        emb, query, k=_RPT_K, candidates=_RPT_CAND,
+        out_dim=_RP_OUT, quant=_RP_QUANT,
+    )
+    return out.select(
+        F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
+    )
+
+
+@_oracle("rp_topk_rescore")
+def _rpt_o():
+    import math
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    _, query = _ivf_inputs(sf_dir)
+    rps, qrp = [], []
+    for d in range(_RP_OUT):
+        w = SIM.plane_weights(d, _RP_DIM)
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w[i]}" for i in range(_RP_DIM)
+        )
+        rps.append(f"CAST(FLOOR(({dot}) * {_RP_QUANT}) AS BIGINT) AS rp{d}")
+        qrp.append(
+            math.floor(sum(float(x) * wi for x, wi in zip(query, w)) * _RP_QUANT)
+        )
+    dist = " + ".join(
+        f"(rp{d} - ({qrp[d]})) * (rp{d} - ({qrp[d]}))" for d in range(_RP_OUT)
+    )
+    qdot = " + ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({repr(float(v))} AS DOUBLE)"
+        for i, v in enumerate(query)
+    )
+    return f"""
+WITH rp AS MATERIALIZED (
+  SELECT vec_id, embedding, {", ".join(rps)} FROM embeddings
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding FROM rp
+  ORDER BY ({dist}) ASC, vec_id ASC LIMIT {_RPT_CAND}
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(FLOOR(({qdot}) * 1000000.0) AS BIGINT) AS score_ppm
+FROM cand ORDER BY ({qdot}) DESC, vec_id ASC LIMIT {_RPT_K}
+"""

@@ -127,6 +127,7 @@ def random_projection(
     id_col: str = "vec_id",
     dim: int = 64,
     first_plane: int = 0,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Deterministic random-projection dim reduction: rp_d =
     FLOOR(dot(vec, plane_weights(first_plane + d)) * quant) — the
@@ -143,7 +144,7 @@ def random_projection(
         raise ValueError(f"out_dim={out_dim} must be >= 1")
     if quant < 1:
         raise ValueError(f"quant={quant} must be >= 1")
-    cols = [F.col(id_col)]
+    cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     for d in range(out_dim):
         proj = plane_proj_expr(vec_col, plane_weights(first_plane + d, dim))
         guarded = (
@@ -156,6 +157,70 @@ def random_projection(
         )
         cols.append(F.expr(guarded).cast("long").alias(f"rp{d}"))
     return df.select(*cols)
+
+
+def rp_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    candidates: int = 50,
+    out_dim: int = 8,
+    quant: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    first_plane: int = 0,
+) -> DataFrame:
+    """Two-stage ANN: coarse top-`candidates` by integer L2 distance in
+    the random-projection space, exact dot-product rescoring of only
+    those rows — the compress-then-rescore serving pattern (scan touches
+    out_dim ints per row; the full float vector is read only for the
+    candidate set, which rides THROUGH the coarse cut, no join-back).
+
+    Deterministic end-to-end: rp coordinates are FLOOR-quantized ints,
+    both rankings tie-break on id, and the exact rescore is the pinned
+    left-to-right float fold.  Recall < 1 by design (JL distortion),
+    exact within the candidate set — same contract as ivf_topk.  Both
+    top-N cuts are global order-by-limit (Spark plans TakeOrdered — a
+    per-partition heap + driver merge of N rows, no single-task sort)."""
+    dim = len(query)
+    if not 1 <= k <= candidates:
+        raise ValueError(f"k={k} outside [1, candidates={candidates}]")
+    qrp = []
+    for d in range(out_dim):
+        w = plane_weights(first_plane + d, dim)
+        import math
+
+        qrp.append(math.floor(sum(float(x) * wi for x, wi in zip(query, w)) * quant))
+    rp = random_projection(
+        df,
+        out_dim=out_dim,
+        quant=quant,
+        vec_col=vec_col,
+        id_col=id_col,
+        dim=dim,
+        first_plane=first_plane,
+        keep_cols=(vec_col,),
+    )
+    dist = None
+    for d in range(out_dim):
+        t = (F.col(f"rp{d}") - F.lit(int(qrp[d]))).cast("long")
+        term = t * t
+        dist = term if dist is None else dist + term
+    cand = (
+        rp.withColumn("__rpd", dist)
+        .orderBy(F.col("__rpd").asc(), F.col(id_col).asc())
+        .limit(int(candidates))
+    )
+    exact = F.expr(dot_expr(vec_col, [float(v) for v in query]))
+    return (
+        cand.withColumn("__score", exact)
+        .orderBy(F.col("__score").desc(), F.col(id_col).asc())
+        .limit(int(k))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("__score") * 1000000.0).cast("long").alias("score_ppm"),
+        )
+    )
 
 
 def query_bucket(query: list[float], n_planes: int, first_plane: int = 0) -> int:
