@@ -2115,3 +2115,89 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
        CAST(FLOOR(({qdot}) * 1000000.0) AS BIGINT) AS score_ppm
 FROM cand ORDER BY ({qdot}) DESC, vec_id ASC LIMIT {_RPT_K}
 """
+
+
+# ===========================================================================
+# end-to-end curation pipeline v2: langid -> quality -> normalized exact
+# dedup keepers -> 40%-per-source top_frac cut -> per-source stats.
+# Extends corpus_clean_stats with the percentage curation cut as the
+# final stage, pinning the interaction of all four stages.
+# ===========================================================================
+
+_CUT_FRAC_PPM = 400000
+
+
+@_register("curation_cut_stats")
+def _cut(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
+        )
+    )
+    scored = TX.with_langid(TX.with_quality_score(TX.with_token_count(doubled)))
+    kept = scored.filter(
+        (F.col("en_score") >= _CC_EN_MIN) & (F.col("quality") >= _CC_Q_MIN)
+    )
+    w = Window.partitionBy(F.md5("text"))
+    final = kept.withColumn("__keep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("__keep")
+    ).drop("__keep")
+    cut = TX.top_frac_per_group(
+        final, group="source", order="quality", frac_ppm=_CUT_FRAC_PPM
+    )
+    return cut.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_cut"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.max("rk").cast("long").alias("max_rk"),
+    )
+
+
+@_oracle("curation_cut_stats")
+def _cut_o():
+    en = TS.langid_score_sql("text")
+    q = TS.quality_score_sql("text")
+    tok = TS.token_count_sql("text")
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT}, source, text FROM documents
+),
+scored AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         CAST({en} AS BIGINT) AS en,
+         CAST({q} AS BIGINT) AS q,
+         CAST({tok} AS BIGINT) AS toks
+  FROM docs
+),
+kept AS MATERIALIZED (
+  SELECT * FROM scored WHERE en >= {_CC_EN_MIN} AND q >= {_CC_Q_MIN}
+),
+keepers AS MATERIALIZED (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM kept GROUP BY md5(text)
+),
+final AS MATERIALIZED (
+  SELECT s.doc_id, s.source, s.q, s.toks
+  FROM kept s JOIN keepers k ON s.doc_id = k.keeper
+),
+counts AS MATERIALIZED (
+  SELECT source,
+         CAST(FLOOR(COUNT(*) * {_CUT_FRAC_PPM} / 1000000) AS BIGINT) AS kg
+  FROM final GROUP BY source
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, source, q, toks,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id ASC) AS rk
+  FROM final
+)
+SELECT r.source, CAST(COUNT(*) AS BIGINT) AS n_cut,
+       CAST(SUM(r.toks) AS BIGINT) AS sum_tokens,
+       CAST(MAX(r.rk) AS BIGINT) AS max_rk
+FROM ranked r JOIN counts c ON r.source = c.source
+WHERE r.rk <= c.kg
+GROUP BY r.source
+"""
