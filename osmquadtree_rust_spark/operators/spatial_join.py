@@ -396,12 +396,40 @@ def knn_within_radius(
     )
 
 
+def auto_bbox_chars(
+    max_span_fixed: int, max_cells_per_axis: int = 64, max_chars: int = 12
+) -> int:
+    """Finest geohash depth at which a box edge of `max_span_fixed`
+    (1e-7-degree units) covers at most `max_cells_per_axis` cells — the
+    grid math bbox_intersection_join users shouldn't re-derive (the
+    bbox twin of auto_radius_chars).  A box spanning S units covers at
+    most S/axis_span + 1 cells, so the axis span must be at least
+    ceil(S / (max_cells_per_axis - 1))."""
+    from ..functions import geohash as GH
+
+    if int(max_span_fixed) <= 0:
+        raise ValueError(f"max_span_fixed={max_span_fixed} must be positive")
+    if max_cells_per_axis < 2:
+        raise ValueError("max_cells_per_axis must be >= 2")
+    need = -(-int(max_span_fixed) // (int(max_cells_per_axis) - 1))
+    for c in range(int(max_chars), 0, -1):
+        lon_bits, lat_bits = GH._bits_for(c)
+        span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
+        if span >= need:
+            return c
+    raise ValueError(
+        f"max_span_fixed={max_span_fixed} needs more than "
+        f"{max_cells_per_axis} cells even at chars=1"
+    )
+
+
 def bbox_intersection_join(
     boxes: DataFrame,
-    chars: int = 6,
+    chars: int | None = 6,
     id_col: str = "id",
     cols: tuple = ("minlon", "minlat", "maxlon", "maxlat"),
     max_cells_per_axis: int = 64,
+    max_span_fixed: int | None = None,
 ) -> DataFrame:
     """Self-join of bboxes on exact rectangle intersection via the
     integer geohash-grid covering: each box explodes into the depth-
@@ -414,12 +442,20 @@ def bbox_intersection_join(
 
     Coverings are bounded by `max_cells_per_axis` (a box spanning more
     cells raises inside the projection — a silent clamp would break
-    recall; lower `chars` for planet-scale boxes).  Pure int64 math
+    recall; lower `chars` for planet-scale boxes).  chars=None derives
+    the finest depth from `max_span_fixed` (the caller's bound on the
+    largest box edge) via auto_bbox_chars — the in-projection raise
+    still guards boxes exceeding the claimed bound.  Pure int64 math
     shared with the DuckDB oracle; boxes must not cross the antimeridian
     (minlon <= maxlon)."""
     from pyspark.sql import functions as F
 
     from ..functions import geohash as GH
+
+    if chars is None:
+        if max_span_fixed is None:
+            raise ValueError("chars=None needs max_span_fixed to derive a depth")
+        chars = auto_bbox_chars(max_span_fixed, max_cells_per_axis)
 
     mnx, mny, mxx, mxy = cols
     x0s, y0s = GH.geohash_xy_sql(mnx, mny, chars, "spark")

@@ -556,6 +556,67 @@ def test_random_projection_guard_and_determinism(spark):
         SIM.random_projection(bad, out_dim=2, dim=8).collect()
 
 
+def test_verification_order_rotation(tmp_path, monkeypatch):
+    # never-verified gates sort first; previously-failing rows don't
+    # count as verified; most-recently-green sort last
+    import importlib.util
+    import json
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_mod", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = tmp_path / "repo"
+    src.mkdir()
+    shutil.copy("/root/repo/__spark_entry__.py", src / "__spark_entry__.py")
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": False, "schema_match": True, "hash_match": False, "err": "x"}
+    (src / "CORRECTNESS_r01.json").write_text(json.dumps({"a": green, "b": green}))
+    (src / "CORRECTNESS_r02.json").write_text(json.dumps({"a": green, "c": bad}))
+
+    spec2 = importlib.util.spec_from_file_location(
+        "entry_mod2", str(src / "__spark_entry__.py")
+    )
+    mod2 = importlib.util.module_from_spec(spec2)
+    spec2.loader.exec_module(mod2)
+    order = mod2._verification_order(["a", "b", "c", "d"])
+    # c failed (never green) and d is new -> first, by registration index;
+    # b last green r01; a last green r02
+    assert order == ["c", "d", "b", "a"]
+
+
+def test_bbox_join_auto_chars(spark):
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        auto_bbox_chars,
+        bbox_intersection_join,
+    )
+
+    # 10-degree boxes blow the 64-cell covering at chars=6; the derived
+    # depth must be coarse enough that the covering guard never fires
+    span = 100000000
+    c = auto_bbox_chars(span)
+    assert c == 4
+    df = spark.createDataFrame(
+        [
+            (1, 100000000, 450000000, 100000000 + span, 450000000 + span),
+            (2, 100100000, 450100000, 100100000 + span, 450100000 + span),
+            (3, 200000000, 100000000, 200000000 + span, 100000000 + span),
+        ],
+        "id long, minlon long, minlat long, maxlon long, maxlat long",
+    )
+    rows = {
+        (r["a"], r["b"]): r["ix_area"]
+        for r in bbox_intersection_join(df, chars=None, max_span_fixed=span).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == (span - 100000) ** 2
+    with pytest.raises(ValueError, match="max_span_fixed"):
+        bbox_intersection_join(df, chars=None)
+
+
 def test_bbox_join_inverted_within_cell_raises(spark):
     from osmquadtree_rust_spark.operators.spatial_join import bbox_intersection_join
 
