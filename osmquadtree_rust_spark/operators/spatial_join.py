@@ -124,6 +124,25 @@ def pip_join(
 NEIGHBOR_OFFSETS = [(-1, 0), (1, 0), (0, -1), (-1, -1), (1, -1), (0, 1), (-1, 1), (1, 1)]
 
 
+def ring_offsets(ring: int) -> list[tuple[int, int]]:
+    """(dx, dy) offsets of the full (2*ring+1)^2 block, the 8-neighbor
+    W/E/S/SW/SE/N/NW/NE order first (ring 1) then outer rings in
+    deterministic (|ring|, dy, dx) order — existing k indexes are stable
+    as `ring` grows."""
+    if ring < 1:
+        raise ValueError(f"ring={ring} must be >= 1")
+    out = list(NEIGHBOR_OFFSETS)
+    for r in range(2, ring + 1):
+        shell = [
+            (dx, dy)
+            for dy in range(-r, r + 1)
+            for dx in range(-r, r + 1)
+            if max(abs(dx), abs(dy)) == r
+        ]
+        out.extend(sorted(shell, key=lambda o: (o[1], o[0])))
+    return out
+
+
 def geohash_neighbors(
     points: DataFrame,
     lon: str = "lon",
@@ -131,6 +150,7 @@ def geohash_neighbors(
     chars: int = 6,
     id_col: str = "id",
     carry_cols: tuple = (),
+    ring: int = 1,
 ) -> DataFrame:
     """Explode each point into its geohash cell's up-to-8 surrounding
     cells — the standard candidate-generation step for geohash radius /
@@ -141,9 +161,14 @@ def geohash_neighbors(
     Pure integer bit math on the de-interleaved (x, y) grid: longitude
     wraps across the antimeridian (mod 2^lon_bits), latitude rows beyond
     the poles are dropped (3 fewer neighbors in the top/bottom row).
-    Returns (id, k, neighbor) with k = 0..7 the offset index, row order
-    W/E/S/SW/SE/N/NW/NE.  Shares geohash_xy_sql / interleave_sql with the
-    DuckDB oracle."""
+    Returns (id, k, neighbor) with k the offset index, rows 0..7 in
+    W/E/S/SW/SE/N/NW/NE order, outer shells (ring >= 2) after.  Shares
+    geohash_xy_sql / interleave_sql with the DuckDB oracle.
+
+    `ring` widens the expansion to the full (2*ring+1)^2 block minus the
+    center — the candidate generator for radius joins at FINER depths
+    (d <= ring * cell_span instead of d <= cell_span), trading
+    (2*ring+1)^2 explode rows for much smaller per-cell populations."""
     from pyspark.sql import functions as F
 
     from ..functions import geohash as GH
@@ -166,7 +191,7 @@ def geohash_neighbors(
         F.expr(ys).alias("__y"),
     )
     offsets = spark.createDataFrame(
-        [(k, dx, dy) for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)],
+        [(k, dx, dy) for k, (dx, dy) in enumerate(ring_offsets(ring))],
         "k int, dx int, dy int",
     )
     m = 1 << lon_bits
@@ -185,19 +210,23 @@ def geohash_neighbors(
     )
 
 
-def auto_radius_chars(d_fixed: int, max_chars: int = 12) -> int:
-    """Finest geohash depth whose cell span still covers `d_fixed` — the
-    grid math geohash_radius_join users shouldn't have to re-derive: finer
-    cells mean fewer candidate pairs, but recall-completeness needs
-    d <= cell span, so pick the largest chars satisfying it."""
+def auto_radius_chars(d_fixed: int, max_chars: int = 12, ring: int = 1) -> int:
+    """Finest geohash depth whose `ring` cell spans still cover
+    `d_fixed` — the grid math geohash_radius_join users shouldn't have
+    to re-derive: finer cells mean fewer candidate pairs, but
+    recall-completeness needs d <= ring * cell span, so pick the largest
+    chars satisfying it."""
     from ..functions import geohash as GH
 
     if int(d_fixed) <= 0:
         raise ValueError(f"d_fixed={d_fixed} must be positive")
+    if ring < 1:
+        raise ValueError(f"ring={ring} must be >= 1")
+    need = -(-int(d_fixed) // int(ring))
     for c in range(int(max_chars), 0, -1):
         lon_bits, lat_bits = GH._bits_for(c)
         span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
-        if span >= int(d_fixed):
+        if span >= need:
             return c
     raise ValueError(
         f"d_fixed={d_fixed} exceeds the whole-world cell span even at chars=1"
@@ -278,32 +307,38 @@ def geohash_radius_join(
     lat: str = "lat",
     chars: int | None = None,
     id_col: str = "id",
+    ring: int = 1,
 ) -> DataFrame:
     """All pairs (a < b) within Euclidean distance `d_fixed` (1e-7-degree
     fixed-point units, longitude wrapped at the antimeridian): candidates
-    are the own-cell x (own+neighbor)-cells EQUI-join — recall-complete
-    because two points within d <= one cell span sit in cells differing
-    by at most 1 in each grid axis — then the exact integer distance
-    verify.  Coordinates ride THROUGH the candidate join (no join-back).
+    are the own-cell x (own + ring-block)-cells EQUI-join —
+    recall-complete because two points within d <= ring cell spans sit
+    in cells differing by at most `ring` in each grid axis — then the
+    exact integer distance verify.  Coordinates ride THROUGH the
+    candidate join (no join-back).
 
     Everything is int64-exact: wrapped dlon <= 1.8e9 so dlon^2 + dlat^2
     < 2^63; the DuckDB oracle may therefore stay brute-force quadratic.
-    chars=None (default) derives the finest depth whose cell span covers
+    chars=None (default) derives the finest depth whose ring covers
     d_fixed (auto_radius_chars); an explicit chars still raises when
-    d_fixed exceeds its cell span (recall would silently drop
-    far-in-grid pairs)."""
+    d_fixed exceeds ring * cell span (recall would silently drop
+    far-in-grid pairs).  `ring` > 1 trades (2*ring+1)^2 explode rows for
+    finer cells — the right move when per-cell populations dominate
+    candidate counts (dense urban data)."""
     from pyspark.sql import functions as F
 
     from ..functions import geohash as GH
 
+    if ring < 1:
+        raise ValueError(f"ring={ring} must be >= 1")
     if chars is None:
-        chars = auto_radius_chars(d_fixed)
+        chars = auto_radius_chars(d_fixed, ring=ring)
     lon_bits, lat_bits = GH._bits_for(chars)
     span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
-    if not 0 < int(d_fixed) <= span:
+    if not 0 < int(d_fixed) <= int(ring) * span:
         raise ValueError(
-            f"d_fixed={d_fixed} outside (0, {span}] for chars={chars} — "
-            f"recall-completeness needs d <= cell span"
+            f"d_fixed={d_fixed} outside (0, {ring * span}] for chars={chars}, "
+            f"ring={ring} — recall-completeness needs d <= ring * cell span"
         )
     xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
     code = GH.interleave_sql("(__x)", "(__y)", chars, "spark")
@@ -315,7 +350,7 @@ def geohash_radius_join(
         F.expr(ys).alias("__y"),
     ).withColumn("code", F.expr(code).cast("long")).drop("__x", "__y")
     bset = geohash_neighbors(
-        points, lon, lat, chars, id_col, carry_cols=(lon, lat)
+        points, lon, lat, chars, id_col, carry_cols=(lon, lat), ring=ring
     ).select(
         F.col(id_col).alias("b"),
         F.col(lon).alias("__blon"),

@@ -383,6 +383,32 @@ def test_ivf_topk_join_full_probe_is_exact(spark):
         SIM.ivf_topk_join(queries.withColumn("rk", F.lit(1)), corpus, cents)
 
 
+def test_radius_join_ring2_matches_brute_force(spark):
+    # ring=2 at a finer auto depth must return exactly the ring=1 result
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        auto_radius_chars,
+        geohash_radius_join,
+        ring_offsets,
+    )
+
+    assert len(ring_offsets(2)) == 24
+    assert ring_offsets(2)[:8] == ring_offsets(1)
+    d = 200000
+    assert auto_radius_chars(d, ring=2) >= auto_radius_chars(d, ring=1)
+    pts = [(i, 100000000 + (i * 37917) % 1000000, 450000000 + (i * 70123) % 1000000)
+           for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    r1 = {
+        (r["a"], r["b"], r["dist_sq"])
+        for r in geohash_radius_join(df, d, ring=1).collect()
+    }
+    r2 = {
+        (r["a"], r["b"], r["dist_sq"])
+        for r in geohash_radius_join(df, d, ring=2).collect()
+    }
+    assert r1 == r2 and r1
+
+
 def test_knn_within_radius_matches_brute_force(spark):
     from osmquadtree_rust_spark.operators.spatial_join import knn_within_radius
 
