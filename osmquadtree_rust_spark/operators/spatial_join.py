@@ -239,6 +239,7 @@ def qt_neighbors(
     qt_col: str = "qt",
     id_col: str = "id",
     carry_cols: tuple = (),
+    ring: int = 1,
 ) -> DataFrame:
     """8-neighbor expansion on the reference's NATIVE quadtree index at a
     fixed level — the qt twin of geohash_neighbors, enabling proximity
@@ -252,7 +253,8 @@ def qt_neighbors(
     there).  Cells whose depth != level raise inside the x projection
     (a silently wrong neighbor set is worse than an error — qt_round
     first).  Returns (id, k, neighbor), k = 0..7 in W/E/S/SW/SE/N/NW/NE
-    order."""
+    order, outer shells after (ring >= 2, same contract as
+    geohash_neighbors)."""
     from ..functions import qt_sql as QS
 
     z = int(level)
@@ -281,7 +283,7 @@ def qt_neighbors(
         F.expr(ys).alias("__y"),
     )
     offsets = spark.createDataFrame(
-        [(k, dx, dy) for k, (dx, dy) in enumerate(NEIGHBOR_OFFSETS)],
+        [(k, dx, dy) for k, (dx, dy) in enumerate(ring_offsets(ring))],
         "k int, dx int, dy int",
     )
     m = 1 << z

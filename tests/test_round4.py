@@ -487,6 +487,57 @@ def test_merge_intervals_and_coverage(spark):
     assert c == {1: (30, 2, 40, 10), 2: (100, 1, 100, 0)}
 
 
+def test_merge_intervals_randomized_vs_reference(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.temporal import merge_intervals
+
+    rng = random.Random(42)
+    rows = []
+    for key in range(12):
+        for _ in range(rng.randint(0, 30)):
+            s = rng.randint(0, 500)
+            rows.append((key, s, s + rng.randint(1, 60)))
+    df = spark.createDataFrame(rows, "id long, start long, end long")
+    got = {
+        (r["id"], r["island_start"]): (r["island_end"], r["n_intervals"])
+        for r in merge_intervals(df).collect()
+    }
+    expect = {}
+    bykey = {}
+    for k, s, e in rows:
+        bykey.setdefault(k, []).append((s, e))
+    for k, ivs in bykey.items():
+        ivs.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in ivs:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    expect[(k, cur_s)] = (cur_e, n)
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        if cur_s is not None:
+            expect[(k, cur_s)] = (cur_e, n)
+    assert got == expect and expect
+
+
+def test_qt_neighbors_ring2(spark):
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import qt_numpy as Q
+    from osmquadtree_rust_spark.operators.spatial_join import qt_neighbors
+
+    z, m = 4, 16
+    cell = int(Q.from_xyz(np.array([5]), np.array([5]), np.array([z]))[0])
+    df = spark.createDataFrame([(1, cell)], "id long, qt long")
+    out = qt_neighbors(df, z, ring=2).collect()
+    assert len(out) == 24  # full 5x5 block minus center, no edges hit
+    nbrs = {r["neighbor"] for r in out}
+    assert len(nbrs) == 24 and cell not in nbrs
+
+
 def test_merge_intervals_degenerate_raises(spark):
     from osmquadtree_rust_spark.operators.temporal import merge_intervals
 
