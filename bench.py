@@ -128,6 +128,12 @@ def main():
         "knn_radius_join",
         "token_cooccurrence",
         "top_k_per_source",
+        "top_frac_per_source",
+        "interval_coverage",
+        "qt_neighbors",
+        "random_projection",
+        "rp_topk_rescore",
+        "curation_cut_stats",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline
