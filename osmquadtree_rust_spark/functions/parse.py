@@ -107,3 +107,32 @@ def bbox_from_str(spec: str):
         buf = float(m.group(5)) if m.group(5) else 0.0
         return bbox_from_tile(x, y, z, buf)
     raise ValueError(f"can't make bbox from {spec!r}")
+
+
+def epoch_seconds(df, ts_col: str, floor: bool = True):
+    """Epoch-seconds Column for a ts column with STRICT dtype dispatch —
+    THE shared implementation for every time-keyed operator (sessionize,
+    hopping windows, bucketed range join).  A numeric epoch column
+    passes through directly (unix_timestamp() would cast it to string,
+    fail to parse, and silently NULL-group every row); temporal columns
+    go through unix_timestamp; anything else raises.
+
+    floor=True returns BIGINT FLOOR-seconds (window/island keys);
+    floor=False returns DOUBLE preserving fractional epochs (the range
+    join's ceil(end/b) coverage math needs them)."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype is None:
+        raise ValueError(f"ts column {ts_col!r} not in {df.columns}")
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        base = F.unix_timestamp(F.col(ts_col)).cast("double")
+    elif dtype in (
+        "tinyint", "smallint", "int", "bigint", "float", "double"
+    ) or dtype.startswith("decimal"):
+        base = F.col(ts_col).cast("double")
+    else:
+        raise ValueError(
+            f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
+        )
+    return F.floor(base).cast("long") if floor else base

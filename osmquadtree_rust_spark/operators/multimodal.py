@@ -279,7 +279,11 @@ def multimodal_neardup_pairs(
     fewer rows than the caption pipeline over the full corpus, since the
     shingle equi-join only ever sees docs that already image-matched.
     The image candidate set is persisted before the double consumption
-    (id harvest + verify join) so its banding subtree computes once.
+    (id harvest + verify join) so its banding subtree computes once;
+    the cache lives until Spark's LRU evicts it or the caller clears it
+    (`df.unpersist()` on a collected result's lineage is not reachable,
+    so long-lived sessions calling this repeatedly should
+    `spark.catalog.clearCache()` between rounds).
     fast=False keeps the generic run-both-pipelines composition
     (property-tested equal); 'any' always composes generically (it needs
     both full pipelines by definition).

@@ -144,6 +144,14 @@ def random_projection(
         raise ValueError(f"out_dim={out_dim} must be >= 1")
     if quant < 1:
         raise ValueError(f"quant={quant} must be >= 1")
+    clash = {f"rp{d}" for d in range(out_dim)} & (
+        set(df.columns) | set(keep_cols) | {id_col}
+    )
+    if clash:
+        raise ValueError(
+            f"column(s) {sorted(clash)} collide with the rp0..rp{out_dim - 1} "
+            f"outputs; rename them first"
+        )
     cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     for d in range(out_dim):
         proj = plane_proj_expr(vec_col, plane_weights(first_plane + d, dim))
@@ -704,12 +712,21 @@ def ivf_topk_join(
     )
     if reserved:
         raise ValueError(f"column(s) {sorted(reserved)} collide with internals")
+    # dim guards (loud-failure convention, cf. hyperplane_bucket_expr):
+    # a short query vector NULLs every centroid dot and would silently
+    # "probe" arbitrary clusters; a short corpus vector lands on __cl=-1
+    # and silently vanishes from every result
+    dim = len(centroids[0])
+    q_dots = (
+        f"CASE WHEN size({q_vec_col}) = {dim} "
+        f"THEN {ivf_dots_expr(q_vec_col, centroids)} "
+        f"ELSE CAST(raise_error('ivf_topk_join: query embedding shorter or "
+        f"longer than dim={dim}') AS ARRAY<DOUBLE>) END"
+    )
     qd = queries.select(
         F.col(q_id_col),
         F.col(q_vec_col).alias("__qv"),
-        F.posexplode(F.expr(ivf_dots_expr(q_vec_col, centroids))).alias(
-            "__cl", "__cd"
-        ),
+        F.posexplode(F.expr(q_dots)).alias("__cl", "__cd"),
     )
     wp = Window.partitionBy(q_id_col).orderBy(
         F.col("__cd").desc(), F.col("__cl").asc()
@@ -719,10 +736,16 @@ def ivf_topk_join(
         .filter(F.col("__pr") <= int(n_probe))
         .select(q_id_col, "__qv", "__cl")
     )
+    c_assign = (
+        f"CASE WHEN size({vec_col}) = {dim} "
+        f"THEN {ivf_assign_expr(vec_col, centroids)} "
+        f"ELSE CAST(raise_error('ivf_topk_join: corpus embedding shorter or "
+        f"longer than dim={dim}') AS INT) END"
+    )
     corp = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cv"),
-        F.expr(ivf_assign_expr(vec_col, centroids)).alias("__cl"),
+        F.expr(c_assign).alias("__cl"),
     )
     dot = F.expr(
         "aggregate(zip_with(__qv, __cv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "

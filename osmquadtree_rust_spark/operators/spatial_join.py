@@ -183,6 +183,15 @@ def geohash_neighbors(
         )
     spark = points.sparkSession
     lon_bits, lat_bits = GH._bits_for(chars)
+    # wrap-collision guard: with 2*ring+1 > 2^lon_bits the modular x
+    # offsets alias (pmod(x-r) == pmod(x+r')), the same cell is emitted
+    # twice, and downstream radius joins double-count pairs — raise
+    # instead of silently breaking the exactly-once-match invariant
+    if 2 * int(ring) + 1 > (1 << lon_bits):
+        raise ValueError(
+            f"ring={ring} wraps onto itself at chars={chars} "
+            f"(2*ring+1 > {1 << lon_bits} lon cells)"
+        )
     xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
     base = points.select(
         F.col(id_col),
@@ -210,27 +219,40 @@ def geohash_neighbors(
     )
 
 
+def _cell_span(chars: int) -> tuple[int, int]:
+    """(lon_bits, min axis span in 1e-7-deg units) at a geohash depth —
+    THE span formula; auto depth selection and the radius join's recall
+    check must agree on it, so it lives in exactly one place."""
+    from ..functions import geohash as GH
+
+    lon_bits, lat_bits = GH._bits_for(chars)
+    return lon_bits, min(
+        3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits)
+    )
+
+
+def _finest_chars(need: int, max_chars: int, what: str, ring: int = 1) -> int:
+    """Largest chars whose min axis span >= need AND whose lon grid is
+    wide enough that a `ring` expansion cannot wrap onto itself."""
+    for c in range(int(max_chars), 0, -1):
+        lon_bits, span = _cell_span(c)
+        if span >= need and 2 * int(ring) + 1 <= (1 << lon_bits):
+            return c
+    raise ValueError(f"{what} exceeds the whole-world cell span even at chars=1")
+
+
 def auto_radius_chars(d_fixed: int, max_chars: int = 12, ring: int = 1) -> int:
     """Finest geohash depth whose `ring` cell spans still cover
     `d_fixed` — the grid math geohash_radius_join users shouldn't have
     to re-derive: finer cells mean fewer candidate pairs, but
     recall-completeness needs d <= ring * cell span, so pick the largest
-    chars satisfying it."""
-    from ..functions import geohash as GH
-
+    chars satisfying it (and wide enough that the ring cannot wrap)."""
     if int(d_fixed) <= 0:
         raise ValueError(f"d_fixed={d_fixed} must be positive")
     if ring < 1:
         raise ValueError(f"ring={ring} must be >= 1")
     need = -(-int(d_fixed) // int(ring))
-    for c in range(int(max_chars), 0, -1):
-        lon_bits, lat_bits = GH._bits_for(c)
-        span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
-        if span >= need:
-            return c
-    raise ValueError(
-        f"d_fixed={d_fixed} exceeds the whole-world cell span even at chars=1"
-    )
+    return _finest_chars(need, max_chars, f"d_fixed={d_fixed}", ring=ring)
 
 
 def qt_neighbors(
@@ -260,6 +282,13 @@ def qt_neighbors(
     z = int(level)
     if not 1 <= z <= 20:
         raise ValueError(f"level={z} outside [1, 20]")
+    # wrap-collision guard (see geohash_neighbors): at level 1 even
+    # ring=1 aliases W onto E (m=2), emitting duplicate neighbors
+    if 2 * int(ring) + 1 > (1 << z):
+        raise ValueError(
+            f"ring={ring} wraps onto itself at level={z} "
+            f"(2*ring+1 > {1 << z} x cells)"
+        )
     reserved = {"k", "dx", "dy", "neighbor", "__x", "__y"} & (
         {id_col, qt_col} | set(carry_cols)
     )
@@ -335,8 +364,7 @@ def geohash_radius_join(
         raise ValueError(f"ring={ring} must be >= 1")
     if chars is None:
         chars = auto_radius_chars(d_fixed, ring=ring)
-    lon_bits, lat_bits = GH._bits_for(chars)
-    span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
+    _, span = _cell_span(chars)
     if not 0 < int(d_fixed) <= int(ring) * span:
         raise ValueError(
             f"d_fixed={d_fixed} outside (0, {ring * span}] for chars={chars}, "
@@ -442,22 +470,12 @@ def auto_bbox_chars(
     bbox twin of auto_radius_chars).  A box spanning S units covers at
     most S/axis_span + 1 cells, so the axis span must be at least
     ceil(S / (max_cells_per_axis - 1))."""
-    from ..functions import geohash as GH
-
     if int(max_span_fixed) <= 0:
         raise ValueError(f"max_span_fixed={max_span_fixed} must be positive")
     if max_cells_per_axis < 2:
         raise ValueError("max_cells_per_axis must be >= 2")
     need = -(-int(max_span_fixed) // (int(max_cells_per_axis) - 1))
-    for c in range(int(max_chars), 0, -1):
-        lon_bits, lat_bits = GH._bits_for(c)
-        span = min(3600000000 // (1 << lon_bits), 1800000000 // (1 << lat_bits))
-        if span >= need:
-            return c
-    raise ValueError(
-        f"max_span_fixed={max_span_fixed} needs more than "
-        f"{max_cells_per_axis} cells even at chars=1"
-    )
+    return _finest_chars(need, max_chars, f"max_span_fixed={max_span_fixed}")
 
 
 def bbox_intersection_join(

@@ -294,12 +294,11 @@ def bucketed_range_join(
     b = F.lit(int(bucket_seconds))
 
     def _secs(df: DataFrame, col: str):
-        # numeric epoch columns pass through untouched (no session-timezone
-        # dependence); timestamp columns go through unix_timestamp
-        t = df.schema[col].dataType.simpleString()
-        if t in ("bigint", "int", "smallint", "tinyint", "double", "float"):
-            return F.col(col).cast("double")
-        return F.unix_timestamp(F.col(col)).cast("double")
+        # shared strict dispatch; floor=False keeps fractional epochs —
+        # the ceil(end/b) coverage math below needs them
+        from ..functions.parse import epoch_seconds
+
+        return epoch_seconds(df, col, floor=False)
 
     ev = events.withColumn("__bkt", F.floor(_secs(events, ts) / b).cast("long"))
     # drop degenerate intervals BEFORE building the bucket sequence: Spark's

@@ -239,13 +239,20 @@ def top_frac_per_group(
         raise ValueError(f"frac_ppm={frac_ppm} outside (0, 1000000]")
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
-    reserved = {out, "__kg"} & set(df.columns)
+    reserved = {out, "__kg", "__lrk"} & set(df.columns)
     if reserved:
         raise ValueError(f"column(s) {sorted(reserved)} already exist")
     counts = df.groupBy(group).agg(
         F.floor(F.count("*") * int(frac_ppm) / 1000000).cast("long").alias("__kg")
     )
-    d = df.join(F.broadcast(counts), group)
+    # null-SAFE group join: window partitioning treats NULL as a group
+    # (top_k_per_group keeps NULL-group rows), so the counts join must
+    # too — a plain equi-join would silently drop the whole NULL
+    # partition
+    cr = counts.withColumnRenamed(group, "__g")
+    d = df.join(
+        F.broadcast(cr), F.col(group).eqNullSafe(F.col("__g"))
+    ).drop("__g")
     ordering = (
         F.col(order).asc() if ascending else F.col(order).desc(),
         F.col(id_col).asc(),
@@ -339,9 +346,11 @@ def top_k_per_group(
         raise ValueError(f"k={k} must be >= 1")
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets={salt_buckets} must be >= 1")
-    reserved = {out} & set(df.columns)
+    reserved = {out, "__lrk"} & set(df.columns)
     if reserved:
-        raise ValueError(f"column {out!r} already exists; pass a different out")
+        raise ValueError(
+            f"column(s) {sorted(reserved)} already exist; rename them first"
+        )
     ordering = (
         F.col(order).asc() if ascending else F.col(order).desc(),
         F.col(id_col).asc(),

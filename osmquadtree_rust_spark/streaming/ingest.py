@@ -295,26 +295,20 @@ def hopping_window_counts(
             f"window={w} must be a positive multiple of slide={sl}"
         )
     n = w // sl
-    # dtype dispatch (mirrors bucketed_range_join's _secs): a numeric
-    # epoch-seconds column must pass through directly — unix_timestamp()
-    # would cast it to string, fail to parse, and silently land every row
-    # in one NULL win_start group
-    dtype = dict(events.dtypes).get(ts_col)
-    if dtype is None:
-        raise ValueError(f"ts column {ts_col!r} not in {events.columns}")
-    if dtype in ("timestamp", "timestamp_ntz", "date"):
-        t = f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)"
-    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
-        t = f"CAST(FLOOR({ts_col}) AS BIGINT)"
-    else:
-        raise ValueError(
-            f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
-        )
+    # shared strict dtype dispatch (functions/parse.epoch_seconds): a
+    # numeric epoch-seconds column passes through directly —
+    # unix_timestamp() would cast it to string, fail to parse, and
+    # silently land every row in one NULL win_start group
+    from ..functions.parse import epoch_seconds
+
+    if "__secs" in events.columns:
+        raise ValueError("column '__secs' is reserved")
+    ev = events.withColumn("__secs", epoch_seconds(events, ts_col))
     starts = F.expr(
         f"transform(sequence(0, {n - 1}), "
-        f"i -> (FLOOR({t} / {sl}) - i) * {sl})"
+        f"i -> (FLOOR(__secs / {sl}) - i) * {sl})"
     )
-    ex = events.withColumn("win_start", F.explode(starts))
+    ex = ev.withColumn("win_start", F.explode(starts)).drop("__secs")
     keys = ["win_start"] + ([group_col] if group_col else [])
     return ex.groupBy(*keys).agg(
         F.count("*").cast("long").alias("n"),

@@ -127,19 +127,11 @@ def sessionize_batch(
             f"column(s) {sorted(reserved)} collide with sessionize_batch's "
             f"internal/output names; rename them first"
         )
-    # dtype dispatch (same contract as hopping_window_counts): numeric
-    # epoch columns pass through, timestamps go via unix_timestamp
-    dtype = dict(events.dtypes).get(ts_col)
-    if dtype is None:
-        raise ValueError(f"ts column {ts_col!r} not in {events.columns}")
-    if dtype in ("timestamp", "timestamp_ntz", "date"):
-        secs = F.expr(f"CAST(FLOOR(unix_timestamp({ts_col})) AS BIGINT)")
-    elif dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith("decimal"):
-        secs = F.expr(f"CAST(FLOOR({ts_col}) AS BIGINT)")
-    else:
-        raise ValueError(
-            f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
-        )
+    # shared strict dtype dispatch: numeric epoch columns pass through,
+    # timestamps go via unix_timestamp, anything else raises
+    from ..functions.parse import epoch_seconds
+
+    secs = epoch_seconds(events, ts_col)
     w = Window.partitionBy(user_col).orderBy("__secs", order_col)
     prev = F.lag("__secs").over(w)
     newf = F.when(

@@ -523,6 +523,58 @@ def test_merge_intervals_randomized_vs_reference(spark):
     assert got == expect and expect
 
 
+def test_review_guards(spark):
+    # round-4 self-review fixes: ring wrap collision, ivf dim guard,
+    # null-safe top_frac groups
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import qt_numpy as Q
+    from osmquadtree_rust_spark.operators import similarity as SIM
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        geohash_neighbors,
+        qt_neighbors,
+    )
+    from osmquadtree_rust_spark.operators.text import top_frac_per_group
+
+    # wrap-collision: level-1 qt grid has m=2 — even ring=1 aliases W/E
+    cell = int(Q.from_xyz(np.array([0]), np.array([0]), np.array([1]))[0])
+    df = spark.createDataFrame([(1, cell)], "id long, qt long")
+    with pytest.raises(ValueError, match="wraps onto itself"):
+        qt_neighbors(df, 1)
+    pts = spark.createDataFrame([(1, 0, 0)], "id long, lon long, lat long")
+    with pytest.raises(ValueError, match="wraps onto itself"):
+        geohash_neighbors(pts, chars=1, ring=4)
+
+    # ivf_topk_join: short vectors raise, never silently vanish/probe
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(Exception, match="corpus embedding"):
+        SIM.ivf_topk_join(queries, corpus, cents, k=1, n_probe=1).collect()
+
+    # top_frac keeps NULL-group rows (same contract as top_k_per_group)
+    docs = spark.createDataFrame(
+        [(i, None if i < 4 else "s", i) for i in range(8)],
+        "doc_id long, source string, quality long",
+    )
+    out = top_frac_per_group(docs, frac_ppm=500000)
+    by_group = {}
+    for r in out.collect():
+        by_group.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_group[None]) == 2 and len(by_group["s"]) == 2
+
+    # random_projection output-name collision raises
+    clash = spark.createDataFrame(
+        [(1, [0.1] * 8, 5)], "vec_id long, embedding array<double>, rp0 long"
+    )
+    with pytest.raises(ValueError, match="rp0"):
+        SIM.random_projection(clash, out_dim=2, dim=8)
+
+
 def test_qt_neighbors_ring2(spark):
     import numpy as np
 
