@@ -2252,3 +2252,74 @@ xy AS MATERIALIZED (
 )
 {" UNION ALL ".join(arms)}
 """
+
+
+# ===========================================================================
+# exact integer shoelace polygon stats (operators/filter.polygon_stats):
+# rings synthesized per user from the event points (seq = event_id) —
+# shoelace is well-defined for any closed polyline, so no geometric
+# simplicity is needed for the correctness gate
+# ===========================================================================
+
+@_register("polygon_stats")
+def _pstats(spark, sf_dir):
+    from .operators.filter import polygon_stats
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pts = _events_points(spark, sf_dir).select(
+        "event_id",
+        F.expr(_GRJ_FOLD % "lon").alias("lon"),
+        F.expr(_GRJ_FOLD % "lat").alias("lat"),
+    )
+    verts = ev.join(pts, "event_id").select(
+        F.col("user_id").alias("poly_id"),
+        F.col("event_id").alias("seq"),
+        "lon",
+        "lat",
+    )
+    out = polygon_stats(verts)
+    return out.select(
+        F.col("poly_id").cast("long"),
+        F.col("n_vertices").cast("long"),
+        F.col("area2").cast("long"),
+        F.col("abs_area2").cast("long"),
+        F.col("ccw").cast("long"),
+        F.col("minlon").cast("long"),
+        F.col("minlat").cast("long"),
+        F.col("maxlon").cast("long"),
+        F.col("maxlat").cast("long"),
+    )
+
+
+@_oracle("polygon_stats")
+def _pstats_o() -> str:
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT e.user_id AS poly_id, s.event_id AS seq,
+         CAST({_GRJ_FOLD % "s.lon"} AS BIGINT) AS x,
+         CAST({_GRJ_FOLD % "s.lat"} AS BIGINT) AS y
+  FROM ({_events_synth_sql()}) s JOIN events e ON s.event_id = e.event_id
+),
+t AS MATERIALIZED (
+  SELECT poly_id, seq, x, y,
+         x - MIN(x) OVER (PARTITION BY poly_id) AS tx,
+         y - MIN(y) OVER (PARTITION BY poly_id) AS ty
+  FROM pts
+),
+edges AS MATERIALIZED (
+  SELECT poly_id, x, y, tx, ty,
+         COALESCE(LEAD(tx) OVER w, FIRST_VALUE(tx) OVER w) AS nx,
+         COALESCE(LEAD(ty) OVER w, FIRST_VALUE(ty) OVER w) AS ny
+  FROM t
+  WINDOW w AS (PARTITION BY poly_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(tx * ny - nx * ty) AS BIGINT) AS area2,
+       CAST(ABS(SUM(tx * ny - nx * ty)) AS BIGINT) AS abs_area2,
+       CAST(CASE WHEN SUM(tx * ny - nx * ty) > 0 THEN 1 ELSE 0 END AS BIGINT) AS ccw,
+       CAST(MIN(x) AS BIGINT) AS minlon, CAST(MIN(y) AS BIGINT) AS minlat,
+       CAST(MAX(x) AS BIGINT) AS maxlon, CAST(MAX(y) AS BIGINT) AS maxlat
+FROM edges GROUP BY poly_id
+"""

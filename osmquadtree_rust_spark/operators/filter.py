@@ -241,3 +241,93 @@ def id_closure(
         "ways": sel_ways,
         "relations": sel_rels,
     }
+
+
+def polygon_stats(
+    verts: "DataFrame",
+    poly_col: str = "poly_id",
+    seq_col: str = "seq",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> "DataFrame":
+    """Exact integer shoelace statistics per polygon ring: signed doubled
+    area (2A = sum of cross products over the cyclic edge list), winding
+    orientation, vertex count, and bbox — the geometry primitive behind
+    extract-region sizing and tile-coverage estimates, computed without
+    a single float.
+
+    Vertices arrive as rows (poly_col, seq_col, lon, lat) in fixed-point
+    1e-7-degree ints; the ring closes implicitly (last vertex pairs with
+    the first).  Coordinates are TRANSLATED to the polygon's min corner
+    before the cross products, and a per-ring overflow guard RAISES when
+    the exact worst-case bound 2 * n * span_x * span_y cannot fit int64
+    (a silent ANSI overflow — or non-ANSI wrap — would corrupt areas;
+    split giant rings first).  Shoelace is well-defined for any closed
+    polyline — self-intersecting input yields the signed sum of covered
+    regions, exactly as the formula states, so no simplicity
+    precondition exists.
+
+    Windows partition per polygon (bounded by ring vertex counts);
+    identical construction in the DuckDB oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(poly_col).orderBy(seq_col)
+    wfull = Window.partitionBy(poly_col).orderBy(seq_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = (
+        verts.select(
+            F.col(poly_col),
+            F.col(seq_col),
+            F.col(lon).cast("long").alias("__x"),
+            F.col(lat).cast("long").alias("__y"),
+        )
+        # the guard REPLACES __tx (inside a used expression, so Catalyst
+        # cannot prune it); all factors stay < 2^31.5 in DOUBLE space so
+        # the guard predicate itself cannot overflow
+        .withColumn("__sx", (F.max("__x").over(wfull) - F.min("__x").over(wfull)))
+        .withColumn("__sy", (F.max("__y").over(wfull) - F.min("__y").over(wfull)))
+        .withColumn("__n", F.count("*").over(wfull))
+        .withColumn(
+            "__tx",
+            F.when(
+                (
+                    2.0
+                    * F.col("__n").cast("double")
+                    * F.col("__sx").cast("double")
+                    * F.col("__sy").cast("double")
+                )
+                >= float(2**63),
+                F.expr(
+                    "CAST(raise_error('polygon_stats: ring too large for "
+                    "exact int64 shoelace (2*n*span_x*span_y >= 2^63); "
+                    "split it first') AS BIGINT)"
+                ),
+            ).otherwise(F.col("__x") - F.min("__x").over(wfull)),
+        )
+        .withColumn("__ty", F.col("__y") - F.min("__y").over(wfull))
+        .withColumn(
+            "__nx", F.coalesce(F.lead("__tx").over(w), F.first("__tx").over(wfull))
+        )
+        .withColumn(
+            "__ny", F.coalesce(F.lead("__ty").over(w), F.first("__ty").over(wfull))
+        )
+    )
+    cross = F.col("__tx") * F.col("__ny") - F.col("__nx") * F.col("__ty")
+    return (
+        d.withColumn("__cross", cross)
+        .groupBy(poly_col)
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("__cross").cast("long").alias("area2"),
+            F.min("__x").alias("minlon"),
+            F.min("__y").alias("minlat"),
+            F.max("__x").alias("maxlon"),
+            F.max("__y").alias("maxlat"),
+        )
+        .withColumn("abs_area2", F.abs(F.col("area2")).cast("long"))
+        .withColumn(
+            "ccw", F.when(F.col("area2") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        )
+    )

@@ -575,6 +575,32 @@ def test_review_guards(spark):
         SIM.random_projection(clash, out_dim=2, dim=8)
 
 
+def test_polygon_stats_known_shapes(spark):
+    from osmquadtree_rust_spark.operators.filter import polygon_stats
+
+    # ccw unit-ish square (area 100*100), cw triangle (negative signed)
+    verts = [
+        (1, 0, 1000, 2000), (1, 1, 1100, 2000), (1, 2, 1100, 2100), (1, 3, 1000, 2100),
+        (2, 0, 0, 0), (2, 1, 0, 50), (2, 2, 60, 0),
+    ]
+    df = spark.createDataFrame(verts, "poly_id long, seq long, lon long, lat long")
+    rows = {r["poly_id"]: r for r in polygon_stats(df).collect()}
+    assert rows[1]["area2"] == 2 * 100 * 100 and rows[1]["ccw"] == 1
+    assert rows[1]["n_vertices"] == 4
+    assert (rows[1]["minlon"], rows[1]["maxlat"]) == (1000, 2100)
+    assert rows[2]["area2"] == -(50 * 60) and rows[2]["ccw"] == 0
+    assert rows[2]["abs_area2"] == 3000
+
+    # overflow guard: a world-spanning ring raises instead of wrapping
+    big = spark.createDataFrame(
+        [(9, i, (-1 if i % 2 else 1) * 1799999999, (-1 if i < 2 else 1) * 899999999)
+         for i in range(4)],
+        "poly_id long, seq long, lon long, lat long",
+    )
+    with pytest.raises(Exception, match="ring too large"):
+        polygon_stats(big).collect()
+
+
 def test_qt_neighbors_ring2(spark):
     import numpy as np
 
