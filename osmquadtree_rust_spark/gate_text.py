@@ -2201,3 +2201,62 @@ FROM ranked r JOIN counts c ON r.source = c.source
 WHERE r.rk <= c.kg
 GROUP BY r.source
 """
+
+
+# ===========================================================================
+# end-to-end NEAR-dup dedup: simhash pairs -> connected components ->
+# keep the component minimum -> per-source corpus stats.  The transitive
+# cut (dedup_keep_first alone misses chains) composed with real corpus
+# accounting — the full near-dedup story in one gate.
+# ===========================================================================
+
+@_register("neardup_dedup_corpus")
+def _ndc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
+        )
+    )
+    sigs = D.simhash64(doubled)
+    pairs = D.simhash_neardup_pairs(sigs, max_hamming=3)
+    comps = D.connected_components(doubled.select("doc_id"), pairs)
+    keepers = comps.filter(F.col("doc_id") == F.col("comp")).select("doc_id")
+    kept = doubled.join(keepers, "doc_id", "left_semi")
+    out = TX.with_token_count(kept).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    return out.select("source", "n_kept", "sum_tokens")
+
+
+@_oracle("neardup_dedup_corpus")
+def _ndc_o():
+    pairs_sql = _shn_o()
+    tok = TS.token_count_sql("text")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+docs AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT}, source, text FROM documents
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM docs
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comps AS (
+  SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
+),
+kept AS (
+  SELECT d.source, CAST({tok} AS BIGINT) AS toks
+  FROM docs d JOIN comps c ON d.doc_id = c.doc_id AND c.comp = d.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(toks) AS BIGINT) AS sum_tokens
+FROM kept GROUP BY source
+"""
