@@ -2260,3 +2260,46 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(SUM(toks) AS BIGINT) AS sum_tokens
 FROM kept GROUP BY source
 """
+
+
+# ===========================================================================
+# winnowing fingerprints (published MOSS local-fingerprinting scheme,
+# value-set variant): distinct per-window minimum shingle hash
+# (operators/dedup.winnow_fingerprints)
+# ===========================================================================
+
+_WIN_N = 3
+_WIN_W = 4
+
+
+@_register("winnow_fingerprints")
+def _wfp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.winnow_fingerprints(docs, n=_WIN_N, window=_WIN_W)
+    return out.select(F.col("doc_id").cast("long"), F.col("fp").cast("long"))
+
+
+@_oracle("winnow_fingerprints")
+def _wfp_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT doc_id, pos,
+         MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+  FROM sh
+)
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
+FROM fp WHERE pos <= cnt - {_WIN_W}
+"""

@@ -235,6 +235,52 @@ def ngram_neardup_pairs(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the published MOSS local
+    fingerprinting scheme, value-set variant): the distinct MINIMUM
+    shingle hash of every full `window` of consecutive word n-grams.
+
+    Guarantee: two documents sharing any identical word run of length
+    >= n + window - 1 share at least one fingerprint (the run contains a
+    full shingle window, whose minimum is selected in both) — so an
+    equi-join on fingerprints is a recall-complete candidate generator
+    for long-shared-passage detection, at ~1/window the index size of
+    the full shingle set.  Documents shorter than n + window - 1 words
+    emit nothing.
+
+    One posexplode + one per-doc rolling-MIN window + distinct; shingle
+    construction and hashing are the shared split_words/ngram_array/
+    md5-prefix text, so the DuckDB oracle is the identical program."""
+    from .text import ngram_array, split_words
+
+    if n < 1 or window < 1:
+        raise ValueError(f"n={n} and window={window} must be >= 1")
+    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
+    sh = base.select(
+        F.col(id_col),
+        F.posexplode(ngram_array(F.col("__ws"), n)).alias("__pos", "__sh"),
+    ).withColumn("shh", F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)))
+    wmin = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    wcnt = Window.partitionBy(id_col)
+    return (
+        sh.withColumn("__cnt", F.count("*").over(wcnt))
+        .withColumn("fp", F.min("shh").over(wmin))
+        .filter(F.col("__pos") <= F.col("__cnt") - window)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+
+
 def ngram_jaccard_on_pairs(
     pairs: DataFrame,
     df: DataFrame,

@@ -601,6 +601,32 @@ def test_polygon_stats_known_shapes(spark):
         polygon_stats(big).collect()
 
 
+def test_winnow_shared_run_guarantee(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    n, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = n + w - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " zz"),
+            (2, shared + " qq rr ss tt"),
+            (3, "totally different words here none match at all"),
+            (4, "short doc"),  # < n + w - 1 words -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = D.winnow_fingerprints(docs, n=n, window=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # the shared >= n+w-1 word run forces a common fingerprint
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    with pytest.raises(ValueError, match="window"):
+        D.winnow_fingerprints(docs, n=3, window=0)
+
+
 def test_qt_neighbors_ring2(spark):
     import numpy as np
 
