@@ -2303,3 +2303,94 @@ fp AS MATERIALIZED (
 SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
 FROM fp WHERE pos <= cnt - {_WIN_W}
 """
+
+
+# ===========================================================================
+# winnowing near-dup: fingerprint candidates -> exact n-gram Jaccard
+# verify restricted to them (operators/dedup.winnow_neardup_pairs);
+# planted corpus = every doc doubled with a mid-text splice, so each
+# pair shares long word runs (the winnowing guarantee's home turf)
+# ===========================================================================
+
+_WND_T = 300000
+
+
+@_register("winnow_neardup")
+def _wnd(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.expr(
+                "concat(substr(text, 1, 40), ' zz ', substr(text, 41))"
+            ).alias("text"),
+        )
+    )
+    out = D.winnow_neardup_pairs(
+        doubled, n=_WIN_N, window=_WIN_W, threshold_ppm=_WND_T
+    )
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("jaccard_ppm").cast("long"),
+    )
+
+
+@_oracle("winnow_neardup")
+def _wnd_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, shh FROM shp
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shh = sa.shh
+  GROUP BY c.a, c.b
+)
+SELECT CAST(t.a AS BIGINT) AS a, CAST(t.b AS BIGINT) AS b,
+       CAST(FLOOR((CAST(t.i AS DOUBLE) / CAST(t.u AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS jaccard_ppm
+FROM (
+  SELECT x.a, x.b, x.i, za.sz + zb.sz - x.i AS u
+  FROM inter x
+  JOIN sizes za ON za.doc_id = x.a
+  JOIN sizes zb ON zb.doc_id = x.b
+) t
+WHERE t.i * 1000000 >= {_WND_T} * t.u
+"""

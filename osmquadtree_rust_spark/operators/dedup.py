@@ -281,6 +281,41 @@ def winnow_fingerprints(
     )
 
 
+def winnow_neardup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+    threshold_ppm: int = 300000,
+) -> DataFrame:
+    """Near-dup pairs via winnowing candidates + exact n-gram Jaccard
+    verify restricted to them: the shared-passage dedup pipeline (a
+    1/window-size fingerprint index finds candidate pairs; the verify
+    computes the true full-shingle Jaccard on only those).
+
+    Candidate recall is the winnowing guarantee — complete for pairs
+    sharing a word run >= n + window - 1, NOT for scattered small
+    overlaps (use ngram_neardup_pairs when those matter); within that
+    contract the output is deterministic and the DuckDB oracle runs the
+    identical program.  The fingerprint frame is persisted because the
+    pair join consumes it as both sides; the candidate pairs are
+    persisted across the verify's double consumption (see
+    ngram_jaccard_on_pairs)."""
+    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    la = fps.select(F.col(id_col).alias("a"), "fp")
+    lb = fps.select(F.col(id_col).alias("b"), "fp")
+    cand = (
+        la.join(lb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return ngram_jaccard_on_pairs(
+        cand.persist(), df, text, id_col, n=n, threshold_ppm=threshold_ppm
+    )
+
+
 def ngram_jaccard_on_pairs(
     pairs: DataFrame,
     df: DataFrame,
