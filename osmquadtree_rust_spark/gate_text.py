@@ -2394,3 +2394,67 @@ FROM (
 ) t
 WHERE t.i * 1000000 >= {_WND_T} * t.u
 """
+
+
+# ===========================================================================
+# asymmetric containment near-subset pairs (operators/dedup.
+# ngram_containment_pairs): planted corpus = each doc plus its 120-char
+# prefix — the prefix's shingles are a subset of the original's, so the
+# contained direction passes the threshold and the reverse does not
+# ===========================================================================
+
+_CONT_T = 800000
+
+
+@_register("ngram_containment")
+def _ngc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.expr("substr(text, 1, 120)").alias("text"),
+        )
+    )
+    out = D.ngram_containment_pairs(
+        corpus, n=_WIN_N, threshold_ppm=_CONT_T
+    )
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("containment_ppm").cast("long"),
+    )
+
+
+@_oracle("ngram_containment")
+def _ngc_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT}, substr(text, 1, 120) FROM documents
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+sizes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+),
+inter AS MATERIALIZED (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS i
+  FROM sh sa JOIN sh sb ON sa.shh = sb.shh AND sa.doc_id != sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+)
+SELECT CAST(x.a AS BIGINT) AS a, CAST(x.b AS BIGINT) AS b,
+       CAST(FLOOR((CAST(x.i AS DOUBLE) / CAST(za.sz AS DOUBLE)) * 1000000.0)
+            AS BIGINT) AS containment_ppm
+FROM inter x JOIN sizes za ON za.doc_id = x.a
+WHERE x.i * 1000000 >= {_CONT_T} * za.sz
+"""

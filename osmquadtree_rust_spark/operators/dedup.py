@@ -387,6 +387,62 @@ def ngram_jaccard_on_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_ppm: int = 800000,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-SUBSET pairs: containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the metric Jaccard
+    misses when a short document is wholly quoted inside a long one
+    (i/u is tiny, i/|A| is ~1; the standard dedup gap for
+    quote-wrappers, boilerplate-expanded copies, and chunk/parent
+    pairs).
+
+    Emits ORDERED pairs (a contained-in b, a != b, both directions
+    evaluated independently) with containment_ppm =
+    FLOOR(i/|A| * 1e6).  Candidate generation, df_cap semantics, and
+    the carried window counts are exactly ngram_neardup_pairs' (shared
+    shingle equi-join — recall 1 over the capped space since a
+    contained doc shares every kept shingle); only the threshold
+    predicate differs: i * 1e6 >= threshold_ppm * size(A), pure
+    integers."""
+    sh = ngram_shingles(df, text, id_col, n)
+    if df_cap is not None:
+        if df_cap < 1:
+            raise ValueError(f"df_cap={df_cap} must be >= 1")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            .filter(F.col("__df") <= df_cap)
+            .drop("__df")
+        )
+    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
+    lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
+    inter = (
+        la.join(lb, "shh")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("__i"), F.max("__sza").alias("__sza"))
+    )
+    return (
+        inter.filter(
+            F.col("__i") * 1000000 >= F.lit(int(threshold_ppm)) * F.col("__sza")
+        )
+        .withColumn(
+            "containment_ppm",
+            F.floor(
+                (F.col("__i").cast("double") / F.col("__sza").cast("double"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .select("a", "b", "containment_ppm")
+    )
+
+
 def simhash64(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word hashes: per bit, sign of sum(+1/-1).
 

@@ -601,6 +601,24 @@ def test_polygon_stats_known_shapes(spark):
         polygon_stats(big).collect()
 
 
+def test_ngram_containment_asymmetry(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    long_doc = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, "one two three four five"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["containment_ppm"]
+        for r in D.ngram_containment_pairs(
+            docs, n=3, threshold_ppm=800000
+        ).collect()
+    }
+    # doc 2 (prefix) is fully contained in doc 1; the reverse is 3/8
+    assert out == {(2, 1): 1000000}
+
+
 def test_winnow_shared_run_guarantee(spark):
     from osmquadtree_rust_spark.operators import dedup as D
 
