@@ -2458,3 +2458,46 @@ SELECT CAST(x.a AS BIGINT) AS a, CAST(x.b AS BIGINT) AS b,
 FROM inter x JOIN sizes za ON za.doc_id = x.a
 WHERE x.i * 1000000 >= {_CONT_T} * za.sz
 """
+
+
+# ===========================================================================
+# document chunking (operators/text.chunk_documents): overlapping
+# token-window splitter — deterministic start grid, shared slice math
+# ===========================================================================
+
+_CHUNK_T = 16
+_CHUNK_O = 4
+
+
+@_register("chunk_documents")
+def _chk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.chunk_documents(
+        docs, chunk_tokens=_CHUNK_T, overlap=_CHUNK_O
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_id").cast("long"),
+        F.col("n_chunk_tokens").cast("long"),
+        F.col("chunk_text"),
+    )
+
+
+@_oracle("chunk_documents")
+def _chk_o():
+    step = _CHUNK_T - _CHUNK_O
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+starts AS MATERIALIZED (
+  SELECT doc_id, ws, unnest(range(0, len(ws), {step})) AS s
+  FROM wsx WHERE len(ws) > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(s // {step} AS BIGINT) AS chunk_id,
+       CAST(len(ws[s + 1 : s + {_CHUNK_T}]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(ws[s + 1 : s + {_CHUNK_T}], ' ') AS chunk_text
+FROM starts
+"""

@@ -273,6 +273,53 @@ def top_frac_per_group(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length splitter every training/RAG pipeline runs before
+    tokenization.  Deterministic contract: chunk starts at
+    0, step, 2*step, ... (step = chunk_tokens - overlap) for every
+    start < n_tokens; each chunk is the space-joined slice of up to
+    chunk_tokens words (the final chunks are shorter; a document
+    shorter than chunk_tokens yields exactly one chunk).  Empty
+    documents yield nothing.
+
+    Pure projection + explode over the shared split_words tokenization
+    (no shuffle, no Python); the slice arithmetic is identical SQL in
+    the DuckDB oracle.  Returns (id, chunk_id, n_chunk_tokens,
+    chunk_text)."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens={chunk_tokens} must be >= 1")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap={overlap} must be in [0, chunk_tokens={chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
+    return (
+        base.filter(F.size("__ws") > 0)
+        .withColumn(
+            "__start",
+            F.explode(F.expr(f"sequence(0, size(__ws) - 1, {step})")),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(f"CAST(__start DIV {step} AS BIGINT)").alias("chunk_id"),
+            F.expr(
+                f"size(slice(__ws, __start + 1, {int(chunk_tokens)}))"
+            ).cast("long").alias("n_chunk_tokens"),
+            F.expr(
+                f"array_join(slice(__ws, __start + 1, {int(chunk_tokens)}), ' ')"
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def token_cooccurrence(
     df: DataFrame,
     text: str = "text",

@@ -601,6 +601,29 @@ def test_polygon_stats_known_shapes(spark):
         polygon_stats(big).collect()
 
 
+def test_chunk_documents_contract(spark):
+    from osmquadtree_rust_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # step=3: starts 0,3,6 for the 7-token doc; short doc = one chunk;
+    # empty/whitespace docs vanish
+    assert rows == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),
+        (1, 2): (1, "g"),
+        (2, 0): (2, "x y"),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
 def test_ngram_containment_asymmetry(spark):
     from osmquadtree_rust_spark.operators import dedup as D
 
