@@ -115,17 +115,32 @@ def epoch_seconds(df, ts_col: str, floor: bool = True):
     hopping windows, bucketed range join).  A numeric epoch column
     passes through directly (unix_timestamp() would cast it to string,
     fail to parse, and silently NULL-group every row); temporal columns
-    go through unix_timestamp; anything else raises.
+    are converted per dtype; parseable STRING timestamps are accepted
+    via CAST(ts AS TIMESTAMP) (under Spark's default ANSI mode an
+    unparseable string raises CANNOT_PARSE_TIMESTAMP instead of
+    silently NULLing — with ANSI off it degrades to NULL, the
+    pre-round-4 unix_timestamp behavior); anything else raises.
 
     floor=True returns BIGINT FLOOR-seconds (window/island keys);
     floor=False returns DOUBLE preserving fractional epochs (the range
-    join's ceil(end/b) coverage math needs them)."""
+    join's ceil(end/b) coverage math needs them).  Fraction
+    preservation: TIMESTAMP and STRING columns go through
+    CAST(.. AS DOUBLE) on the timestamp value, which keeps sub-second
+    precision; TIMESTAMP_NTZ cannot be cast to DOUBLE (and unix_micros
+    rejects it), so it goes through unix_timestamp and TRUNCATES to
+    whole seconds even with floor=False — a documented limitation;
+    DATE has no sub-second content."""
     from pyspark.sql import functions as F
 
     dtype = dict(df.dtypes).get(ts_col)
     if dtype is None:
         raise ValueError(f"ts column {ts_col!r} not in {df.columns}")
-    if dtype in ("timestamp", "timestamp_ntz", "date"):
+    if dtype == "timestamp":
+        # cast(timestamp as double) = fractional epoch seconds
+        base = F.col(ts_col).cast("double")
+    elif dtype == "string":
+        base = F.col(ts_col).cast("timestamp").cast("double")
+    elif dtype in ("timestamp_ntz", "date"):
         base = F.unix_timestamp(F.col(ts_col)).cast("double")
     elif dtype in (
         "tinyint", "smallint", "int", "bigint", "float", "double"
