@@ -2501,3 +2501,64 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        array_to_string(ws[s + 1 : s + {_CHUNK_T}], ' ') AS chunk_text
 FROM starts
 """
+
+
+# ===========================================================================
+# eval-set decontamination: flag training docs sharing any word n-gram
+# with a broadcast benchmark corpus (operators/dedup.decontaminate_against).
+# Benchmark = a 20-word slice (words 5..24) of every doc_id % _DC_MOD == 0
+# document with >= 24 words — so contamination is planted by construction
+# (the source docs share those 8-grams) while the 30-word-vocab corpus
+# makes incidental 8-gram collisions essentially impossible.
+# ===========================================================================
+
+_DC_N = 8
+_DC_MOD = 31
+
+
+@_register("decontaminate")
+def _dc(spark, sf_dir):
+    from .operators.text import split_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.withColumn("__ws", split_words("text"))
+    bench = (
+        ws.filter((F.col("doc_id") % _DC_MOD) == 0)
+        .filter(F.size("__ws") >= 24)
+        .select(F.expr("array_join(slice(__ws, 5, 20), ' ')").alias("text"))
+    )
+    out = D.decontaminate_against(docs, bench, n=_DC_N, mode="flag")
+    return out.filter(F.col("contaminated")).select(
+        F.col("doc_id").cast("long"), F.col("n_hits").cast("long")
+    )
+
+
+@_oracle("decontaminate")
+def _dc_o():
+    shingle = f"array_to_string(ws[i+1:i+{_DC_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+bench AS MATERIALIZED (
+  SELECT list_filter(string_split(array_to_string(ws[5:24], ' '), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM wsx WHERE doc_id % {_DC_MOD} = 0 AND len(ws) >= 24
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT {shh} AS shh
+  FROM (SELECT ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM bench WHERE len(ws) >= {_DC_N}) g
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_DC_N}) g
+)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh JOIN bsh USING (shh)
+GROUP BY sh.doc_id
+"""

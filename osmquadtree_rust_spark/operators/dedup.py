@@ -753,3 +753,65 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def decontaminate_against(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    n: int = 8,
+    mode: str = "flag",
+) -> DataFrame:
+    """Eval-set decontamination: flag (or remove) training documents
+    sharing ANY word n-gram with a benchmark corpus — the published
+    decontamination recipe (exact n-gram hit against the contamination
+    set, typically n = 8..13; see the GPT-3/PaLM appendix method).
+
+    Scale shape: the benchmark side is eval sets — thousands of
+    documents vs a 100 TB corpus — so its DISTINCT shingle-hash set is
+    metadata-scale and BROADCAST; the corpus streams its shingles (one
+    projection + explode, the shared ngram_shingles construction)
+    through the broadcast equi-join and aggregates hit counts per doc.
+    No shuffle touches the corpus except the per-doc hit aggregate,
+    which only carries contaminated shingle occurrences.
+
+    mode='flag'  -> df + `n_hits` (distinct shared shingle hashes, 0
+                    for clean docs) + `contaminated` boolean;
+    mode='remove' -> the clean subset of df, columns unchanged.
+
+    Shingles use the shared split_words/ngram_array/md5-prefix text, so
+    the DuckDB oracle runs the identical program; benchmark documents
+    shorter than n words contribute nothing."""
+    from .text import ngram_array, split_words
+
+    if mode not in ("flag", "remove"):
+        raise ValueError(f"mode={mode!r} must be 'flag' or 'remove'")
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    if mode == "flag":
+        clash = {"n_hits", "contaminated"} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"column(s) {sorted(clash)} already exist; rename them first"
+            )
+    bsh = (
+        benchmark.select(split_words(bench_text).alias("__ws"))
+        .select(F.explode(ngram_array(F.col("__ws"), n)).alias("__sh"))
+        .select(F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"))
+        .distinct()
+    )
+    sh = ngram_shingles(df, text, id_col, n)
+    hits = (
+        sh.join(F.broadcast(bsh), "shh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    if mode == "remove":
+        return df.join(hits.select(id_col), id_col, "left_anti")
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

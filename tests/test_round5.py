@@ -161,3 +161,36 @@ def test_knn_within_radius_releases_caches(spark):
     assert len(after - before) <= 1, (
         f"projection cache leaked: {sorted(after - before)}"
     )
+
+
+def test_decontaminate_against(spark):
+    from osmquadtree_rust_spark.operators.dedup import decontaminate_against
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated words about spark query planning"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = decontaminate_against(docs, bench, n=8, mode="flag")
+    got = {r["doc_id"]: (r["contaminated"], r["n_hits"]) for r in out.collect()}
+    # docs 1 and 3 contain the full 8-gram benchmark span; doc 2 is clean
+    assert got[1][0] and got[3][0] and not got[2][0]
+    assert got[2][1] == 0 and got[1][1] >= 1
+    clean = decontaminate_against(docs, bench, n=8, mode="remove")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    assert clean.columns == docs.columns
+    # benchmark shorter than n words contaminates nothing
+    short = spark.createDataFrame([("tiny set",)], "text string")
+    out2 = decontaminate_against(docs, short, n=8, mode="flag")
+    assert all(not r["contaminated"] for r in out2.collect())
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate_against(docs, bench, mode="trim")
+    clash = docs.withColumn("n_hits", F.lit(1))
+    with pytest.raises(ValueError, match="n_hits"):
+        decontaminate_against(clash, bench)
