@@ -2562,3 +2562,105 @@ SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
 FROM sh JOIN bsh USING (shh)
 GROUP BY sh.doc_id
 """
+
+
+# ===========================================================================
+# exact-substring span extraction: maximal shared verbatim word runs on
+# winnowing-candidate pairs (operators/dedup.shared_span_pairs) — the
+# WHERE of the near-dup overlap.  Corpus = the winnow_neardup doubled
+# corpus (every doc + a mid-text splice), so each planted pair shares a
+# long suffix run (and usually a short prefix run); min_run=8 >= the
+# winnowing recall bound n + window - 1 = 6.
+# ===========================================================================
+
+_SSP_MIN_RUN = 8
+
+
+@_register("shared_spans")
+def _ssp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.expr(
+                "concat(substr(text, 1, 40), ' zz ', substr(text, 41))"
+            ).alias("text"),
+        )
+    )
+    fps = D.winnow_fingerprints(doubled, n=_WIN_N, window=_WIN_W).persist()
+    cand = (
+        fps.select(F.col("doc_id").alias("a"), "fp")
+        .join(fps.select(F.col("doc_id").alias("b"), "fp"), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    fps.unpersist()
+    out = D.shared_span_pairs(
+        cand, doubled, n=_WIN_N, min_run=_SSP_MIN_RUN
+    ).localCheckpoint(eager=True)
+    cand.unpersist()
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("a_start").cast("long"),
+        F.col("b_start").cast("long"),
+        F.col("run_len").cast("long"),
+    )
+
+
+@_oracle("shared_spans")
+def _ssp_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+),
+anchors AS MATERIALIZED (
+  SELECT c.a, c.b, sa.pos AS pa, sb.pos AS pb, sa.pos - sb.pos AS diag
+  FROM cand c
+  JOIN shp sa ON sa.doc_id = c.a
+  JOIN shp sb ON sb.doc_id = c.b AND sb.shh = sa.shh
+),
+isl AS MATERIALIZED (
+  SELECT a, b, diag, pa, pb,
+         pa - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+  FROM anchors
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(MIN(pa) AS BIGINT) AS a_start,
+       CAST(MIN(pb) AS BIGINT) AS b_start,
+       CAST(COUNT(*) + {_WIN_N - 1} AS BIGINT) AS run_len
+FROM isl
+GROUP BY a, b, diag, grp
+HAVING COUNT(*) + {_WIN_N - 1} >= {_SSP_MIN_RUN}
+"""

@@ -235,6 +235,28 @@ def ngram_neardup_pairs(
     )
 
 
+def positional_shingles(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, pos, shh): the word-n-gram shingle hash at every 0-based word
+    position — ngram_shingles WITH positions kept (no distinct), the
+    shared base of winnowing fingerprints and shared-span extraction.
+    Pure projection + posexplode, no shuffle."""
+    from .text import ngram_array, split_words
+
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
+    return base.select(
+        F.col(id_col),
+        F.posexplode(ngram_array(F.col("__ws"), n)).alias("pos", "__sh"),
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text: str = "text",
@@ -257,25 +279,19 @@ def winnow_fingerprints(
     One posexplode + one per-doc rolling-MIN window + distinct; shingle
     construction and hashing are the shared split_words/ngram_array/
     md5-prefix text, so the DuckDB oracle is the identical program."""
-    from .text import ngram_array, split_words
-
     if n < 1 or window < 1:
         raise ValueError(f"n={n} and window={window} must be >= 1")
-    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
-    sh = base.select(
-        F.col(id_col),
-        F.posexplode(ngram_array(F.col("__ws"), n)).alias("__pos", "__sh"),
-    ).withColumn("shh", F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)))
+    sh = positional_shingles(df, text, id_col, n)
     wmin = (
         Window.partitionBy(id_col)
-        .orderBy("__pos")
+        .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
     wcnt = Window.partitionBy(id_col)
     return (
         sh.withColumn("__cnt", F.count("*").over(wcnt))
         .withColumn("fp", F.min("shh").over(wmin))
-        .filter(F.col("__pos") <= F.col("__cnt") - window)
+        .filter(F.col("pos") <= F.col("__cnt") - window)
         .select(F.col(id_col), "fp")
         .distinct()
     )
@@ -815,3 +831,119 @@ def decontaminate_against(
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def shared_span_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_run: int = 10,
+) -> DataFrame:
+    """Maximal shared VERBATIM word runs for given candidate pairs —
+    the span-extraction half of the published exact-substring dedup
+    recipe (near-dup metrics say two documents overlap; this says WHERE:
+    every maximal run of >= min_run identical consecutive words, with
+    0-based word offsets in both documents).
+
+    Shape: positional shingles (one posexplode, restricted by left_semi
+    to the candidate docs) anchor matches as (pos_a, pos_b) pairs via the
+    pairs x shingle-hash equi-join; a shared run of R words is exactly
+    R - n + 1 consecutive anchors on one DIAGONAL (pos_a - pos_b
+    constant), so maximal runs are gaps-and-islands per (a, b, diag) —
+    bounded windows (a diagonal holds at most min(len_a, len_b)
+    anchors), all work restricted to candidate pairs, never the corpus
+    cross product.  A repeated passage aligning at several offsets
+    yields one run per alignment.  Returns (a, b, a_start, b_start,
+    run_len) with run_len in words; min_run must be >= n (shorter runs
+    produce no anchor).  60-bit shingle-hash collisions could splice
+    two runs — the standard md5-prefix caveat shared by every shingle
+    operator here.
+
+    The caller should persist/checkpoint `pairs` (consumed twice: id
+    harvest + anchor join) — see ngram_jaccard_on_pairs."""
+    if min_run < n:
+        raise ValueError(f"min_run={min_run} must be >= n={n}")
+    psh = positional_shingles(df, text, id_col, n)
+    ids = pairs.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
+    ).distinct()
+    psh = psh.join(ids, id_col, "left_semi")
+    pa = psh.select(
+        F.col(id_col).alias("a"), F.col("pos").alias("__pa"), "shh"
+    )
+    pb = psh.select(
+        F.col(id_col).alias("b"), F.col("pos").alias("__pb"), "shh"
+    )
+    m = (
+        pairs.select("a", "b")
+        .join(pa, "a")
+        .join(pb, ["b", "shh"])
+        .withColumn("__diag", F.col("__pa") - F.col("__pb"))
+    )
+    w = Window.partitionBy("a", "b", "__diag").orderBy("__pa")
+    isl = m.withColumn("__grp", F.col("__pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("a", "b", "__diag", "__grp")
+        .agg(
+            F.min("__pa").cast("long").alias("a_start"),
+            F.min("__pb").cast("long").alias("b_start"),
+            (F.count("*") + (n - 1)).cast("long").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= int(min_run))
+        .select("a", "b", "a_start", "b_start", "run_len")
+    )
+
+
+def dedup_shared_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+    min_run: int = 50,
+) -> DataFrame:
+    """Exact-substring dedup: drop every document sharing a verbatim
+    word run of >= min_run words with an EARLIER (lower-id) document —
+    the other half of the published "deduplicating training data"
+    recipe (whole-doc near-dup metrics miss a long quoted passage inside
+    an otherwise-different document; a shared >= 50-token run is the
+    standard cut).
+
+    Composition of verified pieces: winnowing fingerprints generate
+    candidates (recall-COMPLETE for runs >= n + window - 1, hence the
+    min_run lower bound), shared_span_pairs verifies exact runs
+    restricted to them, and the loser set (higher id of each offending
+    pair) anti-joins the corpus.  Cache lifecycle follows
+    winnow_neardup_pairs: fingerprints and candidates are persisted
+    across their double consumption, the SMALL loser-id set is
+    materialized lineage-free, and every intermediate cache is released
+    before return; the result is a lazy anti-join against the source
+    (nothing corpus-sized is ever pinned)."""
+    if min_run < n + window - 1:
+        raise ValueError(
+            f"min_run={min_run} below the winnowing recall bound "
+            f"n + window - 1 = {n + window - 1}; shorter shared runs "
+            f"can miss the candidate join — lower n/window instead"
+        )
+    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    la = fps.select(F.col(id_col).alias("a"), "fp")
+    lb = fps.select(F.col(id_col).alias("b"), "fp")
+    cand = (
+        la.join(lb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    cand.count()  # eager: one evaluation of the fingerprint self-join
+    fps.unpersist()
+    spans = shared_span_pairs(cand, df, text, id_col, n, min_run)
+    losers = (
+        spans.select(F.col("b").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    return df.join(losers, id_col, "left_anti")

@@ -194,3 +194,52 @@ def test_decontaminate_against(spark):
     clash = docs.withColumn("n_hits", F.lit(1))
     with pytest.raises(ValueError, match="n_hits"):
         decontaminate_against(clash, bench)
+
+
+def test_shared_span_pairs_exact_offsets(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    # doc 1 words 2..7 == doc 2 words 0..5 (run of 6); doc 1 words 10..12
+    # == doc 2 words 8..10 (run of 3, below n -> no anchor at n=3? run of
+    # exactly 3 = one shingle -> island of 1 -> run_len 3)
+    d1 = "x y aa bb cc dd ee ff z q mm nn oo"
+    d2 = "aa bb cc dd ee ff k l mm nn oo"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = D.shared_span_pairs(pairs, docs, n=3, min_run=3)
+    got = sorted(
+        (r["a_start"], r["b_start"], r["run_len"]) for r in out.collect()
+    )
+    assert got == [(2, 0, 6), (10, 8, 3)]
+    # min_run filters the short run
+    out = D.shared_span_pairs(pairs, docs, n=3, min_run=5)
+    got = [(r["a_start"], r["b_start"], r["run_len"]) for r in out.collect()]
+    assert got == [(2, 0, 6)]
+    with pytest.raises(ValueError, match="min_run"):
+        D.shared_span_pairs(pairs, docs, n=5, min_run=4)
+
+
+def test_dedup_shared_spans(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    run = " ".join(f"w{i}" for i in range(12))  # 12 shared words
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + run + " tail one"),
+            (2, run + " completely different ending here"),
+            (3, "unrelated content with nothing shared at all in words"),
+        ],
+        "doc_id long, text string",
+    )
+    before = _persisted_ids(spark)
+    out = D.dedup_shared_spans(docs, n=3, window=4, min_run=10)
+    kept = {r["doc_id"] for r in out.collect()}
+    # doc 2 shares a 12-word run with earlier doc 1 -> dropped
+    assert kept == {1, 3}
+    assert out.columns == docs.columns
+    after = _persisted_ids(spark)
+    assert len(after - before) <= 1, sorted(after - before)
+    with pytest.raises(ValueError, match="recall bound"):
+        D.dedup_shared_spans(docs, n=3, window=4, min_run=4)
