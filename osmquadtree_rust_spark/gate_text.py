@@ -2664,3 +2664,110 @@ FROM isl
 GROUP BY a, b, diag, grp
 HAVING COUNT(*) + {_WIN_N - 1} >= {_SSP_MIN_RUN}
 """
+
+
+# ===========================================================================
+# incremental near-dup against a persisted fingerprint index
+# (operators/incremental.incremental_neardup): base = even docs (their
+# winnow fingerprints ARE the index — base text is never given to the
+# operator), delta = odd docs + spliced near-copies of every 10th even
+# doc planted as cross-epoch dups.  The oracle recomputes both
+# fingerprint sets from scratch and applies the identical fp-Jaccard
+# decision; survivors must match.
+# ===========================================================================
+
+_INC_SHIFT = 700000
+_INC_T = 300000
+
+
+@_register("incremental_neardup")
+def _inc(spark, sf_dir):
+    from .operators import incremental as INC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _INC_SHIFT).alias("doc_id"),
+        F.expr("concat(substr(text, 1, 40), ' zz ', substr(text, 41))").alias(
+            "text"
+        ),
+    )
+    delta = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    index = D.winnow_fingerprints(base, n=_WIN_N, window=_WIN_W)
+    surv, _fps = INC.incremental_neardup(
+        delta, index, n=_WIN_N, window=_WIN_W, threshold_ppm=_INC_T
+    )
+    return surv.select(F.col("doc_id").cast("long"))
+
+
+@_oracle("incremental_neardup")
+def _inc_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    jacc = (
+        f"x.i * 1000000 >= {_INC_T} * (x.sa + x.sb - x.i)"
+    )
+    return f"""
+WITH delta AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_INC_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 10 = 0
+),
+docs2 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, text FROM delta
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs2
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id),
+bfp AS MATERIALIZED (
+  SELECT f.* FROM fp f WHERE f.doc_id % 2 = 0 AND f.doc_id < {_INC_SHIFT}
+),
+dfp AS MATERIALIZED (
+  SELECT f.* FROM fp f WHERE NOT (f.doc_id % 2 = 0 AND f.doc_id < {_INC_SHIFT})
+),
+cross_losers AS MATERIALIZED (
+  SELECT DISTINCT x.a AS doc_id FROM (
+    SELECT d.doc_id AS a, b.doc_id AS b, COUNT(*) AS i,
+           MAX(za.sz) AS sa, MAX(zb.sz) AS sb
+    FROM dfp d JOIN bfp b ON d.fp = b.fp
+    JOIN sz za ON za.doc_id = d.doc_id
+    JOIN sz zb ON zb.doc_id = b.doc_id
+    GROUP BY d.doc_id, b.doc_id
+  ) x WHERE {jacc}
+),
+intra_losers AS MATERIALIZED (
+  SELECT DISTINCT x.b AS doc_id FROM (
+    SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i,
+           MAX(za.sz) AS sa, MAX(zb.sz) AS sb
+    FROM dfp l JOIN dfp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+    JOIN sz za ON za.doc_id = l.doc_id
+    JOIN sz zb ON zb.doc_id = r.doc_id
+    GROUP BY l.doc_id, r.doc_id
+  ) x WHERE {jacc}
+),
+losers AS MATERIALIZED (
+  SELECT doc_id FROM cross_losers UNION SELECT doc_id FROM intra_losers
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM delta d ANTI JOIN losers l USING (doc_id)
+"""

@@ -243,3 +243,67 @@ def test_dedup_shared_spans(spark):
     assert len(after - before) <= 1, sorted(after - before)
     with pytest.raises(ValueError, match="recall bound"):
         D.dedup_shared_spans(docs, n=3, window=4, min_run=4)
+
+
+def test_incremental_neardup_index_roundtrip(spark, tmp_path):
+    from osmquadtree_rust_spark.operators import incremental as INC
+    from osmquadtree_rust_spark.operators.dedup import winnow_fingerprints
+
+    run = " ".join(f"w{i}" for i in range(20))
+    base_rows = [
+        (0, run + " base tail zero extra words beyond the shared run here"),
+        (2, "independent base document two with its own words only right"),
+        (4, "another standalone base document four nothing shared at all"),
+    ]
+    base_dir = str(tmp_path / "base_docs.parquet")
+    spark.createDataFrame(
+        base_rows, "doc_id long, text string"
+    ).write.parquet(base_dir)
+    idx_dir = str(tmp_path / "fp_index")
+
+    # epoch 0: index the base corpus (the ONLY time base text is read)
+    base = spark.read.parquet(base_dir)
+    INC.write_fp_index(winnow_fingerprints(base, n=3, window=4), idx_dir, 0)
+
+    # delta 1: one cross-epoch dup of doc 0, one intra-delta dup pair,
+    # one clean doc
+    delta_rows = [
+        (101, run + " delta tail different ending but same long run"),
+        (103, "fresh delta content alpha beta gamma delta epsilon zeta eta"),
+        (105, "fresh delta content alpha beta gamma delta epsilon zeta eta"),
+        (107, "totally novel words nothing else resembles this one at all"),
+    ]
+    delta_dir = str(tmp_path / "delta_docs.parquet")
+    spark.createDataFrame(
+        delta_rows, "doc_id long, text string"
+    ).write.parquet(delta_dir)
+    delta = spark.read.parquet(delta_dir)
+    idx = INC.read_fp_index(spark, idx_dir)
+    surv, sfps = INC.incremental_neardup(
+        delta, idx, n=3, window=4, threshold_ppm=300000
+    )
+    kept = sorted(r["doc_id"] for r in surv.collect())
+    # 101 drops (cross dup of base 0), 105 drops (intra dup of 103)
+    assert kept == [103, 107]
+    # no-base-scan proof: every file feeding the survivors frame is a
+    # delta file; the index read touches only index epochs — the base
+    # DOCUMENT parquet is never in either catalog
+    assert all("base_docs" not in f for f in surv.inputFiles())
+    assert surv.inputFiles()  # and the delta files are actually there
+    assert all("fp_index" in f for f in idx.inputFiles())
+
+    # append the survivors as epoch 1; a later delta duplicating a
+    # FIRST-delta survivor must now drop against the grown index
+    INC.write_fp_index(sfps, idx_dir, 1)
+    idx2 = INC.read_fp_index(spark, idx_dir)
+    assert sorted(set(r["epoch"] for r in idx2.collect())) == [0, 1]
+    delta2 = spark.createDataFrame(
+        [(201, "fresh delta content alpha beta gamma delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    surv2, _ = INC.incremental_neardup(
+        delta2, idx2, n=3, window=4, threshold_ppm=300000
+    )
+    assert surv2.count() == 0
+    with pytest.raises(ValueError, match="threshold_ppm"):
+        INC.incremental_neardup(delta2, idx2, threshold_ppm=0)
