@@ -134,6 +134,11 @@ def main():
         "random_projection",
         "rp_topk_rescore",
         "curation_cut_stats",
+        # round 5 additions
+        "decontaminate",
+        "shared_spans",
+        "incremental_neardup",
+        "span_dedup_corpus",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

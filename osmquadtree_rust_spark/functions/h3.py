@@ -16,12 +16,15 @@ analogous to functions/s2.py:
 - gnomonic projection onto icosahedron faces with the same res-0 unit
   construction (derived from the face center->vertex gnomonic distance).
 
-Documented deviation from the official H3 library: h3lib's 122-base-cell
-layout and its Dymaxion orientation are defined by large constant DATA
-tables (baseCellData, faceIjkBaseCells, faceAxesAzRadsCII), not by an
-algorithm; without those tables (no h3 runtime exists in this
-environment to calibrate against) ids cannot be bit-interoperable with
-h3lib regardless.  This implementation therefore roots one res-0 cell at
+Documented deviation from the official H3 library (TERMINAL — see
+PLANS.md §14 for the full round-3/4/5 adjudication): h3lib's
+122-base-cell layout and its Dymaxion orientation are defined by large
+constant DATA tables (baseCellData, faceIjkBaseCells,
+faceAxesAzRadsCII), not by an algorithm; without those tables (no h3
+runtime exists in this environment to calibrate against, and
+reconstructing ~700 exact constants from memory would be
+self-confirming) ids cannot be bit-interoperable with h3lib regardless.
+This implementation therefore roots one res-0 cell at
 each of the 20 icosahedron face centers (base cell = face id, golden-
 ratio icosahedron orientation) — the hierarchy, digit system, index
 layout and per-resolution geometry follow the public spec exactly, and

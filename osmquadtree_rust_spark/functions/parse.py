@@ -117,9 +117,9 @@ def epoch_seconds(df, ts_col: str, floor: bool = True):
     fail to parse, and silently NULL-group every row); temporal columns
     are converted per dtype; parseable STRING timestamps are accepted
     via CAST(ts AS TIMESTAMP) (under Spark's default ANSI mode an
-    unparseable string raises CANNOT_PARSE_TIMESTAMP instead of
-    silently NULLing — with ANSI off it degrades to NULL, the
-    pre-round-4 unix_timestamp behavior); anything else raises.
+    unparseable string raises CAST_INVALID_INPUT instead of silently
+    NULLing — with ANSI off it degrades to NULL, the pre-round-4
+    unix_timestamp behavior); anything else raises.
 
     floor=True returns BIGINT FLOOR-seconds (window/island keys);
     floor=False returns DOUBLE preserving fractional epochs (the range

@@ -2063,7 +2063,13 @@ _KNN_RJ_K = 3
 def _knnrj(spark, sf_dir):
     from .operators.spatial_join import knn_within_radius
 
-    pts = _events_points(spark, sf_dir).select(
+    # event_id % 2 halves the points (quarters the candidate pairs):
+    # bench hygiene — this was the single most expensive gate (~16% of
+    # the r4 bench wall); the operator's own scale behavior is covered
+    # by the full-density geohash_radius_join gate + sf0.1 bench
+    pts = _events_points(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 0
+    ).select(
         "event_id",
         F.expr(_GRJ_FOLD % "lon").alias("flon"),
         F.expr(_GRJ_FOLD % "lat").alias("flat"),
@@ -2092,6 +2098,7 @@ def _knnrj_o() -> str:
 WITH pts AS MATERIALIZED (
   SELECT event_id, {fold_lon} AS flon, {fold_lat} AS flat
   FROM ({_events_synth_sql()}) e
+  WHERE event_id % 2 = 0
 ),
 pairs AS MATERIALIZED (
   SELECT a.event_id AS a, b.event_id AS b, CAST({dist} AS BIGINT) AS dist_sq

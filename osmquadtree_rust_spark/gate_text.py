@@ -2771,3 +2771,95 @@ losers AS MATERIALIZED (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id
 FROM delta d ANTI JOIN losers l USING (doc_id)
 """
+
+
+# ===========================================================================
+# composed exact-substring dedup pipeline, end to end
+# (operators/dedup.dedup_shared_spans): winnow candidates -> maximal
+# shared runs -> drop the higher id of every >= min_run pair -> corpus
+# stats.  Same doubled corpus as shared_spans.
+# ===========================================================================
+
+@_register("span_dedup_corpus")
+def _sdc(spark, sf_dir):
+    from .operators.text import split_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.expr(
+                "concat(substr(text, 1, 40), ' zz ', substr(text, 41))"
+            ).alias("text"),
+        )
+    )
+    out = D.dedup_shared_spans(
+        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN
+    )
+    return out.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum(F.size(split_words("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+@_oracle("span_dedup_corpus")
+def _sdc_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+),
+anchors AS MATERIALIZED (
+  SELECT c.a, c.b, sa.pos AS pa, sa.pos - sb.pos AS diag
+  FROM cand c
+  JOIN shp sa ON sa.doc_id = c.a
+  JOIN shp sb ON sb.doc_id = c.b AND sb.shh = sa.shh
+),
+isl AS MATERIALIZED (
+  SELECT a, b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+  FROM anchors
+),
+losers AS MATERIALIZED (
+  SELECT DISTINCT b AS doc_id FROM isl
+  GROUP BY a, b, diag, grp
+  HAVING COUNT(*) + {_WIN_N - 1} >= {_SSP_MIN_RUN}
+),
+surv AS MATERIALIZED (
+  SELECT w.doc_id, w.ws FROM wsx w ANTI JOIN losers l USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(len(ws)) AS BIGINT) AS total_tokens
+FROM surv
+"""

@@ -103,12 +103,29 @@ def test_hopping_window_numeric_epoch(spark):
     assert len(rows) == 5
 
 
-def test_hopping_window_rejects_string_ts(spark):
+def test_hopping_window_string_ts_contract(spark):
+    # r5 (ADVICE): parseable string timestamps are accepted again via
+    # CAST(ts AS TIMESTAMP); garbage raises at execution under Spark's
+    # default ANSI mode instead of silently NULL-grouping.  Truly
+    # non-temporal dtypes still raise at plan time.
     from osmquadtree_rust_spark.streaming.ingest import hopping_window_counts
 
-    df = spark.createDataFrame([("x", "a", 1.0)], "ts string, event_type string, value double")
+    ok = spark.createDataFrame(
+        [("1970-01-01 00:35:00", "a", 1.0)],
+        "ts string, event_type string, value double",
+    )
+    rows = hopping_window_counts(ok).collect()
+    assert rows and all(r["n"] == 1 for r in rows)
+    bad = spark.createDataFrame(
+        [("x", "a", 1.0)], "ts string, event_type string, value double"
+    )
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT"):
+        hopping_window_counts(bad).collect()
+    nontemporal = spark.createDataFrame(
+        [(True, "a", 1.0)], "ts boolean, event_type string, value double"
+    )
     with pytest.raises(ValueError, match="non-temporal"):
-        hopping_window_counts(df)
+        hopping_window_counts(nontemporal)
 
 
 def test_sessionize_batch_matches_streaming_semantics(spark):
