@@ -139,6 +139,7 @@ def main():
         "shared_spans",
         "incremental_neardup",
         "span_dedup_corpus",
+        "dedup_keep_best",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -2863,3 +2863,78 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(ws)) AS BIGINT) AS total_tokens
 FROM surv
 """
+
+
+# ===========================================================================
+# quality-aware duplicate-cluster keeper (operators/dedup.dedup_keep_best):
+# winnow near-dup pairs on a spliced doubled corpus -> connected
+# components -> keep the BEST-quality member per cluster (not min id) ->
+# per-source stats.  The splice perturbs the mutant's quality score, so
+# the chosen keeper genuinely exercises the quality ordering.
+# ===========================================================================
+
+@_register("dedup_keep_best")
+def _dkb(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            "source",
+            F.expr(
+                "concat(substr(text, 1, 40), ' zz ', substr(text, 41))"
+            ).alias("text"),
+        )
+    )
+    pairs = D.winnow_neardup_pairs(
+        doubled, n=_WIN_N, window=_WIN_W, threshold_ppm=_WND_T
+    )
+    comps = D.connected_components(doubled.select("doc_id"), pairs)
+    scored = TX.with_quality_score(doubled)
+    kept = D.dedup_keep_best(scored, comps, order="quality")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+        F.min("doc_id").cast("long").alias("min_kept"),
+    )
+
+
+@_oracle("dedup_keep_best")
+def _dkb_o():
+    pairs_sql = _wnd_o()
+    q = TS.quality_score_sql("text")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+docs AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT}, source,
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM docs
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comps AS (
+  SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
+),
+scored AS (
+  SELECT d.doc_id, d.source, CAST({q} AS BIGINT) AS quality, c.comp
+  FROM docs d JOIN comps c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY comp
+                               ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality,
+       CAST(MIN(doc_id) AS BIGINT) AS min_kept
+FROM ranked WHERE rn = 1
+GROUP BY source
+"""

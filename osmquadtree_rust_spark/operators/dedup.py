@@ -947,3 +947,50 @@ def dedup_shared_spans(
     )
     cand.unpersist()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    order: str = "quality",
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep ONE representative per duplicate cluster, chosen by QUALITY
+    (order desc — or asc — with id asc tie-break) instead of minimum id:
+    real curation pipelines keep the best-scoring duplicate, not the
+    oldest (dedup_keep_first/connected-components' min-id convention).
+
+    `components` is connected_components' (id, comp) output; rows of
+    `df` absent from it (or with NULL comp) are their own singleton
+    cluster — implemented by keying the ranking on coalesce(comp, id),
+    which cannot collide with a real cluster key (a comp value IS a
+    member's id, and that member always carries its comp through the
+    join).  Ranking is the salted skew-safe top_k_per_group with k=1,
+    so a boilerplate mega-cluster (10^6 copies of one page) never sorts
+    on a single task.  Integral ids required (same contract as
+    connected_components)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"dedup_keep_best needs an integral {id_col!r}, got {id_type}"
+        )
+    reserved = {"__ckey", "__kb_rk", "comp"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with dedup_keep_best's "
+            f"internal names; rename them first"
+        )
+    from .text import top_k_per_group
+
+    d = df.join(
+        components.select(id_col, "comp"), id_col, "left"
+    ).withColumn(
+        "__ckey", F.coalesce(F.col("comp"), F.col(id_col).cast("long"))
+    )
+    kept = top_k_per_group(
+        d, group="__ckey", order=order, k=1, id_col=id_col,
+        out="__kb_rk", ascending=ascending, salt_buckets=salt_buckets,
+    )
+    return kept.drop("__ckey", "comp", "__kb_rk")

@@ -307,3 +307,35 @@ def test_incremental_neardup_index_roundtrip(spark, tmp_path):
     assert surv2.count() == 0
     with pytest.raises(ValueError, match="threshold_ppm"):
         INC.incremental_neardup(delta2, idx2, threshold_ppm=0)
+
+
+def test_dedup_keep_best(spark):
+    from osmquadtree_rust_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            # cluster comp=1: doc 3 has the best quality -> keeper
+            (1, 50), (2, 80), (3, 90),
+            # singleton (absent from components)
+            (7, 10),
+            # cluster comp=8: tie on quality -> min id wins
+            (8, 60), (9, 60),
+        ],
+        "doc_id long, quality long",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (8, 8), (9, 8)], "doc_id long, comp long"
+    )
+    out = dedup_keep_best(docs, comps, order="quality")
+    assert sorted(r["doc_id"] for r in out.collect()) == [3, 7, 8]
+    assert sorted(out.columns) == ["doc_id", "quality"]
+    # ascending: lowest quality wins (e.g. shortest-doc preference)
+    out = dedup_keep_best(docs, comps, order="quality", ascending=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 7, 8]
+    with pytest.raises(TypeError, match="integral"):
+        dedup_keep_best(
+            spark.createDataFrame([("a", 1)], "doc_id string, quality long"),
+            comps,
+        )
+    with pytest.raises(ValueError, match="comp"):
+        dedup_keep_best(docs.withColumn("comp", F.lit(1)), comps)
