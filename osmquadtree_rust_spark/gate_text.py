@@ -2268,7 +2268,12 @@ FROM kept GROUP BY source
 # (operators/dedup.winnow_fingerprints)
 # ===========================================================================
 
-_WIN_N = 3
+# n=5: same reasoning as _NG_N — on this 30-word-vocab synthetic corpus
+# n=3 fingerprints produced ~1.4M incidental candidate pairs at sf0.1
+# (12s/gate in the bench); n=5 cuts that 13x while every planted
+# shared run (>= n + window - 1 = 8 words) still fires the winnowing
+# guarantee
+_WIN_N = 5
 _WIN_W = 4
 
 
@@ -2337,16 +2342,18 @@ def _wnd(spark, sf_dir):
 
 
 @_oracle("winnow_neardup")
-def _wnd_o():
+def _wnd_o(where: str = ""):
+    # `where` restricts the source documents (used by the dedup_keep_best
+    # oracle, whose Spark side runs on the doc_id % 2 == 0 half)
     shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents {where}
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents
+  FROM documents {where}
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -2578,7 +2585,11 @@ _SSP_MIN_RUN = 8
 
 @_register("shared_spans")
 def _ssp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # doc_id % 2: bench hygiene (quarters the incidental candidate
+    # pairs); full density stays covered by the winnow_neardup gate
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0
+    )
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2617,11 +2628,11 @@ def _ssp_o():
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -2784,7 +2795,9 @@ FROM delta d ANTI JOIN losers l USING (doc_id)
 def _sdc(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0
+    )
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2810,11 +2823,11 @@ def _sdc_o():
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -2875,7 +2888,9 @@ FROM surv
 
 @_register("dedup_keep_best")
 def _dkb(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).filter(F.col("doc_id") % 2 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2900,16 +2915,16 @@ def _dkb(spark, sf_dir):
 
 @_oracle("dedup_keep_best")
 def _dkb_o():
-    pairs_sql = _wnd_o()
+    pairs_sql = _wnd_o("WHERE doc_id % 2 = 0")
     q = TS.quality_score_sql("text")
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 docs AS (
-  SELECT doc_id, source, text FROM documents
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT}, source,
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
 edges AS (
   SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
