@@ -140,6 +140,7 @@ def main():
         "incremental_neardup",
         "span_dedup_corpus",
         "dedup_keep_best",
+        "trim_spans_corpus",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -2953,3 +2953,137 @@ SELECT source,
 FROM ranked WHERE rn = 1
 GROUP BY source
 """
+
+
+# ===========================================================================
+# span TRIMMING (operators/dedup.trim_shared_spans): the later document
+# keeps everything EXCEPT the shared >= min_run runs — the
+# published recipe's remove-the-span-not-the-document half.  Same halved
+# doubled corpus as span_dedup_corpus; oracle rebuilds the trimmed text
+# relationally (positions anti-join covered intervals -> string_agg).
+# ===========================================================================
+
+@_register("trim_spans_corpus")
+def _tsc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
+            F.expr(
+                "concat(substr(text, 1, 40), ' zz ', substr(text, 41))"
+            ).alias("text"),
+        )
+    )
+    out = D.trim_shared_spans(
+        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("text"),
+        F.col("n_trimmed_tokens").cast("long"),
+    )
+
+
+@_oracle("trim_spans_corpus")
+def _tsc_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + {_DUP_SHIFT},
+         concat(substr(text, 1, 40), ' zz ', substr(text, 41))
+  FROM documents WHERE doc_id % 2 = 0
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM docs
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+),
+anchors AS MATERIALIZED (
+  SELECT c.a, c.b, sa.pos AS pa, sb.pos AS pb, sa.pos - sb.pos AS diag
+  FROM cand c
+  JOIN shp sa ON sa.doc_id = c.a
+  JOIN shp sb ON sb.doc_id = c.b AND sb.shh = sa.shh
+),
+isl AS MATERIALIZED (
+  SELECT a, b, diag, pa, pb,
+         pa - ROW_NUMBER() OVER (PARTITION BY a, b, diag ORDER BY pa) AS grp
+  FROM anchors
+),
+ivs AS MATERIALIZED (
+  SELECT b AS doc_id, MIN(pb) AS s,
+         MIN(pb) + COUNT(*) + {_WIN_N - 1} AS e
+  FROM isl GROUP BY a, b, diag, grp
+  HAVING COUNT(*) + {_WIN_N - 1} >= {_SSP_MIN_RUN}
+),
+flagged AS MATERIALIZED (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM ivs
+),
+numbered AS MATERIALIZED (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl2
+  FROM flagged
+),
+merged AS MATERIALIZED (
+  SELECT doc_id, MIN(s) AS lo, MAX(e) AS hi
+  FROM numbered GROUP BY doc_id, isl2
+),
+affected AS MATERIALIZED (SELECT DISTINCT doc_id FROM merged),
+covered AS MATERIALIZED (
+  SELECT doc_id, unnest(range(lo, hi)) AS pos FROM merged
+),
+positions AS MATERIALIZED (
+  SELECT w.doc_id, w.ws, unnest(range(0, len(w.ws))) AS pos
+  FROM wsx w SEMI JOIN affected a USING (doc_id)
+  WHERE len(w.ws) > 0
+),
+kept AS MATERIALIZED (
+  SELECT p.doc_id, p.ws[p.pos + 1] AS w, p.pos
+  FROM positions p ANTI JOIN covered c USING (doc_id, pos)
+),
+rebuilt AS MATERIALIZED (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text, COUNT(*) AS c
+  FROM kept GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN d.text
+            ELSE COALESCE(r.text, '') END AS text,
+       CAST(CASE WHEN a.doc_id IS NULL THEN 0
+                 ELSE len(w.ws) - COALESCE(r.c, 0) END AS BIGINT)
+           AS n_trimmed_tokens
+FROM docs d
+JOIN wsx w ON w.doc_id = d.doc_id
+LEFT JOIN affected a ON a.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""

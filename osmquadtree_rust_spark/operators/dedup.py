@@ -994,3 +994,100 @@ def dedup_keep_best(
         out="__kb_rk", ascending=ascending, salt_buckets=salt_buckets,
     )
     return kept.drop("__ckey", "comp", "__kb_rk")
+
+
+def trim_shared_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+    min_run: int = 50,
+) -> DataFrame:
+    """Remove repeated spans WITHOUT dropping documents: for every
+    verbatim word run of >= min_run words shared with an EARLIER
+    (lower-id) document, cut the run out of the later document and keep
+    the remainder — the published exact-substring recipe's actual
+    recommendation (dropping whole documents over one quoted passage
+    discards good text; the first occurrence stays intact).
+
+    Pipeline: winnowing-fingerprint candidates (recall-complete for
+    runs >= n + window - 1, enforced via min_run) -> shared_span_pairs
+    offsets -> the b-side (higher-id) runs become half-open word-index
+    intervals, merged per doc with merge_intervals (overlapping runs
+    from several sources cut once) -> words at covered positions are
+    filtered out by a JVM higher-order expression (no shuffle on the
+    corpus side beyond the broadcast-scale trim-map join).  Trimmed
+    text is the kept words re-joined with single spaces (whitespace is
+    normalized — the shared split_words tokenization).
+
+    Returns df with `text` REPLACED by the trimmed text and
+    `n_trimmed_tokens` added (0 for untouched docs).  Cache lifecycle
+    as dedup_shared_spans: intermediates released, only the small
+    per-doc trim map is checkpointed."""
+    from .temporal import merge_intervals
+    from .text import split_words
+
+    if min_run < n + window - 1:
+        raise ValueError(
+            f"min_run={min_run} below the winnowing recall bound "
+            f"n + window - 1 = {n + window - 1}; shorter shared runs "
+            f"can miss the candidate join — lower n/window instead"
+        )
+    if "n_trimmed_tokens" in df.columns or "__ivs" in df.columns:
+        raise ValueError(
+            "column n_trimmed_tokens/__ivs already exists; rename it first"
+        )
+    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    la = fps.select(F.col(id_col).alias("a"), "fp")
+    lb = fps.select(F.col(id_col).alias("b"), "fp")
+    cand = (
+        la.join(lb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    fps.unpersist()
+    spans = shared_span_pairs(cand, df, text, id_col, n, min_run)
+    ivs = spans.select(
+        F.col("b").alias(id_col),
+        F.col("b_start").alias("start"),
+        (F.col("b_start") + F.col("run_len")).alias("end"),
+    )
+    trim_map = (
+        merge_intervals(ivs, key=id_col, start="start", end="end")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("island_start").alias("s"),
+                    F.col("island_end").alias("e"),
+                )
+            ).alias("__ivs")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand.unpersist()
+    d = df.join(F.broadcast(trim_map), id_col, "left")
+    ws = split_words(text)
+    indexed = F.transform(ws, lambda w, i: F.struct(w.alias("w"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__ivs"),
+            lambda v: (s["i"] >= v["s"]) & (s["i"] < v["e"]),
+        ),
+    )
+    trimmed = F.array_join(F.transform(kept, lambda s: s["w"]), " ")
+    out_text = F.when(F.col("__ivs").isNull(), F.col(text)).otherwise(trimmed)
+    n_trimmed = F.when(
+        F.col("__ivs").isNull(), F.lit(0)
+    ).otherwise(F.size(ws) - F.size(kept)).cast("long")
+    others = [c for c in df.columns if c != text]
+    return d.select(
+        *others,
+        out_text.alias(text),
+        n_trimmed.alias("n_trimmed_tokens"),
+    )

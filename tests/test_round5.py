@@ -339,3 +339,29 @@ def test_dedup_keep_best(spark):
         )
     with pytest.raises(ValueError, match="comp"):
         dedup_keep_best(docs.withColumn("comp", F.lit(1)), comps)
+
+
+def test_trim_shared_spans(spark):
+    from osmquadtree_rust_spark.operators.dedup import trim_shared_spans
+
+    run = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words then " + run + " tail one"),
+            (2, run + " completely different ending here"),
+            (3, "unrelated content with nothing shared at all in words"),
+        ],
+        "doc_id long, text string",
+    )
+    before = _persisted_ids(spark)
+    out = trim_shared_spans(docs, n=3, window=4, min_run=10)
+    rows = {r["doc_id"]: (r["text"], r["n_trimmed_tokens"]) for r in out.collect()}
+    # doc 1 (earlier) intact; doc 2's shared 12-word run removed, rest kept
+    assert rows[1] == ("intro words then " + run + " tail one", 0)
+    assert rows[2] == ("completely different ending here", 12)
+    assert rows[3][1] == 0
+    assert out.columns == ["doc_id", "text", "n_trimmed_tokens"]
+    after = _persisted_ids(spark)
+    assert len(after - before) <= 1, sorted(after - before)
+    with pytest.raises(ValueError, match="recall bound"):
+        trim_shared_spans(docs, n=3, window=4, min_run=4)
