@@ -141,6 +141,7 @@ def main():
         "span_dedup_corpus",
         "dedup_keep_best",
         "trim_spans_corpus",
+        "stratified_sample",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -3087,3 +3087,45 @@ JOIN wsx w ON w.doc_id = d.doc_id
 LEFT JOIN affected a ON a.doc_id = d.doc_id
 LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
 """
+
+
+# ===========================================================================
+# deterministic stratified sampling (operators/text.sample_k_per_group):
+# exactly k docs per source by salted-hash order — reproducible quota
+# sampling; the oracle replays the identical md5-prefix draw.
+# ===========================================================================
+
+_SKG_K = 7
+_SKG_SALT = "gate-strat-v1"
+
+
+@_register("stratified_sample")
+def _skg(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = TX.sample_k_per_group(docs, k=_SKG_K, salt=_SKG_SALT)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("source"),
+        F.col("sample_rk").cast("long"),
+    )
+
+
+@_oracle("stratified_sample")
+def _skg_o():
+    h = TS.md5_prefix_int_sql(
+        f"concat('{_SKG_SALT}', ':', CAST(doc_id AS STRING))", TS.DUCKDB
+    )
+    return f"""
+WITH hashed AS MATERIALIZED (
+  SELECT doc_id, source, {h} AS h FROM documents
+),
+ranked AS MATERIALIZED (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY h ASC, doc_id ASC) AS sample_rk
+  FROM hashed
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(sample_rk AS BIGINT) AS sample_rk
+FROM ranked WHERE sample_rk <= {_SKG_K}
+"""

@@ -835,3 +835,40 @@ def top_k_per_group(
         df.withColumn(out, F.row_number().over(w))
         .filter(F.col(out) <= k)
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group: str = "source",
+    k: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "stratified-v1",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic STRATIFIED sample: exactly k rows per group (fewer
+    if the group is smaller), chosen by salted-hash order — the
+    quota/balanced sampling step (equal representation per source or
+    language in an eval slice) with sample_by_hash's guarantees:
+    reproducible across reruns, engines, partition counts and cluster
+    sizes; changing the salt re-rolls the draw; a larger k under the
+    same salt is a SUPERSET of a smaller one (the per-group ranking is
+    fixed, only the cut moves).
+
+    Ranking runs through the salted skew-safe top_k_per_group, so a
+    group holding half the corpus never sorts on one task.  Adds
+    `sample_rk` (1..k, the draw order — itself a nested sub-sampling
+    key).  The hash is the cross-engine md5-prefix int, so the DuckDB
+    oracle replays the identical draw."""
+    if "'" in salt or "\\" in salt:
+        raise ValueError(f"salt {salt!r} must not contain quotes/backslashes")
+    if "__srk_h" in df.columns:
+        raise ValueError("column __srk_h already exists; rename it first")
+    h = TS.md5_prefix_int_sql(
+        f"concat('{salt}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    d = df.withColumn("__srk_h", F.expr(h))
+    out = top_k_per_group(
+        d, group=group, order="__srk_h", k=k, id_col=id_col,
+        out="sample_rk", ascending=True, salt_buckets=salt_buckets,
+    )
+    return out.drop("__srk_h")

@@ -365,3 +365,29 @@ def test_trim_shared_spans(spark):
     assert len(after - before) <= 1, sorted(after - before)
     with pytest.raises(ValueError, match="recall bound"):
         trim_shared_spans(docs, n=3, window=4, min_run=4)
+
+
+def test_sample_k_per_group_superset_and_determinism(spark):
+    from osmquadtree_rust_spark.operators.text import sample_k_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(90)], "doc_id long, source string"
+    )
+    s5 = sample_k_per_group(docs, k=5)
+    s9 = sample_k_per_group(docs, k=9)
+    ids5 = {r["doc_id"] for r in s5.collect()}
+    ids9 = {r["doc_id"] for r in s9.collect()}
+    assert len(ids5) == 15 and len(ids9) == 27
+    assert ids5 <= ids9  # nested-sample guarantee
+    # deterministic across calls; re-rolled by salt
+    again = {r["doc_id"] for r in sample_k_per_group(docs, k=5).collect()}
+    assert again == ids5
+    other = {r["doc_id"] for r in sample_k_per_group(docs, k=5, salt="v2").collect()}
+    assert other != ids5
+    # rk is 1..k per group
+    per = {}
+    for r in s5.collect():
+        per.setdefault(r["source"], set()).add(r["sample_rk"])
+    assert all(v == {1, 2, 3, 4, 5} for v in per.values())
+    with pytest.raises(ValueError, match="salt"):
+        sample_k_per_group(docs, salt="bad'quote")
