@@ -297,6 +297,25 @@ def winnow_fingerprints(
     )
 
 
+def _cap_fp_df(fps: DataFrame, fp_df_cap: int | None) -> DataFrame:
+    """Drop fingerprints whose document frequency exceeds the cap — the
+    hot-fingerprint fan-out control (the winnowing twin of the n-gram
+    df_cap, PLANS.md §15): one boilerplate fingerprint shared by 10^6
+    docs alone emits ~5*10^11 candidate pairs; the cap bounds per-fp
+    fan-out at cap^2/2.  Deterministic (the oracle can apply the
+    identical cap); a capped fp can no longer CONNECT its pairs, the
+    same recall trade the n-gram cap documents."""
+    if fp_df_cap is None:
+        return fps
+    if fp_df_cap < 1:
+        raise ValueError(f"fp_df_cap={fp_df_cap} must be >= 1")
+    return (
+        fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
+        .filter(F.col("__df") <= int(fp_df_cap))
+        .drop("__df")
+    )
+
+
 def winnow_neardup_pairs(
     df: DataFrame,
     text: str = "text",
@@ -304,11 +323,16 @@ def winnow_neardup_pairs(
     n: int = 5,
     window: int = 4,
     threshold_ppm: int = 300000,
+    fp_df_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via winnowing candidates + exact n-gram Jaccard
     verify restricted to them: the shared-passage dedup pipeline (a
     1/window-size fingerprint index finds candidate pairs; the verify
     computes the true full-shingle Jaccard on only those).
+
+    fp_df_cap bounds hot-fingerprint candidate fan-out (_cap_fp_df);
+    it only affects WHICH pairs are checked — the verify still computes
+    the true full-shingle Jaccard, so reported values never change.
 
     Candidate recall is the winnowing guarantee — complete for pairs
     sharing a word run >= n + window - 1, NOT for scattered small
@@ -326,7 +350,9 @@ def winnow_neardup_pairs(
     before return.  The returned DataFrame is backed by its own
     checkpoint blocks; long-lived callers may `.unpersist()` it when
     done."""
-    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    fps = _cap_fp_df(
+        winnow_fingerprints(df, text, id_col, n, window), fp_df_cap
+    ).persist()
     la = fps.select(F.col(id_col).alias("a"), "fp")
     lb = fps.select(F.col(id_col).alias("b"), "fp")
     cand = (
@@ -1070,7 +1096,11 @@ def trim_shared_spans(
         .localCheckpoint(eager=True)
     )
     cand.unpersist()
-    d = df.join(F.broadcast(trim_map), id_col, "left")
+    # no broadcast HINT: the trim map is usually tiny (affected docs
+    # only) and AQE will broadcast it, but corpus-wide boilerplate can
+    # make it a large fraction of the corpus — a forced broadcast would
+    # OOM the driver there, while a shuffle join degrades gracefully
+    d = df.join(trim_map, id_col, "left")
     ws = split_words(text)
     indexed = F.transform(ws, lambda w, i: F.struct(w.alias("w"), i.alias("i")))
     kept = F.filter(

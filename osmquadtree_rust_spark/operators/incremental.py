@@ -78,6 +78,7 @@ def incremental_neardup(
     n: int = 5,
     window: int = 4,
     threshold_ppm: int = 300000,
+    fp_df_cap: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dedup a delta snapshot against a persisted fingerprint index.
 
@@ -106,13 +107,24 @@ def incremental_neardup(
             f"threshold_ppm={threshold_ppm} must be > 0 (zero-overlap "
             f"pairs are dropped by the shared-fingerprint join)"
         )
+    from .dedup import _cap_fp_df
+
+    # fp_df_cap (per side) bounds hot-fingerprint join fan-out at
+    # cap_delta x cap_index rows per fp — a deterministic semantics
+    # change here (unlike winnow_neardup_pairs, the fp sets ARE the
+    # similarity metric, so sizes are recomputed after capping and an
+    # oracle must apply the identical cap)
     dfps = (
-        winnow_fingerprints(delta, text, id_col, n, window)
+        _cap_fp_df(
+            winnow_fingerprints(delta, text, id_col, n, window), fp_df_cap
+        )
         .withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
         .persist()
     )
     la = dfps.select(F.col(id_col).alias("a"), "fp", F.col("__sz").alias("__sza"))
-    isz = index_fps.withColumn(
+    isz = _cap_fp_df(
+        index_fps.select(id_col, "fp"), fp_df_cap
+    ).withColumn(
         "__sz", F.count("*").over(Window.partitionBy(id_col))
     )
     ib = isz.select(F.col(id_col).alias("b"), "fp", F.col("__sz").alias("__szb"))

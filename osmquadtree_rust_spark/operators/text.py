@@ -285,6 +285,10 @@ def top_frac_per_group(
     reserved = {
         out, "__g", "__kg", "__lrk", "__nid", "__fin", "__knd", "__lo",
         "__w", "__off", "__drop", "__b",
+        # histogram/tie scan-join internals
+        "__rg", "__rnid", "__rlo", "__rhi", "__rw", "__rb",
+        "__tg", "__tnid", "__tv", "__tnull", "__tb",
+        "__n", "__nn", "__mn", "__mx", "__gkg", "__groot",
     } & set(df.columns)
     if reserved:
         raise ValueError(f"column(s) {sorted(reserved)} already exist")

@@ -391,3 +391,50 @@ def test_sample_k_per_group_superset_and_determinism(spark):
     assert all(v == {1, 2, 3, 4, 5} for v in per.values())
     with pytest.raises(ValueError, match="salt"):
         sample_k_per_group(docs, salt="bad'quote")
+
+
+def test_fp_df_cap_bounds_hot_fingerprints(spark):
+    from osmquadtree_rust_spark.operators import dedup as D
+    from osmquadtree_rust_spark.operators import incremental as INC
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # shared by ALL docs
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique{i} filler{i} words{i} here{i}") for i in range(6)]
+        + [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+           (11, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    # uncapped: the boilerplate fp connects every pair of docs 0..5
+    full = D.winnow_neardup_pairs(docs, n=3, window=4, threshold_ppm=100000)
+    pairs_full = {(r["a"], r["b"]) for r in full.collect()}
+    assert (10, 11) in pairs_full and len(pairs_full) > 1
+    # cap=2: the df=6 boilerplate fingerprints drop; the exact-dup pair
+    # (10, 11) with df=2 fps survives
+    capped = D.winnow_neardup_pairs(
+        docs, n=3, window=4, threshold_ppm=100000, fp_df_cap=2
+    )
+    pairs_capped = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (10, 11) in pairs_capped
+    # the df=6 clique collapses (only low-df fingerprints may still
+    # connect a residual pair or two); capping never ADDS pairs
+    assert pairs_capped < pairs_full
+    assert len(pairs_capped) < len(pairs_full) / 2
+    with pytest.raises(ValueError, match="fp_df_cap"):
+        D.winnow_neardup_pairs(docs, fp_df_cap=0)
+    # incremental: the capped index no longer matches the boilerplate
+    from osmquadtree_rust_spark.operators.dedup import winnow_fingerprints
+
+    base = docs.filter(F.col("doc_id") < 3)
+    idx = winnow_fingerprints(base, n=3, window=4)
+    delta = docs.filter(F.col("doc_id").isin(3, 4))
+    surv_nocap, _ = INC.incremental_neardup(
+        delta, idx, n=3, window=4, threshold_ppm=100000
+    )
+    surv_cap, _ = INC.incremental_neardup(
+        delta, idx, n=3, window=4, threshold_ppm=100000, fp_df_cap=1
+    )
+    # without the cap the shared boilerplate can drop delta docs; with
+    # cap=1 every shared fp (df>=2 on the index side... df per side) —
+    # the delta docs' own unique fps survive, so both docs survive
+    assert surv_cap.count() == 2
+    assert surv_nocap.count() <= surv_cap.count()
