@@ -27,12 +27,16 @@ from pyspark.sql import functions as F
 from .dedup import winnow_fingerprints
 
 
-def write_fp_index(fps: DataFrame, base: str, epoch: int) -> None:
+def write_fp_index(
+    fps: DataFrame, base: str, epoch: int, mode: str = "errorifexists"
+) -> None:
     """Append one epoch of (doc_id, fp) rows as a partition directory
     `base/epoch=<epoch>/` — readable back (with the epoch column) by
     read_fp_index.  Uses the Hadoop-FS-backed parquet writer, so
-    cluster URIs (hdfs://, s3a://) work like local paths."""
-    fps.select("doc_id", "fp").write.mode("errorifexists").parquet(
+    cluster URIs (hdfs://, s3a://) work like local paths.
+    mode='overwrite' makes an epoch write idempotent (the streaming
+    wrapper's retry contract)."""
+    fps.select("doc_id", "fp").write.mode(mode).parquet(
         f"{base}/epoch={epoch}"
     )
 

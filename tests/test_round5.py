@@ -2,6 +2,7 @@
 top_frac_per_group, eval-set decontamination, shared-span extraction,
 incremental near-dup against a persisted index."""
 
+import os
 import re
 
 import pytest
@@ -438,3 +439,58 @@ def test_fp_df_cap_bounds_hot_fingerprints(spark):
     # the delta docs' own unique fps survive, so both docs survive
     assert surv_cap.count() == 2
     assert surv_nocap.count() <= surv_cap.count()
+
+
+def test_stream_neardup_two_epochs(spark, tmp_path):
+    from osmquadtree_rust_spark.streaming import neardup as SN
+
+    inp = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    surv_dir = str(tmp_path / "survivors")
+    idx_dir = str(tmp_path / "fp_index")
+    os.makedirs(inp)
+
+    run = " ".join(f"w{i}" for i in range(16))
+    batch1 = spark.createDataFrame(
+        [
+            (1, run + " first epoch tail words here now"),
+            (2, "independent first epoch document with its own words"),
+            (3, "independent first epoch document with its own words"),
+        ],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(inp + "/b1.parquet")
+    q = SN.stream_neardup(
+        spark, inp + "/*", "doc_id long, text string", ckpt,
+        surv_dir, idx_dir, n=3, window=4, threshold_ppm=300000,
+    )
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in SN.read_survivors(spark, surv_dir).collect()}
+    # intra-batch dup: doc 3 drops (copy of doc 2)
+    assert got1 == {1, 2}
+
+    # epoch 2: a near-copy of doc 1 (cross-epoch, index-only decision)
+    # and one genuinely new doc
+    batch2 = spark.createDataFrame(
+        [
+            (11, run + " second epoch different ending words"),
+            (12, "completely novel second epoch content nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    batch2.coalesce(1).write.parquet(inp + "/b2.parquet")
+    q = SN.stream_neardup(
+        spark, inp + "/*", "doc_id long, text string", ckpt,
+        surv_dir, idx_dir, n=3, window=4, threshold_ppm=300000,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in SN.read_survivors(spark, surv_dir).collect()}
+    assert got == {1, 2, 12}
+    # the index grew one epoch per batch, survivors' fps only
+    from osmquadtree_rust_spark.operators.incremental import read_fp_index
+
+    idx = read_fp_index(spark, idx_dir)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        1, 2, 12
+    }
+    assert idx.select("epoch").distinct().count() == 2
