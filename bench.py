@@ -142,6 +142,7 @@ def main():
         "dedup_keep_best",
         "trim_spans_corpus",
         "stratified_sample",
+        "decontaminate_report",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

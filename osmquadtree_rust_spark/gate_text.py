@@ -3129,3 +3129,65 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
        CAST(sample_rk AS BIGINT) AS sample_rk
 FROM ranked WHERE sample_rk <= {_SKG_K}
 """
+
+
+# ===========================================================================
+# decontamination ATTRIBUTION report (operators/dedup.decontaminate_report):
+# which benchmark item each training doc overlaps, by how many distinct
+# n-grams — same planted benchmark as the decontaminate gate, bench ids
+# = source doc ids.
+# ===========================================================================
+
+@_register("decontaminate_report")
+def _dcr(spark, sf_dir):
+    from .operators.text import split_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.withColumn("__ws", split_words("text"))
+    bench = (
+        ws.filter((F.col("doc_id") % _DC_MOD) == 0)
+        .filter(F.size("__ws") >= 24)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.expr("array_join(slice(__ws, 5, 20), ' ')").alias("text"),
+        )
+    )
+    out = D.decontaminate_report(docs, bench, n=_DC_N)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("bench_id").cast("long"),
+        F.col("n_shared").cast("long"),
+    )
+
+
+@_oracle("decontaminate_report")
+def _dcr_o():
+    shingle = f"array_to_string(ws[i+1:i+{_DC_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+bench AS MATERIALIZED (
+  SELECT doc_id AS bench_id,
+         list_filter(string_split(array_to_string(ws[5:24], ' '), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM wsx WHERE doc_id % {_DC_MOD} = 0 AND len(ws) >= 24
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT bench_id, {shh} AS shh
+  FROM (SELECT bench_id, ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM bench WHERE len(ws) >= {_DC_N}) g
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_DC_N}) g
+)
+SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+       CAST(b.bench_id AS BIGINT) AS bench_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh JOIN bsh b USING (shh)
+GROUP BY sh.doc_id, b.bench_id
+"""

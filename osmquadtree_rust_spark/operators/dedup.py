@@ -1121,3 +1121,47 @@ def trim_shared_spans(
         out_text.alias(text),
         n_trimmed.alias("n_trimmed_tokens"),
     )
+
+def decontaminate_report(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bench_text: str = "text",
+    bench_id_col: str = "bench_id",
+    n: int = 8,
+) -> DataFrame:
+    """Attribution form of decontaminate_against: (doc_id, bench_id,
+    n_shared) — WHICH benchmark item each training document overlaps,
+    and by how many distinct n-grams.  The report auditors actually
+    read ("these 40 training docs contain HumanEval problem 12"),
+    where the flag form only answers keep/drop.
+
+    Same scale shape: the benchmark's (bench_id, shingle) set is
+    metadata-scale and broadcast; a shingle appearing in several
+    benchmark items attributes to each.  One ordered pair per
+    (doc, bench item) with any overlap."""
+    from .text import ngram_array, split_words
+
+    if n < 1:
+        raise ValueError(f"n={n} must be >= 1")
+    bsh = (
+        benchmark.select(
+            F.col(bench_id_col), split_words(bench_text).alias("__ws")
+        )
+        .select(
+            F.col(bench_id_col),
+            F.explode(ngram_array(F.col("__ws"), n)).alias("__sh"),
+        )
+        .select(
+            F.col(bench_id_col),
+            F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"),
+        )
+        .distinct()
+    )
+    sh = ngram_shingles(df, text, id_col, n)
+    return (
+        sh.join(F.broadcast(bsh), "shh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

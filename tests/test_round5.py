@@ -494,3 +494,27 @@ def test_stream_neardup_two_epochs(spark, tmp_path):
         1, 2, 12
     }
     assert idx.select("epoch").distinct().count() == 2
+
+
+def test_decontaminate_report_attribution(spark):
+    from osmquadtree_rust_spark.operators.dedup import decontaminate_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa the quick brown fox jumps over the lazy dog bb"),
+            (2, "nothing matching here at all in any possible way ok"),
+            (3, "xx pack my box with five dozen liquor jugs today yy"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (200, "pack my box with five dozen liquor jugs today"),
+        ],
+        "bench_id long, text string",
+    )
+    out = decontaminate_report(docs, bench, n=8)
+    got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in out.collect()}
+    assert set(got) == {(1, 100), (3, 200)}
+    assert all(v >= 1 for v in got.values())
