@@ -143,6 +143,7 @@ def main():
         "trim_spans_corpus",
         "stratified_sample",
         "decontaminate_report",
+        "rarity_score",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

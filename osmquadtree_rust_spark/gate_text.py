@@ -3191,3 +3191,45 @@ SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
 FROM sh JOIN bsh b USING (shh)
 GROUP BY sh.doc_id, b.bench_id
 """
+
+
+# ===========================================================================
+# integer-exact rarity / unigram-surprisal score
+# (operators/text.with_rarity_score): IDF-shaped quality signal with
+# floor(log2(df))+1 computed as length(bin(df)) — no float log anywhere.
+# ===========================================================================
+
+@_register("rarity_score")
+def _rar(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.with_rarity_score(docs)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("rarity_ppm").cast("long")
+    )
+
+
+@_oracle("rarity_score")
+def _rar_o():
+    return """
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+words AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w FROM wsx
+),
+vocab AS MATERIALIZED (
+  SELECT w, COUNT(*) AS dfw
+  FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w
+),
+scored AS MATERIALIZED (
+  SELECT words.doc_id,
+         CAST(FLOOR(SUM(64 - len(bin(dfw))) * 1000000.0 / COUNT(*))
+              AS BIGINT) AS rarity_ppm
+  FROM words JOIN vocab USING (w)
+  GROUP BY words.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(s.rarity_ppm, 0) AS rarity_ppm
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""

@@ -876,3 +876,52 @@ def sample_k_per_group(
         out="sample_rk", ascending=True, salt_buckets=salt_buckets,
     )
     return out.drop("__srk_h")
+
+
+def with_rarity_score(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "rarity_ppm",
+) -> DataFrame:
+    """Integer-exact unigram-surprisal quality signal: mean per-token
+    rarity, rarity(w) = 64 - (floor(log2(df_w)) + 1) where df_w is the
+    word's corpus document frequency — the IDF-shaped score behind
+    "too-common boilerplate" and "random-garbage" filters, WITHOUT the
+    cross-engine float log this repo's determinism contract excludes:
+    floor(log2(c)) + 1 is computed as length(bin(c)), exact integer bit
+    math on both engines, and the mean is FLOOR(1e6 * sum / n) in pure
+    int64.
+
+    Shape: one explode + word-level df aggregate, then a shuffle join
+    of tokens against the vocabulary (the standard IDF join — the vocab
+    is corpus-wide, so no broadcast assumption) and a per-doc aggregate.
+    Documents with no tokens score 0.  The input is consumed twice
+    (vocabulary + scoring) — two scans at cluster scale, the usual
+    trade vs materialization."""
+    reserved = {out, "__w", "__dfw", "__rar"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    words = df.select(
+        F.col(id_col), F.explode(split_words(text)).alias("__w")
+    )
+    vocab = (
+        words.select("__w", id_col)
+        .distinct()
+        .groupBy("__w")
+        .agg(F.count("*").alias("__dfw"))
+    )
+    scored = (
+        words.join(vocab, "__w")
+        .withColumn("__rar", F.lit(64) - F.length(F.bin(F.col("__dfw"))))
+        .groupBy(id_col)
+        .agg(
+            F.floor(
+                F.sum("__rar") * 1000000 / F.count("*")
+            ).cast("long").alias(out)
+        )
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+    )

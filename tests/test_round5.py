@@ -518,3 +518,25 @@ def test_decontaminate_report_attribution(spark):
     got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in out.collect()}
     assert set(got) == {(1, 100), (3, 200)}
     assert all(v >= 1 for v in got.values())
+
+
+def test_with_rarity_score(spark):
+    from osmquadtree_rust_spark.operators.text import with_rarity_score
+
+    # 'common' appears in all 4 docs (df=4 -> rarity 64-3=61);
+    # unique words have df=1 -> rarity 64-1=63
+    docs = spark.createDataFrame(
+        [
+            (1, "common u1 u2"),
+            (2, "common u3 u4"),
+            (3, "common u5 u6"),
+            (4, "common common"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["rarity_ppm"] for r in with_rarity_score(docs).collect()}
+    # doc 1: (61 + 63 + 63)/3 = 62.333.. -> 62333333
+    assert out[1] == out[2] == out[3] == (61 + 63 + 63) * 1000000 // 3
+    assert out[4] == 61000000
+    assert out[5] == 0  # empty doc scores 0
