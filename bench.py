@@ -144,6 +144,7 @@ def main():
         "stratified_sample",
         "decontaminate_report",
         "rarity_score",
+        "curation_pipeline_v2",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

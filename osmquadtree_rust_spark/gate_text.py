@@ -3233,3 +3233,134 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(s.rarity_ppm, 0) AS rarity_ppm
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+# ===========================================================================
+# the 100th gate: the complete modern curation pipeline in ONE DAG,
+# composed from round-5 pieces — eval-set decontamination (remove) ->
+# normalize + exact-dedup keeper -> quality + integer-IDF rarity scores
+# -> keep the best 50% per source by rarity -> per-source stats.  Every
+# stage is individually gated; this pins their interaction and staging
+# order (scores computed over the DECONTAMINATED, DEDUPED corpus).
+# ===========================================================================
+
+@_register("curation_pipeline_v2")
+def _cp2(spark, sf_dir):
+    from .operators.text import split_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ws = docs.withColumn("__ws", split_words("text"))
+    bench = (
+        ws.filter((F.col("doc_id") % _DC_MOD) == 0)
+        .filter(F.size("__ws") >= 24)
+        .select(F.expr("array_join(slice(__ws, 5, 20), ' ')").alias("text"))
+    )
+    clean = D.decontaminate_against(docs, bench, n=_DC_N, mode="remove")
+    nrm = TX.with_normalized_text(clean)
+    keepers = D.dedup_exact(nrm, key="norm_text").select(
+        F.col("keeper").alias("doc_id")
+    )
+    # checkpoint the derived frames before the multi-scan stages (rarity
+    # consumes its input twice, top_frac 2+rounds times) — exactly the
+    # "persist upstream if the input is an expensive derived frame"
+    # guidance in top_frac_per_group's docstring; without it the whole
+    # decontaminate+dedup chain re-evaluates per scan (measured ~8s ->
+    # ~3s at sf0.1)
+    kept = (
+        nrm.join(keepers, "doc_id", "left_semi")
+        .drop("norm_text")
+        .localCheckpoint(eager=True)
+    )
+    scored = TX.with_rarity_score(
+        TX.with_quality_score(kept)
+    ).localCheckpoint(eager=True)
+    cut = TX.top_frac_per_group(
+        scored, group="source", order="rarity_ppm", frac_ppm=500000
+    )
+    return cut.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+        F.sum("rarity_ppm").cast("long").alias("sum_rarity"),
+        F.min("doc_id").cast("long").alias("min_kept"),
+    )
+
+
+@_oracle("curation_pipeline_v2")
+def _cp2_o():
+    shingle = f"array_to_string(ws[i+1:i+{_DC_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    norm = TS.normalize_text_sql("text")
+    q = TS.quality_score_sql("text")
+    return f"""
+WITH wsx0 AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+bench AS MATERIALIZED (
+  SELECT list_filter(string_split(array_to_string(ws[5:24], ' '), ' '),
+                     w -> len(w) > 0) AS ws
+  FROM wsx0 WHERE doc_id % {_DC_MOD} = 0 AND len(ws) >= 24
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT {shh} AS shh
+  FROM (SELECT ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM bench WHERE len(ws) >= {_DC_N}) g
+),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_DC_N - 1})) AS i
+        FROM wsx0 WHERE len(ws) >= {_DC_N}) g
+),
+contam AS MATERIALIZED (
+  SELECT DISTINCT sh.doc_id FROM sh SEMI JOIN bsh USING (shh)
+),
+clean AS MATERIALIZED (
+  SELECT w.* FROM wsx0 w ANTI JOIN contam c USING (doc_id)
+),
+keepers AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5({norm})
+),
+kept AS MATERIALIZED (
+  SELECT c.* FROM clean c SEMI JOIN keepers k USING (doc_id)
+),
+words AS MATERIALIZED (
+  SELECT doc_id, unnest(ws) AS w FROM kept
+),
+vocab AS MATERIALIZED (
+  SELECT w, COUNT(*) AS dfw
+  FROM (SELECT DISTINCT doc_id, w FROM words) GROUP BY w
+),
+rarity AS MATERIALIZED (
+  SELECT words.doc_id,
+         CAST(FLOOR(SUM(64 - len(bin(dfw))) * 1000000.0 / COUNT(*))
+              AS BIGINT) AS rarity_ppm
+  FROM words JOIN vocab USING (w)
+  GROUP BY words.doc_id
+),
+scored AS MATERIALIZED (
+  SELECT k.doc_id, k.source, CAST({q} AS BIGINT) AS quality,
+         COALESCE(r.rarity_ppm, 0) AS rarity_ppm
+  FROM kept k LEFT JOIN rarity r ON r.doc_id = k.doc_id
+),
+counts AS MATERIALIZED (
+  SELECT source, CAST(FLOOR(COUNT(*) * 500000 / 1000000) AS BIGINT) AS kg
+  FROM scored GROUP BY source
+),
+ranked AS MATERIALIZED (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.source
+                                 ORDER BY s.rarity_ppm DESC,
+                                          s.doc_id ASC) AS rk
+  FROM scored s
+),
+cut AS MATERIALIZED (
+  SELECT r.* FROM ranked r JOIN counts c
+  ON r.source = c.source AND r.rk <= c.kg
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(quality) AS BIGINT) AS sum_quality,
+       CAST(SUM(rarity_ppm) AS BIGINT) AS sum_rarity,
+       CAST(MIN(doc_id) AS BIGINT) AS min_kept
+FROM cut GROUP BY source
+"""
