@@ -223,7 +223,7 @@ def top_frac_per_group(
     ascending: bool = False,
     partition_limit: int = 65536,
     hist_buckets: int = 4096,
-    max_rounds: int = 12,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Keep the best floor(n_group * frac_ppm / 1e6) rows per group — the
     percentage form of the curation cut (top_k_per_group keeps a fixed
@@ -302,7 +302,8 @@ def top_frac_per_group(
         )
     return _top_frac_hist(
         df, group, order, int(frac_ppm), id_col, out, ascending,
-        int(partition_limit), int(hist_buckets), int(max_rounds),
+        int(partition_limit), int(hist_buckets),
+        None if max_rounds is None else int(max_rounds),
         id_integral=dtypes[id_col] in _INTEGRAL_TYPES,
     )
 
@@ -424,6 +425,14 @@ def _top_frac_hist(
         return empty.filter(F.lit(False))
 
     # ---- refinement loop: histogram pending ranges, replace by kids ----
+    # rounds needed to reach width 1: ceil(log_B(span)); span is guarded
+    # at 2^62, so the runaway guard defaults to ceil(62/log2(B)) + 3 —
+    # a B=2 histogram over a 2e9-value span legitimately takes ~31
+    # rounds (a fixed 12 was a randomized-test-found bug, r5)
+    import math
+
+    if max_rounds is None:
+        max_rounds = math.ceil(62.0 / math.log2(B)) + 3
     rounds = 0
     while pending:
         rounds += 1

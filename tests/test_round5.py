@@ -540,3 +540,42 @@ def test_with_rarity_score(spark):
     assert out[1] == out[2] == out[3] == (61 + 63 + 63) * 1000000 // 3
     assert out[4] == 61000000
     assert out[5] == 0  # empty doc scores 0
+
+
+def test_top_frac_randomized_equivalence(spark):
+    # randomized regression net over the order-statistic planner: random
+    # group shapes (hot groups, ties, negatives, nulls in both group and
+    # order), random fractions and tiny limits forcing deep refinement —
+    # output must equal the single-window form exactly, every config.
+    import random
+
+    from osmquadtree_rust_spark.operators import text as TX
+
+    for seed in range(8):
+        rng = random.Random(1000 + seed)
+        rows, i = [], 0
+        for g in [None, "a", "b", "hot"]:
+            size = rng.choice([3, 17, 40]) if g != "hot" else 600
+            # small value pools force heavy ties; wide pools force
+            # multi-round range refinement
+            pool = rng.choice([[7], [-5, 0, 7], list(range(-(10**9), 10**9, 10**8))])
+            for _ in range(size):
+                v = rng.choice(pool + [None]) if rng.random() < 0.9 else None
+                rows.append((i, g, v))
+                i += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, quality long"
+        )
+        frac = rng.choice([62000, 333333, 500000, 900000])
+        asc = rng.random() < 0.5
+        limit = rng.choice([4, 16, 64])
+        B = rng.choice([2, 4, 8])
+        got = TX.top_frac_per_group(
+            df, frac_ppm=frac, ascending=asc,
+            partition_limit=limit, hist_buckets=B,
+        )
+        exp = _tfg_brute(df, "source", "quality", frac, "doc_id", ascending=asc)
+        a = sorted((str(r["source"]), r["doc_id"], r["rk"]) for r in got.collect())
+        b = sorted((str(r["source"]), r["doc_id"], r["rk"]) for r in exp.collect())
+        assert a == b, (seed, frac, asc, limit, B, a[:5], b[:5])
