@@ -579,3 +579,65 @@ def test_top_frac_randomized_equivalence(spark):
         a = sorted((str(r["source"]), r["doc_id"], r["rk"]) for r in got.collect())
         b = sorted((str(r["source"]), r["doc_id"], r["rk"]) for r in exp.collect())
         assert a == b, (seed, frac, asc, limit, B, a[:5], b[:5])
+
+
+def _py_spans(a_words, b_words, n, min_run):
+    # pure-python reference: anchors on equal n-grams, maximal consecutive
+    # runs per diagonal
+    anchors = [
+        (i, j)
+        for i in range(len(a_words) - n + 1)
+        for j in range(len(b_words) - n + 1)
+        if a_words[i:i + n] == b_words[j:j + n]
+    ]
+    by_diag = {}
+    for i, j in anchors:
+        by_diag.setdefault(i - j, []).append(i)
+    out = []
+    for d, pas in by_diag.items():
+        pas.sort()
+        start = prev = pas[0]
+        for p in pas[1:] + [None]:
+            if p is not None and p == prev + 1:
+                prev = p
+                continue
+            run = prev - start + n
+            if run >= min_run:
+                out.append((start, start - d, run))
+            if p is not None:
+                start = prev = p
+    return sorted(out)
+
+
+def test_shared_spans_randomized(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.dedup import shared_span_pairs
+
+    n, min_run = 3, 4
+    for seed in range(6):
+        rng = random.Random(2000 + seed)
+        vocab = [f"w{k}" for k in range(rng.choice([4, 8, 20]))]
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randrange(5, 40))]
+            for i in range(1, 5)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in docs.items()],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a in docs for b in docs if a < b], "a long, b long"
+        )
+        got = sorted(
+            (r["a"], r["b"], r["a_start"], r["b_start"], r["run_len"])
+            for r in shared_span_pairs(pairs, df, n=n, min_run=min_run).collect()
+        )
+        exp = sorted(
+            (a, b, s, t, r)
+            for a in docs
+            for b in docs
+            if a < b
+            for (s, t, r) in _py_spans(docs[a], docs[b], n, min_run)
+        )
+        assert got == exp, (seed, got[:5], exp[:5])
