@@ -641,3 +641,66 @@ def test_shared_spans_randomized(spark):
             for (s, t, r) in _py_spans(docs[a], docs[b], n, min_run)
         )
         assert got == exp, (seed, got[:5], exp[:5])
+
+
+def _py_md5_prefix(s):
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_winnow_fps(words, n, window):
+    shingles = [
+        _py_md5_prefix(" ".join(words[i:i + n]))
+        for i in range(len(words) - n + 1)
+    ]
+    return {
+        min(shingles[i:i + window])
+        for i in range(len(shingles) - window + 1)
+    }
+
+
+def test_trim_shared_spans_randomized(spark):
+    # full-pipeline python reference: winnow candidates -> b-side spans
+    # -> merged intervals -> positional trim, compared exactly
+    import random
+
+    from osmquadtree_rust_spark.operators.dedup import trim_shared_spans
+
+    n, w, min_run = 3, 4, 6
+    for seed in range(5):
+        rng = random.Random(3000 + seed)
+        vocab = [f"w{k}" for k in range(rng.choice([5, 10]))]
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randrange(4, 30))]
+            for i in range(1, 6)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_trimmed_tokens"])
+            for r in trim_shared_spans(
+                df, n=n, window=w, min_run=min_run
+            ).collect()
+        }
+        # python reference
+        fps = {i: _py_winnow_fps(ws, n, w) for i, ws in docs.items()}
+        exp = {}
+        for b, bw in docs.items():
+            ivs = []
+            for a, aw in docs.items():
+                if a >= b or not (fps[a] & fps[b]):
+                    continue
+                for (a_start, b_start, run) in _py_spans(aw, bw, n, min_run):
+                    ivs.append((b_start, b_start + run))
+            if not ivs:
+                exp[b] = (" ".join(bw), 0)
+                continue
+            covered = set()
+            for lo, hi in ivs:
+                covered.update(range(lo, hi))
+            kept = [wd for p, wd in enumerate(bw) if p not in covered]
+            exp[b] = (" ".join(kept), len(bw) - len(kept))
+        assert got == exp, (seed, got, exp)
