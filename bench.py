@@ -145,6 +145,7 @@ def main():
         "decontaminate_report",
         "rarity_score",
         "curation_pipeline_v2",
+        "distinct_kmv",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

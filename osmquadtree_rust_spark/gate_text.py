@@ -3364,3 +3364,66 @@ SELECT source,
        CAST(MIN(doc_id) AS BIGINT) AS min_kept
 FROM cut GROUP BY source
 """
+
+
+# ===========================================================================
+# deterministic distinct-count sketch (operators/sketch.approx_distinct_kmv):
+# KMV bottom-k over the shared salted md5-prefix hash — per-source
+# distinct-word estimates reproducible across engines (HLL never is).
+# ===========================================================================
+
+_KMV_K = 64
+_KMV_SALT = "kmv-v1"
+
+
+@_register("distinct_kmv")
+def _kmv(spark, sf_dir):
+    from .operators.sketch import approx_distinct_kmv
+    from .operators.text import split_words
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    words = docs.select(
+        "source", F.explode(split_words("text")).alias("word")
+    )
+    out = approx_distinct_kmv(
+        words, "word", k=_KMV_K, group="source", salt=_KMV_SALT
+    )
+    return out.select(
+        "source",
+        F.col("distinct_est").cast("long"),
+        F.col("is_exact"),
+        F.col("sketch_k").cast("long"),
+    )
+
+
+@_oracle("distinct_kmv")
+def _kmv_o():
+    h = TS.md5_prefix_int_sql(
+        f"concat('{_KMV_SALT}', ':', CAST(word AS STRING))", TS.DUCKDB
+    )
+    scale = repr(float((_KMV_K - 1) * (1 << 60)))
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT source, unnest(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) AS word
+  FROM documents
+),
+hashed AS MATERIALIZED (
+  SELECT DISTINCT source, {h} AS h FROM words
+),
+ranked AS MATERIALIZED (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM hashed
+),
+bottom AS MATERIALIZED (
+  SELECT source, h FROM ranked WHERE rk <= {_KMV_K}
+)
+SELECT source,
+       CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+            ELSE CAST(FLOOR({scale} / CAST(MAX(h) AS DOUBLE)) AS BIGINT)
+       END AS distinct_est,
+       COUNT(*) < {_KMV_K} AS is_exact,
+       CAST({_KMV_K} AS BIGINT) AS sketch_k
+FROM bottom GROUP BY source
+"""

@@ -190,3 +190,72 @@ buckets AS MATERIALIZED ({arms.replace('FROM words', 'FROM filtered')})
 SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM buckets GROUP BY d, bucket
 """
+
+
+def approx_distinct_kmv(
+    df: DataFrame,
+    col: str,
+    k: int = 256,
+    group: str | None = None,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Deterministic cross-engine distinct-count estimate — the KMV
+    (k-minimum-values / bottom-k) sketch: keep the k smallest DISTINCT
+    salted 60-bit hashes of the column; with h_k the k-th smallest,
+    estimate = FLOOR((k-1) * 2^60 / h_k).  EXACT (flagged) whenever
+    fewer than k distinct values exist.
+
+    Why not approx_count_distinct: Spark's HLL++ register layout is
+    engine-specific and not reproducible in DuckDB, so it can never be
+    gate-verified; KMV is a pure function of the shared md5-prefix hash
+    — both engines compute the identical estimate.  The float step is
+    mul/div/floor of identical operands only ((k-1)*2^60 is exact in
+    double — 9 significant bits — and IEEE division is correctly
+    rounded), inside this repo's determinism contract.
+
+    Scale shape: distinct (group, hash) pairs -> the salted skew-safe
+    top-k per group ranked by hash ascending (a bottom-k of a union is
+    the bottom-k of bottom-ks, the same mergeability HLL offers) -> one
+    k-row-per-group aggregate.  Returns (group?, distinct_est,
+    is_exact, sketch_k)."""
+    from .text import top_k_per_group
+
+    if k < 2:
+        raise ValueError(f"k={k} must be >= 2")
+    if "'" in salt or "\\" in salt:
+        raise ValueError(f"salt {salt!r} must not contain quotes/backslashes")
+    h = TS.md5_prefix_int_sql(
+        f"concat('{salt}', ':', CAST({col} AS STRING))", TS.SPARK
+    )
+    gcols = [group] if group else []
+    hashes = (
+        df.select(*gcols, F.expr(h).alias("__kmvh"))
+        .distinct()
+    )
+    if group:
+        bottom = top_k_per_group(
+            hashes, group=group, order="__kmvh", k=k, id_col="__kmvh",
+            out="__kmvrk", ascending=True,
+        )
+    else:
+        bottom = (
+            hashes.orderBy("__kmvh").limit(k)
+            .withColumn("__kmvrk", F.lit(0))
+        )
+    est = (
+        F.floor(
+            F.lit(float((k - 1) * (1 << 60)))
+            / F.max("__kmvh").cast("double")
+        ).cast("long")
+    )
+    agg = bottom.groupBy(*gcols).agg(
+        F.count("*").alias("__seen"),
+        F.when(F.count("*") < k, F.count("*").cast("long"))
+        .otherwise(est)
+        .alias("distinct_est"),
+        (F.count("*") < k).alias("is_exact"),
+    )
+    return agg.select(
+        *gcols, "distinct_est", "is_exact",
+        F.lit(int(k)).cast("long").alias("sketch_k"),
+    )

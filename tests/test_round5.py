@@ -704,3 +704,32 @@ def test_trim_shared_spans_randomized(spark):
             kept = [wd for p, wd in enumerate(bw) if p not in covered]
             exp[b] = (" ".join(kept), len(bw) - len(kept))
         assert got == exp, (seed, got, exp)
+
+
+def test_approx_distinct_kmv(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.sketch import approx_distinct_kmv
+
+    rng = random.Random(9)
+    df = spark.createDataFrame(
+        [(i, f"v{rng.randrange(3000)}") for i in range(20000)],
+        "id long, val string",
+    )
+    true = df.select("val").distinct().count()
+    r = approx_distinct_kmv(df, "val", k=256).collect()[0]
+    assert not r["is_exact"]
+    # KMV standard error ~ 1/sqrt(k) ~ 6.3%; allow 4 sigma
+    assert abs(r["distinct_est"] - true) / true < 0.25
+    # exact below k, including the boundary semantics
+    small = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(50)], "id long, val string"
+    )
+    r = approx_distinct_kmv(small, "val", k=64).collect()[0]
+    assert r["is_exact"] and r["distinct_est"] == 7
+    # determinism: estimate is invariant to input partitioning
+    a = approx_distinct_kmv(df.repartition(3), "val", k=256).collect()[0]
+    b = approx_distinct_kmv(df.repartition(17), "val", k=256).collect()[0]
+    assert a["distinct_est"] == b["distinct_est"]
+    with pytest.raises(ValueError, match="k="):
+        approx_distinct_kmv(df, "val", k=1)
