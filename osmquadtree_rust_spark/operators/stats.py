@@ -18,13 +18,41 @@ def group_quantiles(
     group: str,
     value: str,
     id_col: str,
+    partition_limit: int = 65536,
+    hist_buckets: int = 4096,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Per-group (n, min, max, median_x2, p90) of an integer column.
 
     median_x2 = value[(n+1)//2] + value[(n+2)//2] (1-indexed ranks) — the
     doubled median is an exact integer for both parities; p90 is
-    percentile_disc(0.9): the value at rank ceil(0.9 * n).  Ties broken
-    by id for full determinism."""
+    percentile_disc(0.9): the value at rank ceil(0.9 * n).
+
+    Scale shape (r5 — preempting the top_frac_per_group pathology): the
+    former single window partitioned by `group` sorted a hot group on
+    ONE task; integral value columns now take the order-statistic path
+    (_gq_hist: driver histogram refinement of only the ranges containing
+    a target rank, aggregate-only scans, a bounded fetch of at most
+    `partition_limit` rows per remaining target).  Rank-r VALUES are
+    tie-insensitive, so unlike top_frac no id machinery is needed and
+    massive ties resolve instantly at width 1; `id_col` only matters on
+    the non-integral fallback path (_gq_window), where it keeps the
+    legacy window deterministic."""
+    if dict(df.dtypes)[value] in _INTEGRAL_TYPES:
+        return _gq_hist(
+            df, group, value, int(partition_limit), int(hist_buckets),
+            None if max_rounds is None else int(max_rounds),
+        )
+    return _gq_window(df, group, value, id_col)
+
+
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _gq_window(df, group, value, id_col):
+    """Legacy single-window form (kept as the non-integral fallback —
+    a hot group sorts on one task; integral value columns take the
+    order-statistic path in group_quantiles instead)."""
     w = Window.partitionBy(group).orderBy(F.col(value), F.col(id_col))
     ranked = df.select(
         F.col(group),
@@ -49,3 +77,200 @@ def group_quantiles(
         "median_x2",
         F.when(F.col("n") % 2 == 1, F.col("__mraw") * 2).otherwise(F.col("__mraw")),
     ).select(group, "n", "vmin", "vmax", "median_x2", "p90")
+
+
+def _gq_hist(df, group, value, limit, B, max_rounds):
+    """Order-statistic quantiles (r5 — the same driver-histogram design
+    as top_frac_per_group, PLANS.md §22, but strictly simpler: only the
+    VALUES at three target ranks per group are needed, rank-r values are
+    tie-insensitive so width-1 ranges resolve immediately with no id
+    sub-bucketing, and only ranges CONTAINING an unresolved target ever
+    refine).  Aggregate-only scans; the final fetch reads at most
+    `limit` rows per remaining target; the per-group result is
+    assembled on the driver (metadata-scale, like every stats output).
+
+    NULL values rank first (the legacy window's asc_nulls_first order);
+    a target rank landing inside the nulls yields NULL."""
+    import math
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    gtype = df.schema[group].dataType
+    if max_rounds is None:
+        max_rounds = math.ceil(62.0 / math.log2(B)) + 3
+    stats = df.groupBy(group).agg(
+        F.count("*").alias("__n"),
+        F.count(value).alias("__nn"),
+        F.min(value).alias("__mn"),
+        F.max(value).alias("__mx"),
+    ).collect()
+
+    nid_counter = [0]
+
+    def new_nid():
+        nid_counter[0] += 1
+        return nid_counter[0]
+
+    # every rank below is NON-NULL-relative (rank among non-null values,
+    # ascending); the assembly step translates original ranks: a target
+    # rank t <= null_count resolves to NULL (asc_nulls_first), else to
+    # resolved[(gidx, t - null_count)]
+    resolved = {}   # (gidx, nonnull_rank) -> value
+    fetch = {}      # nid -> node dict (count <= limit, has targets)
+    pending = []    # nodes to histogram this round
+    groups = []     # (gidx, gval, n, nn, mn, mx)
+
+    for gidx, r in enumerate(stats):
+        gval, n, nn = r[0], r["__n"], r["__nn"]
+        lo = (n + 1) // 2
+        hi = (n + 2) // 2
+        p90 = -(-9 * n // 10)
+        groups.append((gidx, gval, n, nn, r["__mn"], r["__mx"]))
+        nc = n - nn
+        live = sorted({t - nc for t in (lo, hi, p90) if t > nc})
+        if not live:
+            continue
+        node = {
+            "nid": new_nid(), "gidx": gidx, "g": gval,
+            "lo": r["__mn"], "hi": r["__mx"] + 1, "count": nn,
+            "off": 0, "targets": live,
+        }
+        _gq_route(node, resolved, fetch, pending, limit)
+
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"group_quantiles did not converge in {max_rounds} rounds"
+            )
+        for p in pending:
+            p["w"] = -(-(p["hi"] - p["lo"]) // B)
+        rng_schema = StructType([
+            StructField("__rg", gtype),
+            StructField("__rnid", LongType()),
+            StructField("__rlo", LongType()),
+            StructField("__rhi", LongType()),
+            StructField("__rw", LongType()),
+        ])
+        rng = spark.createDataFrame(
+            [(p["g"], p["nid"], p["lo"], p["hi"], p["w"]) for p in pending],
+            rng_schema,
+        )
+        cnts = (
+            df.join(
+                F.broadcast(rng),
+                F.col(group).eqNullSafe(F.col("__rg"))
+                & (F.col(value) >= F.col("__rlo"))
+                & (F.col(value) < F.col("__rhi")),
+            )
+            .groupBy(
+                "__rnid",
+                F.expr(f"CAST((({value}) - __rlo) DIV __rw AS BIGINT)").alias(
+                    "__rb"
+                ),
+            )
+            .count()
+            .collect()
+        )
+        by_node = {}
+        for row in cnts:
+            by_node.setdefault(row["__rnid"], {})[row["__rb"]] = row["count"]
+        prev, pending = pending, []
+        for node in prev:
+            slots = by_node.get(node["nid"], {})
+            running = node["off"]
+            for b in sorted(slots):
+                c = slots[b]
+                clo = node["lo"] + b * node["w"]
+                child = {
+                    "nid": new_nid(), "gidx": node["gidx"], "g": node["g"],
+                    "lo": clo, "hi": min(clo + node["w"], node["hi"]),
+                    "count": c, "off": running,
+                    "targets": [
+                        t for t in node["targets"]
+                        if running < t <= running + c
+                    ],
+                }
+                running += c
+                if child["targets"]:
+                    _gq_route(child, resolved, fetch, pending, limit)
+            if running != node["off"] + node["count"]:
+                raise RuntimeError(
+                    f"histogram counts for node {node['nid']} drifted — "
+                    f"input changed between scans?"
+                )
+
+    if fetch:
+        f_schema = StructType([
+            StructField("__rg", gtype),
+            StructField("__rnid", LongType()),
+            StructField("__rlo", LongType()),
+            StructField("__rhi", LongType()),
+        ])
+        fdf = spark.createDataFrame(
+            [(p["g"], p["nid"], p["lo"], p["hi"]) for p in fetch.values()],
+            f_schema,
+        )
+        w = Window.partitionBy("__rnid").orderBy(F.col("__v"))
+        picked = (
+            df.join(
+                F.broadcast(fdf),
+                F.col(group).eqNullSafe(F.col("__rg"))
+                & (F.col(value) >= F.col("__rlo"))
+                & (F.col(value) < F.col("__rhi")),
+            )
+            .select("__rnid", F.col(value).alias("__v"))
+            .withColumn("__rn", F.row_number().over(w))
+            .collect()
+        )
+        by_nid = {}
+        for row in picked:
+            by_nid.setdefault(row["__rnid"], {})[row["__rn"]] = row["__v"]
+        for nid, node in fetch.items():
+            vals = by_nid.get(nid, {})
+            for t in node["targets"]:
+                resolved[(node["gidx"], t)] = vals[t - node["off"]]
+
+    out_rows = []
+    for gidx, gval, n, nn, mn, mx in groups:
+        nc = n - nn
+
+        def val(t):
+            return None if t <= nc else resolved[(gidx, t - nc)]
+
+        lo = (n + 1) // 2
+        hi = (n + 2) // 2
+        p90 = -(-9 * n // 10)
+        vlo, vhi, vp90 = val(lo), val(hi), val(p90)
+        if vlo is None or vhi is None:
+            mx2 = None
+        elif n % 2 == 1:
+            mx2 = 2 * vlo
+        else:
+            mx2 = vlo + vhi
+        out_rows.append((gval, n, mn, mx, mx2, vp90))
+    schema = StructType([
+        StructField(group, gtype),
+        StructField("n", LongType()),
+        StructField("vmin", LongType()),
+        StructField("vmax", LongType()),
+        StructField("median_x2", LongType()),
+        StructField("p90", LongType()),
+    ])
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _gq_route(node, resolved, fetch, pending, limit):
+    """Resolve / fetch / refine a node that contains target ranks (all
+    ranks non-null-relative)."""
+    if node["hi"] - node["lo"] == 1:
+        # a single-value range: the rank-r value is that value, ties or
+        # not — quantile values never need an id tie-break
+        for t in node["targets"]:
+            resolved[(node["gidx"], t)] = node["lo"]
+    elif node["count"] <= limit:
+        fetch[node["nid"]] = node
+    else:
+        pending.append(node)

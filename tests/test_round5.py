@@ -733,3 +733,44 @@ def test_approx_distinct_kmv(spark):
     assert a["distinct_est"] == b["distinct_est"]
     with pytest.raises(ValueError, match="k="):
         approx_distinct_kmv(df, "val", k=1)
+
+
+def test_group_quantiles_hist_equivalence(spark):
+    # r5: group_quantiles had the same hot-group single-task sort as the
+    # old top_frac; integral values now take the order-statistic path.
+    # Randomized configs (hot group, all-tie pools, wide spans, tiny
+    # limits) must match the legacy window form exactly.
+    import random
+
+    from osmquadtree_rust_spark.operators.stats import (
+        _gq_window,
+        group_quantiles,
+    )
+
+    for seed in range(5):
+        rng = random.Random(500 + seed)
+        rows, i = [], 0
+        for g in ["hot", "a", "b", None]:
+            size = 2000 if g == "hot" else rng.choice([1, 7, 50])
+            pool = rng.choice(
+                [[7], [-5, 0, 7, 9], list(range(-(10**9), 10**9, 10**8))]
+            )
+            for _ in range(size):
+                rows.append((i, g, rng.choice(pool)))
+                i += 1
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "doc_id long, source string, v long")
+        lim = rng.choice([4, 32, 512])
+        B = rng.choice([2, 8, 64])
+        got = sorted(
+            map(tuple, group_quantiles(
+                df, "source", "v", "doc_id",
+                partition_limit=lim, hist_buckets=B,
+            ).collect()),
+            key=str,
+        )
+        exp = sorted(
+            map(tuple, _gq_window(df, "source", "v", "doc_id").collect()),
+            key=str,
+        )
+        assert got == exp, (seed, lim, B, got, exp)
