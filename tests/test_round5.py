@@ -774,3 +774,61 @@ def test_group_quantiles_hist_equivalence(spark):
             key=str,
         )
         assert got == exp, (seed, lim, B, got, exp)
+
+
+def test_incremental_neardup_randomized(spark):
+    # python reference of the full decision: winnow fp sets per doc,
+    # fp-Jaccard cross losers (vs index) + intra losers (higher id)
+    import random
+
+    from osmquadtree_rust_spark.operators import incremental as INC
+    from osmquadtree_rust_spark.operators.dedup import winnow_fingerprints
+
+    n, w, T = 3, 4, 300000
+    for seed in range(4):
+        rng = random.Random(4000 + seed)
+        vocab = [f"w{k}" for k in range(rng.choice([6, 12]))]
+        base = {
+            i: [rng.choice(vocab) for _ in range(rng.randrange(6, 25))]
+            for i in range(1, 4)
+        }
+        delta = {
+            i: [rng.choice(vocab) for _ in range(rng.randrange(6, 25))]
+            for i in range(10, 15)
+        }
+        bdf = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in base.items()],
+            "doc_id long, text string",
+        )
+        ddf = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in delta.items()],
+            "doc_id long, text string",
+        )
+        idx = winnow_fingerprints(bdf, n=n, window=w)
+        surv, sfps = INC.incremental_neardup(
+            ddf, idx, n=n, window=w, threshold_ppm=T
+        )
+        got = sorted(r["doc_id"] for r in surv.collect())
+        # python reference
+        bfp = {i: _py_winnow_fps(ws, n, w) for i, ws in base.items()}
+        dfp = {i: _py_winnow_fps(ws, n, w) for i, ws in delta.items()}
+
+        def jacc_ok(s1, s2):
+            if not s1 or not s2:
+                return False
+            inter = len(s1 & s2)
+            return inter * 1000000 >= T * (len(s1) + len(s2) - inter)
+
+        losers = set()
+        for d, ds in dfp.items():
+            if any(jacc_ok(ds, bs) for bs in bfp.values()):
+                losers.add(d)
+        for a in dfp:
+            for b in dfp:
+                if a < b and jacc_ok(dfp[a], dfp[b]):
+                    losers.add(b)
+        exp = sorted(i for i in delta if i not in losers)
+        assert got == exp, (seed, got, exp)
+        # appended fingerprints cover exactly the survivors with fps
+        sfp_ids = {r["doc_id"] for r in sfps.select("doc_id").distinct().collect()}
+        assert sfp_ids == {i for i in exp if dfp[i]}
