@@ -152,3 +152,42 @@ def incremental_neardup(
     dfps.unpersist()
     survivors = delta.join(losers, id_col, "left_anti")
     return survivors, survivor_fps
+
+
+def compact_fp_index(spark, base: str, into_epoch: int | None = None) -> int:
+    """Squash all index epochs into one — the fingerprint-index twin of
+    the snapshot log's squash (plans/checkpoint.squash_snapshots, after
+    the reference's filelist compaction): per-batch streaming appends
+    grow the epoch list linearly, and every delta read scans all of
+    them, so periodic compaction keeps the read path at one directory.
+
+    Writes the union of all (doc_id, fp) rows as `into_epoch` (default:
+    max existing epoch + 1), then deletes the old epoch directories via
+    the Hadoop FileSystem API (cluster URIs clean up like local paths —
+    the r4 lesson from connected_components).  The write is staged
+    BEFORE any delete, so a crash mid-compaction leaves a readable
+    (over-complete, fp rows duplicated across the survivor and stale
+    epochs) index rather than a hole; rerunning compaction converges
+    because the union is distinct-free by construction per doc.
+    Returns the compacted epoch id."""
+    from .. import fsio
+
+    idx = read_fp_index(spark, base)
+    epochs = sorted(
+        r["epoch"] for r in idx.select("epoch").distinct().collect()
+    )
+    if not epochs:
+        raise ValueError(f"no index epochs under {base}")
+    if into_epoch is None:
+        into_epoch = max(epochs) + 1
+    if into_epoch in epochs:
+        raise ValueError(
+            f"into_epoch={into_epoch} already exists; compaction must "
+            f"write a FRESH epoch (stage-then-delete crash safety)"
+        )
+    write_fp_index(
+        idx.select("doc_id", "fp").distinct(), base, into_epoch
+    )
+    for e in epochs:
+        fsio.rmtree_any(f"{base}/epoch={e}", spark)
+    return int(into_epoch)

@@ -832,3 +832,27 @@ def test_incremental_neardup_randomized(spark):
         # appended fingerprints cover exactly the survivors with fps
         sfp_ids = {r["doc_id"] for r in sfps.select("doc_id").distinct().collect()}
         assert sfp_ids == {i for i in exp if dfp[i]}
+
+
+def test_compact_fp_index(spark, tmp_path):
+    from osmquadtree_rust_spark.operators import incremental as INC
+
+    idx_dir = str(tmp_path / "fpidx")
+    for e, rows in enumerate([[(1, 10), (1, 11)], [(2, 20)], [(3, 10)]]):
+        INC.write_fp_index(
+            spark.createDataFrame(rows, "doc_id long, fp long"), idx_dir, e
+        )
+    new_epoch = INC.compact_fp_index(spark, idx_dir)
+    assert new_epoch == 3
+    idx = INC.read_fp_index(spark, idx_dir)
+    assert sorted(set(r["epoch"] for r in idx.collect())) == [3]
+    got = sorted((r["doc_id"], r["fp"]) for r in idx.collect())
+    assert got == [(1, 10), (1, 11), (2, 20), (3, 10)]
+    # the compacted index still drives dedup decisions
+    delta = spark.createDataFrame(
+        [(99, "irrelevant text")], "doc_id long, text string"
+    )
+    surv, _ = INC.incremental_neardup(delta, idx, n=3, window=4)
+    assert surv.count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        INC.compact_fp_index(spark, idx_dir, into_epoch=3)
