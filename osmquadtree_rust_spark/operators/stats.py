@@ -126,6 +126,15 @@ def _gq_hist(df, group, value, limit, B, max_rounds):
         lo = (n + 1) // 2
         hi = (n + 2) // 2
         p90 = -(-9 * n // 10)
+        # same order-span guard as top_frac_per_group (text.py): a group
+        # spanning >= 2^62 overflows the bigint bucket arithmetic
+        # ((value - __rlo) DIV __rw) — fail loudly instead of wrong
+        # buckets / ANSI cast errors (r5 ADVICE)
+        if nn > 0 and r["__mx"] - r["__mn"] >= 1 << 62:
+            raise ValueError(
+                f"order span [{r['__mn']}, {r['__mx']}] too wide for "
+                f"exact integer bucket arithmetic (>= 2^62)"
+            )
         groups.append((gidx, gval, n, nn, r["__mn"], r["__mx"]))
         nc = n - nn
         live = sorted({t - nc for t in (lo, hi, p90) if t > nc})

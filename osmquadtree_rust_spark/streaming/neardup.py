@@ -12,17 +12,36 @@ Exactly-once contract (the standard foreachBatch idempotence shape, same
 family as ingest.apply_change_batch): both the survivors epoch directory
 and the index epoch directory are written with mode=overwrite keyed by
 the stream's epoch id, so a retried epoch rewrites the identical data
-instead of double-appending.  Paths follow ingest.py's local-filesystem
-convention for the sandbox; swap the existence checks to fsio for
-cluster URIs.
+instead of double-appending.  Crucially the index read EXCLUDES epochs
+>= the current epoch_id: a retry after a crash between the index write
+and the checkpoint commit would otherwise read the batch's OWN partial
+epoch, self-match every document at Jaccard 1.0, and overwrite both
+directories with empty data (the r5 ADVICE finding) — filtering on the
+stored epoch column makes the retry read exactly the state the first
+attempt saw.  incremental_neardup's a != b guard backstops ad-hoc
+callers that skip the filter.
+
+All path handling routes through fsio (Hadoop FileSystem API), so
+checkpoint, survivors and index directories work on cluster URIs
+(hdfs://, s3a://) exactly like local paths.
 """
 
 from __future__ import annotations
 
-import glob
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsio
+
+
+def _index_epochs_exist(index_dir: str, spark) -> bool:
+    """True when at least one `epoch=*` child directory exists — via the
+    Hadoop FS listing (returns [] for a missing dir), never driver-local
+    glob, so cluster URIs behave like local paths."""
+    return any(
+        c["name"].startswith("epoch=")
+        for c in fsio.list_dir_any(index_dir, spark)
+    )
 
 
 def apply_neardup_batch(
@@ -36,24 +55,31 @@ def apply_neardup_batch(
     fp_df_cap: int | None = None,
 ):
     """Build the foreachBatch function: dedup the micro-batch against
-    the current index, write survivors + the new fingerprint epoch."""
+    the index state PRIOR to this epoch (epoch < epoch_id — the retry
+    contract above), write survivors + the new fingerprint epoch."""
     from ..operators import incremental as INC
 
     def on_batch(batch: DataFrame, epoch_id: int):
         spark = batch.sparkSession
-        if glob.glob(os.path.join(index_dir, "epoch=*")):
-            idx = INC.read_fp_index(spark, index_dir).select(id_col, "fp")
+        if _index_epochs_exist(index_dir, spark):
+            idx = (
+                INC.read_fp_index(spark, index_dir)
+                .filter(F.col("epoch") < F.lit(int(epoch_id)))
+                .select(F.col("doc_id").alias(id_col), "fp", "sz")
+            )
         else:
             idx = spark.createDataFrame(
-                [], f"{id_col} long, fp long"
+                [], f"{id_col} long, fp long, sz long"
             )
         surv, sfps = INC.incremental_neardup(
             batch, idx, text, id_col, n, window, threshold_ppm, fp_df_cap
         )
         surv.write.mode("overwrite").parquet(
-            os.path.join(survivors_dir, f"epoch={epoch_id}")
+            f"{survivors_dir}/epoch={epoch_id}"
         )
-        INC.write_fp_index(sfps, index_dir, epoch_id, mode="overwrite")
+        INC.write_fp_index(
+            sfps, index_dir, epoch_id, mode="overwrite", id_col=id_col
+        )
 
     return on_batch
 
@@ -85,5 +111,5 @@ def stream_neardup(
 def read_survivors(spark: SparkSession, survivors_dir: str) -> DataFrame:
     """All surviving documents across epochs (with the epoch column)."""
     return spark.read.option("basePath", survivors_dir).parquet(
-        os.path.join(survivors_dir, "epoch=*")
+        f"{survivors_dir}/epoch=*"
     )

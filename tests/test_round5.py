@@ -842,12 +842,16 @@ def test_compact_fp_index(spark, tmp_path):
         INC.write_fp_index(
             spark.createDataFrame(rows, "doc_id long, fp long"), idx_dir, e
         )
+    # compacted epochs live in the NEGATIVE keyspace — a streaming
+    # checkpoint's monotonically increasing epoch_id can never collide
+    # with them (r5 ADVICE: max+1 was silently overwritten by the next
+    # micro-batch's idempotent overwrite)
     new_epoch = INC.compact_fp_index(spark, idx_dir)
-    assert new_epoch == 3
+    assert new_epoch == -1
     idx = INC.read_fp_index(spark, idx_dir)
-    assert sorted(set(r["epoch"] for r in idx.collect())) == [3]
-    got = sorted((r["doc_id"], r["fp"]) for r in idx.collect())
-    assert got == [(1, 10), (1, 11), (2, 20), (3, 10)]
+    assert sorted(set(r["epoch"] for r in idx.collect())) == [-1]
+    got = sorted((r["doc_id"], r["fp"], r["sz"]) for r in idx.collect())
+    assert got == [(1, 10, 2), (1, 11, 2), (2, 20, 1), (3, 10, 1)]
     # the compacted index still drives dedup decisions
     delta = spark.createDataFrame(
         [(99, "irrelevant text")], "doc_id long, text string"
@@ -855,4 +859,6 @@ def test_compact_fp_index(spark, tmp_path):
     surv, _ = INC.incremental_neardup(delta, idx, n=3, window=4)
     assert surv.count() == 1
     with pytest.raises(ValueError, match="already exists"):
-        INC.compact_fp_index(spark, idx_dir, into_epoch=3)
+        INC.compact_fp_index(spark, idx_dir, into_epoch=-1)
+    # a second compaction descends further into the negative keyspace
+    assert INC.compact_fp_index(spark, idx_dir) == -2
