@@ -129,6 +129,75 @@ def normalize_text_sql(text: str) -> str:
     return f"trim({s3})"
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (r6): regex scrub of emails / SSNs / phones / IPv4s.
+#
+# Cross-engine regex discipline (the bpe_token_count_sql class): explicit
+# ASCII character classes only — no \d/\w/\s shorthand (Unicode-scope
+# differences), no \b (Java is Unicode-word-aware, RE2 is ASCII), no
+# lookaround or backreferences (RE2 has neither).  Greedy quantifiers and
+# alternation are leftmost-first in BOTH Java regex and RE2's Perl mode,
+# so match extents agree.  Patterns apply IN ORDER, each to the output of
+# the previous redaction — counts are per-step, so overlapping pattern
+# families never double-count.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def _pii_lit(pat: str, dialect: str) -> str:
+    """Regex pattern as a SQL string literal body: Spark literals process
+    backslash escapes (double them so the regex engine sees \\.); DuckDB
+    follows the SQL standard (backslash is literal)."""
+    if "'" in pat:
+        raise ValueError("PII patterns must not contain single quotes")
+    return pat.replace("\\", "\\\\") if dialect == SPARK else pat
+
+
+def _pii_patterns(patterns):
+    pats = PII_PATTERNS if patterns is None else list(patterns)
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    return pats
+
+
+def redact_pii_sql(text: str, dialect: str, patterns=None) -> str:
+    """The redacted text: patterns replaced by their tokens, applied in
+    order (nested regexp_replace — Spark's 3-arg form is global; DuckDB
+    needs the 'g' option)."""
+    cur = text
+    for _name, pat, tok in _pii_patterns(patterns):
+        p = _pii_lit(pat, dialect)
+        if dialect == SPARK:
+            cur = f"regexp_replace({cur}, '{p}', '{tok}')"
+        else:
+            cur = f"regexp_replace({cur}, '{p}', '{tok}', 'g')"
+    return cur
+
+
+def pii_count_sql(text: str, dialect: str, patterns=None) -> str:
+    """Total number of redacted matches (BIGINT): each pattern counted on
+    the text AFTER all earlier patterns were redacted — the same
+    left-to-right pipeline as redact_pii_sql, so count k is exactly the
+    number of <token-k> insertions."""
+    terms = []
+    cur = text
+    for _name, pat, tok in _pii_patterns(patterns):
+        p = _pii_lit(pat, dialect)
+        if dialect == SPARK:
+            terms.append(f"regexp_count({cur}, '{p}')")
+            cur = f"regexp_replace({cur}, '{p}', '{tok}')"
+        else:
+            terms.append(f"len(regexp_extract_all({cur}, '{p}'))")
+            cur = f"regexp_replace({cur}, '{p}', '{tok}', 'g')"
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
 MINHASH_P = 2147483647
 # (a, b) pairs for the universal-hash family h_k(x) = (a*x + b) mod p
 MINHASH_COEFFS = [

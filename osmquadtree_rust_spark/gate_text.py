@@ -2581,6 +2581,15 @@ GROUP BY sh.doc_id
 # ===========================================================================
 
 _SSP_MIN_RUN = 8
+# every-doc boilerplate footer for the capped span gates: 8 words =
+# n + window - 1, so the footer GUARANTEES winnow fingerprints shared by
+# every document (df = n_docs) — exactly the hot-fingerprint fan-out
+# fp_df_cap exists to bound.  With the cap, footer fps drop from the
+# candidate join (bounded fan-out); the doubled pairs still connect via
+# their unique-text df=2 fingerprints, and span extraction (exact on
+# surviving pairs) still reports the footer run itself.
+_SSP_FOOTER = "fb0 fb1 fb2 fb3 fb4 fb5 fb6 fb7"
+_SSP_CAP = 2
 
 
 @_register("shared_spans")
@@ -2693,6 +2702,8 @@ _INC_T = 300000
 
 @_register("incremental_neardup")
 def _inc(spark, sf_dir):
+    from pyspark.sql import Window
+
     from .operators import incremental as INC
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2704,7 +2715,12 @@ def _inc(spark, sf_dir):
         ),
     )
     delta = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
-    index = D.winnow_fingerprints(base, n=_WIN_N, window=_WIN_W)
+    # the index carries stored per-doc fingerprint counts, exactly as
+    # write_fp_index persists them — the gate drives the r6 stored-size
+    # (window-free) index path, not the legacy bare-(id, fp) fallback
+    index = D.winnow_fingerprints(base, n=_WIN_N, window=_WIN_W).withColumn(
+        "sz", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     surv, _fps = INC.incremental_neardup(
         delta, index, n=_WIN_N, window=_WIN_W, threshold_ppm=_INC_T
     )
@@ -2785,6 +2801,92 @@ FROM delta d ANTI JOIN losers l USING (doc_id)
 
 
 # ===========================================================================
+# fingerprint-index compaction round-trip (operators/incremental.
+# compact_fp_index): write two epochs (even docs / odd docs), squash
+# into the negative-keyspace compacted epoch, read back.  The oracle
+# recomputes every doc's winnow fingerprint set and size from scratch —
+# so the gate checks the distinct-union content AND the stored-sz
+# invariant (sz == the doc's row count) after compaction.
+# ===========================================================================
+
+@_register("compact_fp_index")
+def _cfpi(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from .operators import incremental as INC
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="gate_cfpi_")
+    try:
+        for epoch, par in ((0, 0), (1, 1)):
+            fps = D.winnow_fingerprints(
+                docs.filter(F.col("doc_id") % 2 == par),
+                n=_WIN_N, window=_WIN_W,
+            )
+            INC.write_fp_index(fps, base, epoch)
+        compacted = INC.compact_fp_index(spark, base)
+        idx = INC.read_fp_index(spark, base)
+        return (
+            idx.agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("sz").alias("sum_sz"),
+                F.sum(F.col("fp") % 1000003).alias("sum_fpmod"),
+                F.min("epoch").cast("long").alias("min_epoch"),
+                F.max("epoch").cast("long").alias("max_epoch"),
+            )
+            .select(
+                F.col("n_rows").cast("long"),
+                F.col("n_docs").cast("long"),
+                F.col("sum_sz").cast("long"),
+                F.col("sum_fpmod").cast("long"),
+                "min_epoch",
+                "max_epoch",
+                F.lit(int(compacted)).cast("long").alias("compacted_epoch"),
+            )
+            .localCheckpoint(eager=True)  # survive the rmtree below
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@_oracle("compact_fp_index")
+def _cfpi_o():
+    shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
+    shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+shp AS MATERIALIZED (
+  SELECT doc_id, i AS pos, {shh} AS shh
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - {_WIN_N - 1})) AS i
+        FROM wsx WHERE len(ws) >= {_WIN_N}) g
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos,
+           MIN(shh) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS cnt
+    FROM shp
+  ) WHERE pos <= cnt - {_WIN_W}
+),
+sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(s.sz) AS BIGINT) AS sum_sz,
+       CAST(SUM(f.fp % 1000003) AS BIGINT) AS sum_fpmod,
+       CAST(-1 AS BIGINT) AS min_epoch,
+       CAST(-1 AS BIGINT) AS max_epoch,
+       CAST(-1 AS BIGINT) AS compacted_epoch
+FROM fp f JOIN sz s USING (doc_id)
+"""
+
+
+# ===========================================================================
 # composed exact-substring dedup pipeline, end to end
 # (operators/dedup.dedup_shared_spans): winnow candidates -> maximal
 # shared runs -> drop the higher id of every >= min_run pair -> corpus
@@ -2795,9 +2897,10 @@ FROM delta d ANTI JOIN losers l USING (doc_id)
 def _sdc(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") % 2 == 0
-    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
+    ).filter(F.col("doc_id") % 2 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2807,7 +2910,8 @@ def _sdc(spark, sf_dir):
         )
     )
     out = D.dedup_shared_spans(
-        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN
+        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN,
+        fp_df_cap=_SSP_CAP,
     )
     return out.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -2822,12 +2926,16 @@ def _sdc_o():
     shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
-WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+WITH base AS MATERIALIZED (
+  SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, text FROM base
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents WHERE doc_id % 2 = 0
+  FROM base
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -2847,9 +2955,14 @@ fp AS MATERIALIZED (
     FROM shp
   ) WHERE pos <= cnt - {_WIN_W}
 ),
+fpc AS MATERIALIZED (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS fdf FROM fp
+  ) WHERE fdf <= {_SSP_CAP}
+),
 cand AS MATERIALIZED (
   SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
-  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+  FROM fpc la JOIN fpc lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
 ),
 anchors AS MATERIALIZED (
   SELECT c.a, c.b, sa.pos AS pa, sa.pos - sb.pos AS diag
@@ -2965,9 +3078,10 @@ GROUP BY source
 
 @_register("trim_spans_corpus")
 def _tsc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") % 2 == 0
-    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
+    ).filter(F.col("doc_id") % 2 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2977,7 +3091,8 @@ def _tsc(spark, sf_dir):
         )
     )
     out = D.trim_shared_spans(
-        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN
+        doubled, n=_WIN_N, window=_WIN_W, min_run=_SSP_MIN_RUN,
+        fp_df_cap=_SSP_CAP,
     )
     return out.select(
         F.col("doc_id").cast("long"),
@@ -2991,12 +3106,16 @@ def _tsc_o():
     shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
-WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+WITH base AS MATERIALIZED (
+  SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
+  FROM documents WHERE doc_id % 2 = 0
+),
+docs AS MATERIALIZED (
+  SELECT doc_id, text FROM base
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents WHERE doc_id % 2 = 0
+  FROM base
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -3016,9 +3135,14 @@ fp AS MATERIALIZED (
     FROM shp
   ) WHERE pos <= cnt - {_WIN_W}
 ),
+fpc AS MATERIALIZED (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS fdf FROM fp
+  ) WHERE fdf <= {_SSP_CAP}
+),
 cand AS MATERIALIZED (
   SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
-  FROM fp la JOIN fp lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
+  FROM fpc la JOIN fpc lb ON la.fp = lb.fp AND la.doc_id < lb.doc_id
 ),
 anchors AS MATERIALIZED (
   SELECT c.a, c.b, sa.pos AS pa, sb.pos AS pb, sa.pos - sb.pos AS diag
@@ -3224,7 +3348,7 @@ vocab AS MATERIALIZED (
 ),
 scored AS MATERIALIZED (
   SELECT words.doc_id,
-         CAST(FLOOR(SUM(64 - len(bin(dfw))) * 1000000.0 / COUNT(*))
+         CAST((SUM(64 - len(bin(dfw))) * 1000000) // COUNT(*)
               AS BIGINT) AS rarity_ppm
   FROM words JOIN vocab USING (w)
   GROUP BY words.doc_id
@@ -3232,6 +3356,87 @@ scored AS MATERIALIZED (
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(s.rarity_ppm, 0) AS rarity_ppm
 FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# ===========================================================================
+# PII redaction (operators/text.redact_pii): the synthetic documents
+# carry no natural PII, so the gate PLANTS it deterministically from
+# doc_id arithmetic (email + SSN + IPv4 for 4/5 of docs, a phone for
+# every 3rd, nothing for doc_id % 5 == 4 — zero-count docs exercised) —
+# identical concat arithmetic on both engines, then the shared
+# redact_pii_sql / pii_count_sql generators (text_sql.PII_PATTERNS'
+# cross-engine regex class) do the scrub.  Full per-doc redacted text +
+# counts are compared, not aggregates.
+# ===========================================================================
+
+@_register("redact_pii")
+def _rpii(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 != 4,
+                F.concat(
+                    F.lit(" reach user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.org or "),
+                    (did % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    (did % 90 + 10).cast("string"),
+                    F.lit("-"),
+                    (did % 9000 + 1000).cast("string"),
+                    F.lit(" from 10."),
+                    (did % 200).cast("string"),
+                    F.lit(".0."),
+                    ((did * 7) % 250).cast("string"),
+                    F.when(
+                        did % 3 == 0,
+                        F.concat(
+                            F.lit(" call (212) 555-"),
+                            (did % 9000 + 1000).cast("string"),
+                        ),
+                    ).otherwise(F.lit("")),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = TX.redact_pii(planted)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "text",
+        F.col("n_pii_redacted").cast("long"),
+    )
+
+
+@_oracle("redact_pii")
+def _rpii_o():
+    red = TS.redact_pii_sql("text", TS.DUCKDB)
+    cnt = TS.pii_count_sql("text", TS.DUCKDB)
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id,
+         concat(text, CASE WHEN doc_id % 5 <> 4 THEN concat(
+           ' reach user', CAST(doc_id AS VARCHAR), '@mail.example.org or ',
+           CAST(doc_id % 900 + 100 AS VARCHAR), '-',
+           CAST(doc_id % 90 + 10 AS VARCHAR), '-',
+           CAST(doc_id % 9000 + 1000 AS VARCHAR),
+           ' from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.',
+           CAST((doc_id * 7) % 250 AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0
+                THEN concat(' call (212) 555-',
+                            CAST(doc_id % 9000 + 1000 AS VARCHAR))
+                ELSE '' END
+         ) ELSE '' END) AS text
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {red} AS text,
+       {cnt} AS n_pii_redacted
+FROM planted
 """
 
 
@@ -3333,7 +3538,7 @@ vocab AS MATERIALIZED (
 ),
 rarity AS MATERIALIZED (
   SELECT words.doc_id,
-         CAST(FLOOR(SUM(64 - len(bin(dfw))) * 1000000.0 / COUNT(*))
+         CAST((SUM(64 - len(bin(dfw))) * 1000000) // COUNT(*)
               AS BIGINT) AS rarity_ppm
   FROM words JOIN vocab USING (w)
   GROUP BY words.doc_id

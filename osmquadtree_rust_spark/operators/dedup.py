@@ -929,6 +929,7 @@ def dedup_shared_spans(
     n: int = 5,
     window: int = 4,
     min_run: int = 50,
+    fp_df_cap: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup: drop every document sharing a verbatim
     word run of >= min_run words with an EARLIER (lower-id) document —
@@ -941,7 +942,17 @@ def dedup_shared_spans(
     candidates (recall-COMPLETE for runs >= n + window - 1, hence the
     min_run lower bound), shared_span_pairs verifies exact runs
     restricted to them, and the loser set (higher id of each offending
-    pair) anti-joins the corpus.  Cache lifecycle follows
+    pair) anti-joins the corpus.
+
+    fp_df_cap bounds hot-fingerprint candidate fan-out (_cap_fp_df —
+    one boilerplate passage shared by 10^6 documents would otherwise
+    emit ~5*10^11 candidate pairs from the self-join, each then
+    multiplied by the anchor join): it affects only WHICH pairs reach
+    span extraction — extraction itself stays exact on surviving pairs.
+    The recall trade: a run findable ONLY through capped (df > cap)
+    fingerprints is missed, i.e. ubiquitous boilerplate stops
+    connecting pairs — the same deterministic, oracle-mirrorable
+    contract winnow_neardup_pairs documents.  Cache lifecycle follows
     winnow_neardup_pairs: fingerprints and candidates are persisted
     across their double consumption, the SMALL loser-id set is
     materialized lineage-free, and every intermediate cache is released
@@ -953,7 +964,9 @@ def dedup_shared_spans(
             f"n + window - 1 = {n + window - 1}; shorter shared runs "
             f"can miss the candidate join — lower n/window instead"
         )
-    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    fps = _cap_fp_df(
+        winnow_fingerprints(df, text, id_col, n, window), fp_df_cap
+    ).persist()
     la = fps.select(F.col(id_col).alias("a"), "fp")
     lb = fps.select(F.col(id_col).alias("b"), "fp")
     cand = (
@@ -1029,6 +1042,7 @@ def trim_shared_spans(
     n: int = 5,
     window: int = 4,
     min_run: int = 50,
+    fp_df_cap: int | None = None,
 ) -> DataFrame:
     """Remove repeated spans WITHOUT dropping documents: for every
     verbatim word run of >= min_run words shared with an EARLIER
@@ -1047,6 +1061,11 @@ def trim_shared_spans(
     text is the kept words re-joined with single spaces (whitespace is
     normalized — the shared split_words tokenization).
 
+    fp_df_cap bounds the candidate self-join's hot-fingerprint fan-out
+    exactly as in dedup_shared_spans (candidates only — span extraction
+    stays exact on surviving pairs; runs reachable only through capped
+    fingerprints go untrimmed, the documented recall trade).
+
     Returns df with `text` REPLACED by the trimmed text and
     `n_trimmed_tokens` added (0 for untouched docs).  Cache lifecycle
     as dedup_shared_spans: intermediates released, only the small
@@ -1064,7 +1083,9 @@ def trim_shared_spans(
         raise ValueError(
             "column n_trimmed_tokens/__ivs already exists; rename it first"
         )
-    fps = winnow_fingerprints(df, text, id_col, n, window).persist()
+    fps = _cap_fp_df(
+        winnow_fingerprints(df, text, id_col, n, window), fp_df_cap
+    ).persist()
     la = fps.select(F.col(id_col).alias("a"), "fp")
     lb = fps.select(F.col(id_col).alias("b"), "fp")
     cand = (

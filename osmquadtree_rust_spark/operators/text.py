@@ -899,8 +899,11 @@ def with_rarity_score(
     "too-common boilerplate" and "random-garbage" filters, WITHOUT the
     cross-engine float log this repo's determinism contract excludes:
     floor(log2(c)) + 1 is computed as length(bin(c)), exact integer bit
-    math on both engines, and the mean is FLOOR(1e6 * sum / n) in pure
-    int64.
+    math on both engines, and the mean is (sum * 1e6) DIV n in TRUE
+    int64 — integer DIV on both engines (DuckDB //), exact with no 2^53
+    double ceiling (r5 ADVICE: the former FLOOR(double-division) form
+    silently degraded past 2^53).  rarity is non-negative, so Spark's
+    truncating DIV and DuckDB's flooring // agree.
 
     Shape: one explode + word-level df aggregate, then a shuffle join
     of tokens against the vocabulary (the standard IDF join — the vocab
@@ -925,12 +928,47 @@ def with_rarity_score(
         .withColumn("__rar", F.lit(64) - F.length(F.bin(F.col("__dfw"))))
         .groupBy(id_col)
         .agg(
-            F.floor(
-                F.sum("__rar") * 1000000 / F.count("*")
-            ).cast("long").alias(out)
+            F.expr(
+                "CAST((sum(__rar) * 1000000) DIV count(*) AS BIGINT)"
+            ).alias(out)
         )
     )
     return (
         df.join(scored, id_col, "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    text: str = "text",
+    patterns=None,
+    out_count: str = "n_pii_redacted",
+) -> DataFrame:
+    """Scrub PII from a text column: emails, SSNs, phone numbers and
+    IPv4 addresses (text_sql.PII_PATTERNS) are replaced by typed tokens
+    (<EMAIL>, <SSN>, <PHONE>, <IP>), applied in order, each pattern to
+    the output of the previous redaction — the standard pre-training
+    scrub every production pipeline runs before near-dup/quality
+    filtering.
+
+    Returns df with `text` REPLACED by the redacted text and
+    `out_count` added: the total number of redactions (counted per step
+    on the already-partially-redacted text, so overlapping pattern
+    families never double-count a span).
+
+    `patterns` overrides the default list with [(name, regex, token)]
+    triples; regexes MUST stay inside the repo's cross-engine class
+    (explicit ASCII character classes, no \\d/\\w/\\b shorthand, no
+    lookaround/backreferences — see text_sql.PII_PATTERNS' rationale)
+    so the DuckDB oracle (text_sql.redact_pii_sql with the same list)
+    remains bit-identical.  One JVM-side projection (regexp_replace /
+    regexp_count, whole-stage codegen) — no Python, no shuffle."""
+    if out_count in df.columns:
+        raise ValueError(f"column {out_count!r} already exists; rename it")
+    others = [c for c in df.columns if c != text]
+    return df.select(
+        *others,
+        F.expr(TS.redact_pii_sql(text, TS.SPARK, patterns)).alias(text),
+        F.expr(TS.pii_count_sql(text, TS.SPARK, patterns)).alias(out_count),
     )
