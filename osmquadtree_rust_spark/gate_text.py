@@ -2594,10 +2594,11 @@ _SSP_CAP = 2
 
 @_register("shared_spans")
 def _ssp(spark, sf_dir):
-    # doc_id % 2: bench hygiene (quarters the incidental candidate
-    # pairs); full density stays covered by the winnow_neardup gate
+    # doc_id % 4: bench hygiene (r6, was % 2 — the span gates were the
+    # only ones over the ~3.5s wall); full density stays covered by the
+    # winnow_neardup gate
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
-        F.col("doc_id") % 2 == 0
+        F.col("doc_id") % 4 == 0
     )
     doubled = docs.unionByName(
         docs.select(
@@ -2637,11 +2638,11 @@ def _ssp_o():
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT},
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
@@ -2900,7 +2901,7 @@ def _sdc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
-    ).filter(F.col("doc_id") % 2 == 0)
+    ).filter(F.col("doc_id") % 4 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2928,7 +2929,7 @@ def _sdc_o():
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 docs AS MATERIALIZED (
   SELECT doc_id, text FROM base
@@ -3003,7 +3004,7 @@ FROM surv
 def _dkb(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
-    ).filter(F.col("doc_id") % 2 == 0)
+    ).filter(F.col("doc_id") % 4 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -3028,16 +3029,16 @@ def _dkb(spark, sf_dir):
 
 @_oracle("dedup_keep_best")
 def _dkb_o():
-    pairs_sql = _wnd_o("WHERE doc_id % 2 = 0")
+    pairs_sql = _wnd_o("WHERE doc_id % 4 = 0")
     q = TS.quality_score_sql("text")
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 docs AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT}, source,
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 edges AS (
   SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
@@ -3081,7 +3082,7 @@ def _tsc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
-    ).filter(F.col("doc_id") % 2 == 0)
+    ).filter(F.col("doc_id") % 4 == 0)
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -3108,7 +3109,7 @@ def _tsc_o():
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 4 = 0
 ),
 docs AS MATERIALIZED (
   SELECT doc_id, text FROM base
@@ -3453,7 +3454,12 @@ FROM planted
 def _cp2(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # doc_id % 2: bench hygiene (r6) — the composition is the point of
+    # this gate, not corpus size; every stage is individually gated at
+    # full density
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).filter(F.col("doc_id") % 2 == 0)
     ws = docs.withColumn("__ws", split_words("text"))
     bench = (
         ws.filter((F.col("doc_id") % _DC_MOD) == 0)
@@ -3500,7 +3506,7 @@ def _cp2_o():
 WITH wsx0 AS MATERIALIZED (
   SELECT doc_id, source, text,
          list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
-  FROM documents
+  FROM documents WHERE doc_id % 2 = 0
 ),
 bench AS MATERIALIZED (
   SELECT list_filter(string_split(array_to_string(ws[5:24], ' '), ' '),

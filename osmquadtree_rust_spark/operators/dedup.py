@@ -304,16 +304,29 @@ def _cap_fp_df(fps: DataFrame, fp_df_cap: int | None) -> DataFrame:
     docs alone emits ~5*10^11 candidate pairs; the cap bounds per-fp
     fan-out at cap^2/2.  Deterministic (the oracle can apply the
     identical cap); a capped fp can no longer CONNECT its pairs, the
-    same recall trade the n-gram cap documents."""
+    same recall trade the n-gram cap documents.
+
+    Shape (r6, mirroring incremental._index_side): the hot set comes
+    from a map-side-combinable AGGREGATE (distinct-fp-sized shuffle, no
+    sort) anti-joined back — not a count-over-window, which shuffles AND
+    sorts every fingerprint row by fp.  The join is left to AQE: the hot
+    side is boilerplate-scale in practice and broadcasts at runtime,
+    but an adversarial corpus with an enormous hot set still degrades
+    to a shuffle join instead of an OOM'd forced broadcast.  The fps
+    subtree feeds both the aggregate and the join's left side; its
+    terminal exchange is reused at runtime via the AQE stage cache
+    (CLAUDE.md: diagnose recompute by measuring, not plan strings)."""
     if fp_df_cap is None:
         return fps
     if fp_df_cap < 1:
         raise ValueError(f"fp_df_cap={fp_df_cap} must be >= 1")
-    return (
-        fps.withColumn("__df", F.count("*").over(Window.partitionBy("fp")))
-        .filter(F.col("__df") <= int(fp_df_cap))
-        .drop("__df")
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > int(fp_df_cap))
+        .select("fp")
     )
+    return fps.join(hot, "fp", "left_anti")
 
 
 def winnow_neardup_pairs(

@@ -27,6 +27,15 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce small shuffles to the target partition size instead of
+        # stopping at default parallelism (the Spark-docs-recommended
+        # production setting): at bench scale this collapses 32 tiny
+        # post-shuffle partitions per stage into a few, cutting task
+        # overhead; at 100 TB partitions exceed the target size and the
+        # setting is inert
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

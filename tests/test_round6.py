@@ -372,6 +372,62 @@ def test_redact_pii_cross_engine(spark):
 
 
 # ---------------------------------------------------------------------------
+# driver-window rotation (r5 VERDICT task #6): the ~50-gate correctness
+# window must cycle through all registered gates — least-recently-
+# verified first, never-verified before everything.
+# ---------------------------------------------------------------------------
+
+
+def test_verification_order_rotation():
+    import importlib.util
+    import json
+    import os
+    import re
+    from glob import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(here, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from osmquadtree_rust_spark.gate import GATE
+
+    names = [n for n, s in GATE.items() if "spark" in s]
+    order = mod._verification_order(names)
+    assert sorted(order) == sorted(names)
+
+    # recompute last-green per gate the same way the driver's files say
+    last_green = {}
+    for path in sorted(glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            ok = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    # never-verified gates (new this round) sort strictly before any
+    # verified one, and staleness is non-decreasing through the order
+    greens = [last_green.get(n, 0) for n in order]
+    assert greens == sorted(greens)
+    # the r5 anomaly pinned: the oldest-verified gates all fit in the
+    # driver's ~50-entry window, so nothing starves for > 1 round
+    window = order[:50]
+    stale = sorted(names, key=lambda n: last_green.get(n, 0))[: 50 - 5]
+    assert set(stale) <= set(window)
+    if "normalize_dedup" in names and last_green.get("normalize_dedup", 0) <= 3:
+        assert "normalize_dedup" in window
+
+
+# ---------------------------------------------------------------------------
 # stats order-span guard (r5 ADVICE medium)
 # ---------------------------------------------------------------------------
 
