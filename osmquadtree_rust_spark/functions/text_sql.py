@@ -233,3 +233,185 @@ def minhash_sigs_sql(wh: str, k: int = 4) -> list[str]:
     return [
         f"MIN(({a} * {wh} + {b}) % {MINHASH_P})" for a, b in minhash_coeffs(k)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Line-level quality signals (r6): the Gopher/C4-style repetition filters
+# over a document's LINES (duplicate-line fraction and the fraction of
+# line characters inside duplicated lines).  Dialect-split only where the
+# engines name things differently (size/len, array_/list_, sequence/
+# generate_series, DIV///); every metric is pure integer arithmetic or
+# adjacency over a SORTED line array, so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def idiv_sql(num: str, den: str, dialect: str) -> str:
+    """Integer division of non-negative BIGINT expressions.  Spark needs
+    binary DIV (see text.py _floordiv_sql: unary minus would promote to
+    DOUBLE, but all callers here are non-negative); DuckDB uses //."""
+    op = "DIV" if dialect == SPARK else "//"
+    return f"(({num}) {op} ({den}))"
+
+
+def lines_array_sql(text: str, dialect: str) -> str:
+    """Non-empty trimmed lines of a document as an array expression.
+    Lines split on LF only (CRLF input leaves a trailing CR on each line
+    — callers normalizing foreign line endings should translate CR away
+    first); trim strips spaces only, per both engines' default trim."""
+    if dialect == SPARK:
+        return (
+            f"filter(transform(split({text}, chr(10)), x -> trim(x)), "
+            f"x -> length(x) > 0)"
+        )
+    return (
+        f"list_filter(list_transform(string_split({text}, chr(10)), "
+        f"x -> trim(x)), x -> length(x) > 0)"
+    )
+
+
+def dup_line_ppm_sql(lines: str, dialect: str) -> str:
+    """1 - distinct_lines/total_lines as FLOOR-ppm over a lines-array
+    expression (0 for documents with no non-empty lines).  Pure integer
+    arithmetic: (n - nd) * 1e6 DIV n."""
+    ln = "size" if dialect == SPARK else "len"
+    dist = "array_distinct" if dialect == SPARK else "list_distinct"
+    n = f"{ln}({lines})"
+    nd = f"{ln}({dist}({lines}))"
+    frac = idiv_sql(f"CAST(({n}) - ({nd}) AS BIGINT) * 1000000", n, dialect)
+    return f"(CASE WHEN {n} >= 1 THEN {frac} ELSE 0 END)"
+
+
+def line_chars_sql(lines: str, dialect: str) -> str:
+    """Total characters across a lines-array expression (BIGINT, 0 for
+    empty arrays)."""
+    if dialect == SPARK:
+        return f"aggregate({lines}, 0L, (acc, x) -> acc + length(x))"
+    return (
+        f"COALESCE(CAST(list_sum(list_transform({lines}, "
+        f"x -> length(x))) AS BIGINT), 0)"
+    )
+
+
+def dup_line_chars_sql(srt: str, dialect: str) -> str:
+    """Characters inside lines that occur >= 2 times, over a SORTED
+    lines-array expression: a sorted element is part of a duplicate group
+    iff it equals a neighbour.  O(L log L) via the sort, no self-join;
+    the sort ORDER itself is irrelevant (any total order makes equal
+    elements adjacent), so Spark/DuckDB collation differences cannot
+    matter."""
+    if dialect == SPARK:
+        n = f"size({srt})"
+        body = (
+            f"aggregate(transform(sequence(1, {n}), "
+            f"i -> CASE WHEN (i > 1 AND element_at({srt}, i) = "
+            f"element_at({srt}, i-1)) OR (i < {n} AND element_at({srt}, i) "
+            f"= element_at({srt}, i+1)) THEN length(element_at({srt}, i)) "
+            f"ELSE 0 END), 0L, (acc, x) -> acc + x)"
+        )
+        # sequence(1, 0) steps DOWNWARD in Spark (see text.ngram_array) —
+        # guard the empty-array case explicitly
+        return f"(CASE WHEN {n} >= 1 THEN {body} ELSE 0L END)"
+    n = f"len({srt})"
+    return (
+        f"COALESCE(CAST(list_sum(list_transform(generate_series(1, {n}), "
+        f"i -> CASE WHEN (i > 1 AND {srt}[i] = {srt}[i-1]) OR "
+        f"(i < {n} AND {srt}[i] = {srt}[i+1]) "
+        f"THEN length({srt}[i]) ELSE 0 END)) AS BIGINT), 0)"
+    )
+
+
+def sort_array_sql(arr: str, dialect: str) -> str:
+    return f"array_sort({arr})" if dialect == SPARK else f"list_sort({arr})"
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping (r6): HTML/XML tag removal + minimal entity decode +
+# whitespace collapse.  The tag regex <[^>]*> is a single-ASCII-char
+# negated class — identical extents in Java regex and RE2 (leftmost
+# greedy, no shorthand classes); unclosed trailing '<' survives on both.
+# Entities decode AFTER tag strip, &amp; LAST (so '&amp;lt;' becomes the
+# literal '&lt;', never '<').
+# ---------------------------------------------------------------------------
+
+_TAG_PATTERN = "<[^>]*>"
+
+# (entity, chr codes of the replacement) — chr() composition keeps quotes
+# and ampersands out of the generated SQL literals
+MARKUP_ENTITIES = [
+    ("&lt;", [60]),
+    ("&gt;", [62]),
+    ("&quot;", [34]),
+    ("&#39;", [39]),
+    ("&nbsp;", [32]),
+    ("&amp;", [38]),  # must stay last
+]
+
+
+def collapse_ws_sql(expr: str) -> str:
+    """Fold tab/LF/CR to spaces, collapse space runs to one, trim — the
+    normalize_text_sql 3-pass marker trick, shared SQL text on both
+    engines (see that docstring for why chr(1)chr(2) is unreachable)."""
+    folded = f"translate({expr}, concat(chr(1), chr(2), chr(9), chr(10), chr(13)), repeat(' ', 5))"
+    m = "concat(chr(1), chr(2))"
+    s1 = f"replace({folded}, ' ', concat(' ', {m}))"
+    s2 = f"replace({s1}, concat({m}, ' '), '')"
+    s3 = f"replace({s2}, {m}, '')"
+    return f"trim({s3})"
+
+
+def strip_markup_sql(text: str, dialect: str) -> str:
+    """The tag-stripped, entity-decoded, whitespace-collapsed text."""
+    if dialect == SPARK:
+        cur = f"regexp_replace({text}, '{_TAG_PATTERN}', ' ')"
+    else:
+        cur = f"regexp_replace({text}, '{_TAG_PATTERN}', ' ', 'g')"
+    for ent, codes in MARKUP_ENTITIES:
+        rep = "concat(" + ", ".join(f"chr({c})" for c in codes) + ")"
+        if len(codes) == 1:
+            rep = f"chr({codes[0]})"
+        cur = f"replace({cur}, '{ent}', {rep})"
+    return collapse_ws_sql(cur)
+
+
+def tag_count_sql(text: str, dialect: str) -> str:
+    """Number of markup tags removed (BIGINT)."""
+    if dialect == SPARK:
+        return f"CAST(regexp_count({text}, '{_TAG_PATTERN}') AS BIGINT)"
+    return f"CAST(len(regexp_extract_all({text}, '{_TAG_PATTERN}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# URL host extraction (r6): scheme-anchored host capture.  Explicit ASCII
+# class (the PII/BPE discipline), capture group 1 — regexp_extract_all
+# takes a group index with identical semantics on both engines.
+# ---------------------------------------------------------------------------
+
+URL_HOST_PATTERN = "https?://([A-Za-z0-9.-]+)"
+
+
+def url_hosts_sql(text: str, dialect: str) -> str:
+    """Array of URL hosts appearing in the text (with repeats — one entry
+    per URL occurrence)."""
+    if dialect == SPARK:
+        return f"regexp_extract_all({text}, '{URL_HOST_PATTERN}', 1)"
+    return f"regexp_extract_all({text}, '{URL_HOST_PATTERN}', 1)"
+
+
+def domain_sql(host: str, dialect: str) -> str:
+    """Registrable-ish domain: the last two dot-labels of a host (the
+    host itself when it has fewer).  Public-suffix lists are out of scope
+    (no external data); two labels is the standard approximation."""
+    if dialect == SPARK:
+        arr = f"split({host}, '[.]')"
+        ln = f"size({arr})"
+        l1 = f"element_at({arr}, -1)"
+        l2 = f"element_at({arr}, -2)"
+    else:
+        arr = f"string_split({host}, chr(46))"
+        ln = f"len({arr})"
+        l1 = f"{arr}[-1]"
+        l2 = f"{arr}[-2]"
+    return (
+        f"(CASE WHEN {ln} >= 2 THEN concat({l2}, chr(46), {l1}) "
+        f"ELSE {host} END)"
+    )

@@ -3638,3 +3638,277 @@ SELECT source,
        CAST({_KMV_K} AS BIGINT) AS sketch_k
 FROM bottom GROUP BY source
 """
+
+
+# ===========================================================================
+# line-level quality signals (operators/text.with_line_stats): the
+# synthetic documents are single-line, so the gate PLANTS a 5-line
+# layout from substr arithmetic — line 3 duplicates line 1 for every
+# 3rd doc, plus an empty and a whitespace-only line (both must be
+# ignored).  Identical concat/substr/chr SQL text on both engines; the
+# metrics come from the shared text_sql generators (dialect-split on
+# function names only).
+# ===========================================================================
+
+_LQS_PLANT = (
+    "concat(substr(text, 1, 30), chr(10), substr(text, 31, 25), chr(10), "
+    "chr(10), '   ', chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 30) "
+    "ELSE substr(text, 61, 20) END)"
+)
+
+
+@_register("line_quality_signals")
+def _lqs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_LQS_PLANT).alias("text")
+    )
+    out = TX.with_line_stats(docs)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_lines").cast("long"),
+        F.col("dup_line_ppm").cast("long"),
+        F.col("dup_line_char_ppm").cast("long"),
+    )
+
+
+@_oracle("line_quality_signals")
+def _lqs_o():
+    lines = TS.lines_array_sql("text", TS.DUCKDB)
+    dupc = TS.dup_line_chars_sql("srt", TS.DUCKDB)
+    total = TS.line_chars_sql("lines", TS.DUCKDB)
+    ratio = TS.idiv_sql(f"({dupc}) * 1000000", total, TS.DUCKDB)
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, {_LQS_PLANT} AS text FROM documents
+),
+lx AS MATERIALIZED (
+  SELECT doc_id, {lines} AS lines FROM planted
+),
+sx AS MATERIALIZED (
+  SELECT doc_id, lines, {TS.sort_array_sql('lines', TS.DUCKDB)} AS srt
+  FROM lx
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST({TS.dup_line_ppm_sql('lines', TS.DUCKDB)} AS BIGINT)
+         AS dup_line_ppm,
+       CAST(CASE WHEN ({total}) > 0 THEN {ratio} ELSE 0 END AS BIGINT)
+         AS dup_line_char_ppm
+FROM sx
+"""
+
+
+# ===========================================================================
+# markup stripping (operators/text.strip_markup): tags + entities are
+# PLANTED around the document text (including an entity-encoded segment
+# and an unclosed '<' that must SURVIVE on both engines); the gate
+# compares the full stripped text per doc, not aggregates.
+# ===========================================================================
+
+_SMK_PLANT = (
+    "concat('<p class=\"x\">', substr(text, 1, 40), '</p><br/>', "
+    "' <b>id ', CAST(doc_id AS STRING), '</b> &amp; &lt;tail&gt;', "
+    "CASE WHEN doc_id % 5 = 0 THEN ' <unclosed' ELSE '' END)"
+)
+
+
+@_register("strip_markup")
+def _smk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SMK_PLANT).alias("text")
+    )
+    out = TX.strip_markup(docs)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("text_stripped"),
+        F.col("n_tags").cast("long"),
+    )
+
+
+@_oracle("strip_markup")
+def _smk_o():
+    plant = _SMK_PLANT.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, {plant} AS text FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       {TS.strip_markup_sql('text', TS.DUCKDB)} AS text_stripped,
+       {TS.tag_count_sql('text', TS.DUCKDB)} AS n_tags
+FROM planted
+"""
+
+
+# ===========================================================================
+# URL host stats (operators/text.url_host_stats): URLs planted from a
+# 4-host table keyed on doc_id % 4 (+ a shared dup host for every 7th
+# doc, exercising n_urls > n_docs per host) — the corpus text itself
+# contains no URLs (verified), so the planted set is exact.
+# ===========================================================================
+
+_UHS_PLANT = (
+    "concat(text, ' see https://', "
+    "CASE doc_id % 4 WHEN 0 THEN 'www.alpha.example.com' "
+    "WHEN 1 THEN 'beta.example.org' WHEN 2 THEN 'cdn.gamma.net' "
+    "ELSE 'delta.io' END, "
+    "'/p/', CAST(doc_id AS STRING), "
+    "CASE WHEN doc_id % 7 = 0 THEN ' and http://dup.example.com/x' "
+    "ELSE '' END)"
+)
+
+
+@_register("url_host_stats")
+def _uhs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_UHS_PLANT).alias("text")
+    )
+    return TX.url_host_stats(docs).select(
+        "host",
+        "domain",
+        F.col("n_urls").cast("long"),
+        F.col("n_docs").cast("long"),
+    )
+
+
+@_oracle("url_host_stats")
+def _uhs_o():
+    plant = _UHS_PLANT.replace("AS STRING", "AS VARCHAR")
+    hosts = TS.url_hosts_sql("text", TS.DUCKDB)
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, {plant} AS text FROM documents
+),
+hx AS MATERIALIZED (
+  SELECT doc_id, unnest({hosts}) AS host FROM planted
+)
+SELECT host,
+       {TS.domain_sql('host', TS.DUCKDB)} AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hx GROUP BY host
+"""
+
+
+# ===========================================================================
+# deterministic weighted sampling (operators/text.sample_by_weight):
+# per-doc keep probability derived from the quality score (quality/2 +
+# 250k ppm, spanning sparse to dense keeps); the kept SET is compared
+# row-by-row — any hash or threshold divergence flips membership.
+# ===========================================================================
+
+@_register("weighted_sample")
+def _wsmp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = TX.with_quality_score(docs)
+    weighted = scored.withColumn(
+        "weight_ppm", F.expr("quality DIV 2 + 250000")
+    )
+    out = TX.sample_by_weight(weighted, weight_ppm="weight_ppm")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.col("weight_ppm").cast("long"),
+    )
+
+
+@_oracle("weighted_sample")
+def _wsmp_o():
+    q = TS.quality_score_sql("text")
+    h = TS.md5_prefix_int_sql(
+        "concat('s0', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    return f"""
+WITH weighted AS MATERIALIZED (
+  SELECT doc_id, source, ({q}) // 2 + 250000 AS weight_ppm FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm
+FROM weighted
+WHERE ({h}) % 1000000 < weight_ppm
+"""
+
+
+# ===========================================================================
+# image dedup keep-best (operators/multimodal.image_dedup_keep_best):
+# synthetic phash corpus (the multimodal_neardup recipe — md5-derived
+# 60-bit hashes, dup copies at doc_id + shift with a 2-bit or 28-bit
+# mask) + a planted quality that alternates which side of each dup pair
+# wins, so the keeper genuinely exercises quality ordering through
+# banding -> connected components -> salted keep-best.  The banding is
+# recall-exact, so the oracle is brute-force pairs + recursive-CTE CC.
+# ===========================================================================
+
+_IDK_SHIFT = 400000
+_IDK_MASK_SQL = "CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 96 ELSE 268435455 END"
+_IDK_QUAL_SQL = "(doc_id * 13) % 1000"
+_IDK_DQUAL_SQL = (
+    "(doc_id * 13) % 1000 + CASE WHEN doc_id % 2 = 0 THEN 500 ELSE -500 END"
+)
+
+
+@_register("image_dedup_keep_best")
+def _idk(spark, sf_dir):
+    from .operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
+    base = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(ph0).alias("phash"),
+        F.expr(_IDK_QUAL_SQL).alias("quality"),
+    )
+    dups = docs.select(
+        (F.col("doc_id") + _IDK_SHIFT).alias("image_id"),
+        F.expr(f"({ph0}) ^ ({_IDK_MASK_SQL})").alias("phash"),
+        F.expr(_IDK_DQUAL_SQL).alias("quality"),
+    )
+    corpus = base.unionByName(dups)
+    kept = MM.image_dedup_keep_best(corpus, max_hamming=3)
+    return kept.select(
+        F.col("image_id").cast("long"),
+        F.col("phash").cast("long"),
+        F.col("quality").cast("long"),
+    )
+
+
+@_oracle("image_dedup_keep_best")
+def _idk_o():
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", TS.DUCKDB)
+    return f"""
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT doc_id AS image_id, {ph0} AS phash,
+         {_IDK_QUAL_SQL} AS quality
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_IDK_SHIFT}, xor({ph0}, {_IDK_MASK_SQL}),
+         {_IDK_DQUAL_SQL}
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT l.image_id AS a, r.image_id AS b
+  FROM corpus l JOIN corpus r ON l.image_id < r.image_id
+  WHERE bit_count(xor(l.phash, r.phash)) <= 3
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT CAST(image_id AS BIGINT), CAST(image_id AS BIGINT) FROM corpus
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comps AS (
+  SELECT id AS image_id, MIN(r) AS comp FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.image_id, c.phash, c.quality,
+         ROW_NUMBER() OVER (PARTITION BY m.comp
+                            ORDER BY c.quality DESC, c.image_id ASC) AS rn
+  FROM corpus c JOIN comps m ON m.image_id = c.image_id
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(phash AS BIGINT) AS phash,
+       CAST(quality AS BIGINT) AS quality
+FROM ranked WHERE rn = 1
+"""

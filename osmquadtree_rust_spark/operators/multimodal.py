@@ -448,3 +448,46 @@ def audio_features(audios: DataFrame) -> DataFrame:
             )
 
     return audios.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+def image_dedup_keep_best(
+    sigs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    quality_col: str = "quality",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Corpus-level image dedup: keep ONE best image per perceptual-hash
+    duplicate CLUSTER — the image half of training-set curation (the
+    pair table from image_neardup_pairs only names duplicates; real
+    pipelines must then pick a keeper per transitive cluster, e.g. the
+    highest-resolution copy of a meme reposted 10^5 times).
+
+    `sigs` is (id, phash, quality): phash from image_phash (or any
+    64-bit perceptual signature), quality the keep-preference (w*h from
+    decode_stats, a sharpness score, ...).  Composition, all bounded:
+    pigeonhole-banded Hamming candidate pairs (recall-exact, the text
+    SimHash machinery) -> min-label connected components (O(diameter)
+    shuffles, constant lineage) -> salted keep-best (a mega-cluster
+    never sorts on one task).  Integral ids required (the
+    connected_components contract; map string ids through a dense id
+    table first).
+
+    Returns the kept rows of `sigs` unchanged (losers dropped)."""
+    from . import dedup as D
+
+    pairs = D.simhash_neardup_pairs(
+        sigs.select(
+            F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+        ),
+        max_hamming=max_hamming,
+    ).select("a", "b")
+    comps = D.connected_components(
+        sigs.select(F.col(id_col).alias("doc_id")), pairs
+    )
+    kept = D.dedup_keep_best(
+        sigs.withColumnRenamed(id_col, "doc_id"),
+        comps,
+        order=quality_col,
+    )
+    return kept.withColumnRenamed("doc_id", id_col)

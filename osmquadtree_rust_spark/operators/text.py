@@ -972,3 +972,140 @@ def redact_pii(
         F.expr(TS.redact_pii_sql(text, TS.SPARK, patterns)).alias(text),
         F.expr(TS.pii_count_sql(text, TS.SPARK, patterns)).alias(out_count),
     )
+
+
+def with_line_stats(
+    df: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """Gopher/C4-style LINE-level repetition signals — the standard
+    boilerplate filters computed over a document's lines rather than its
+    n-grams (complements with_repetition_ratio):
+
+      n_lines            non-empty (after trim) lines
+      dup_line_ppm       1 - distinct_lines/total_lines, FLOOR-ppm
+      dup_line_char_ppm  chars inside lines occurring >= 2 / total line
+                         chars, FLOOR-ppm
+
+    All three are generated from the shared text_sql expressions the
+    DuckDB oracle runs verbatim (dialect-split only on function names):
+    lines split on LF and trimmed, duplicate chars found by sorted-array
+    adjacency (O(L log L), JVM higher-order functions — no shuffle, no
+    Python, no self-join).  Zero-line documents score 0 on both ratios."""
+    reserved = {
+        "__lines", "__srt", "n_lines", "dup_line_ppm", "dup_line_char_ppm"
+    } & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with with_line_stats's "
+            f"internal/output names"
+        )
+    d = df.withColumn(
+        "__lines", F.expr(TS.lines_array_sql(text, TS.SPARK))
+    ).withColumn("__srt", F.expr(TS.sort_array_sql("__lines", TS.SPARK)))
+    dupchars = TS.dup_line_chars_sql("__srt", TS.SPARK)
+    total = TS.line_chars_sql("__lines", TS.SPARK)
+    ratio = TS.idiv_sql(f"({dupchars}) * 1000000", total, TS.SPARK)
+    return (
+        d.withColumn("n_lines", F.expr("CAST(size(__lines) AS BIGINT)"))
+        .withColumn(
+            "dup_line_ppm",
+            F.expr(
+                f"CAST({TS.dup_line_ppm_sql('__lines', TS.SPARK)} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "dup_line_char_ppm",
+            F.expr(
+                f"CAST(CASE WHEN ({total}) > 0 THEN {ratio} ELSE 0 END "
+                f"AS BIGINT)"
+            ),
+        )
+        .drop("__lines", "__srt")
+    )
+
+
+def strip_markup(
+    df: DataFrame,
+    text: str = "text",
+    out: str = "text_stripped",
+    out_count: str = "n_tags",
+) -> DataFrame:
+    """Strip HTML/XML markup from a text column — the first step of every
+    web-crawl curation pipeline: tags (<[^>]*>) replaced by spaces (the
+    naive-strip convention — ANY <...> span counts as a tag, so prose
+    like 'x < 5 but > 3' loses the middle; an unclosed trailing '<'
+    survives), the
+    six universal entities decoded (&amp; last, so double-encoded text
+    degrades safely), tab/CR/LF folded and whitespace collapsed via the
+    regex-free 3-pass marker trick (text_sql.collapse_ws_sql).
+
+    Adds `out` (the cleaned text) and `out_count` (tags removed); the
+    original column is kept — downstream stages choose which to score.
+    One JVM projection (regexp_replace/replace chain, whole-stage
+    codegen); the tag regex is inside the repo's cross-engine class
+    (single-ASCII-char negated class, identical extents in Java regex
+    and RE2), so the DuckDB oracle runs the same generators."""
+    reserved = {out, out_count} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    return df.select(
+        "*",
+        F.expr(TS.strip_markup_sql(text, TS.SPARK)).alias(out),
+        F.expr(TS.tag_count_sql(text, TS.SPARK)).alias(out_count),
+    )
+
+
+def url_host_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host URL statistics over a corpus — the source-mix /
+    domain-blocklist signal: extract every http(s) URL host
+    (text_sql.URL_HOST_PATTERN, explicit-ASCII capture group), explode,
+    and aggregate to (host, domain, n_urls, n_docs) where domain is the
+    last-two-labels registrable-domain approximation.
+
+    Shape: one projection + explode + a single hash aggregate keyed on
+    host (n_docs via count(distinct id) — Spark plans it as two-phase
+    partial aggregation, no extra shuffle vs a plain count at this key
+    cardinality).  Hosts are corpus-wide keys; no broadcast assumption."""
+    hosts = df.select(
+        F.col(id_col),
+        F.explode(F.expr(TS.url_hosts_sql(text, TS.SPARK))).alias("__host"),
+    )
+    return (
+        hosts.groupBy(F.col("__host").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.countDistinct(id_col).cast("long").alias("n_docs"),
+        )
+        .withColumn("domain", F.expr(TS.domain_sql("host", TS.SPARK)))
+        .select("host", "domain", "n_urls", "n_docs")
+    )
+
+
+def sample_by_weight(
+    df: DataFrame,
+    weight_ppm: str = "weight_ppm",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with per-row keep
+    probability `weight_ppm`/1e6 — the mixture-construction primitive
+    (quality-weighted downsampling, per-source temperature mixes): keep
+    a row iff md5_60bit(seed:id) mod 1e6 < weight_ppm.
+
+    Exactly reproducible given (seed, id) — reruns, retries and both
+    engines agree (the hash is the shared md5_prefix_int_sql) — and
+    nested: the kept set for weight w' <= w is a SUBSET of the kept set
+    for w, because the threshold test is on the same hash value.  Pure
+    projection + filter, no shuffle, no Python.  weight_ppm <= 0 keeps
+    nothing; >= 1e6 keeps everything."""
+    if "'" in seed:
+        raise ValueError("seed must not contain single quotes")
+    h = TS.md5_prefix_int_sql(
+        f"concat('{seed}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    return df.filter(F.expr(f"({h}) % 1000000 < {weight_ppm}"))

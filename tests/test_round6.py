@@ -450,3 +450,246 @@ def test_group_quantiles_span_guard(spark):
     assert (r["n"], r["vmin"], r["vmax"], r["median_x2"], r["p90"]) == (
         3, 1, 9, 10, 9,
     )
+
+
+# ---------------------------------------------------------------------------
+# r6 widening: line-level quality signals, markup strip, URL host stats,
+# weighted sampling, image dedup keep-best
+# ---------------------------------------------------------------------------
+
+
+def _duck_rows(sql, samples):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i BIGINT, t VARCHAR)")
+    for i, s in enumerate(samples):
+        con.execute("INSERT INTO tt VALUES (?, ?)", [i, s])
+    return {r[0]: tuple(r[1:]) for r in con.execute(sql).fetchall()}
+
+
+_HOSTILE_LINES = [
+    "a\nb\na\n   \n\nb",  # two dup groups + empty + whitespace lines
+    "",
+    "single line only",
+    "x\nx\nx\nx",  # all duplicated
+    " padded \npadded\n  padded",  # trim-equalized dups
+    "tab\there\ntab\there",  # tabs are NOT trimmed: lines differ from 'tab'
+    "long " * 50 + "\n" + "long " * 50,  # long dup lines
+    "\n\n\n",
+    "é\nüñ\né",  # non-ASCII
+]
+
+
+def test_line_stats_cross_engine(spark):
+    from osmquadtree_rust_spark.functions import text_sql as TS
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_HOSTILE_LINES)], "i long, t string"
+    )
+    lines_s = TS.lines_array_sql("t", TS.SPARK)
+    srt_s = TS.sort_array_sql(f"({lines_s})", TS.SPARK)
+    dupc_s = TS.dup_line_chars_sql(f"({srt_s})", TS.SPARK)
+    tot_s = TS.line_chars_sql(f"({lines_s})", TS.SPARK)
+    srows = {
+        r["i"]: (r["n"], r["dlp"], r["dc"], r["tc"])
+        for r in sdf.selectExpr(
+            "i",
+            f"CAST(size({lines_s}) AS BIGINT) AS n",
+            f"CAST({TS.dup_line_ppm_sql(f'({lines_s})', TS.SPARK)} AS BIGINT) AS dlp",
+            f"CAST({dupc_s} AS BIGINT) AS dc",
+            f"CAST({tot_s} AS BIGINT) AS tc",
+        ).collect()
+    }
+    lines_d = TS.lines_array_sql("t", TS.DUCKDB)
+    srt_d = TS.sort_array_sql(f"({lines_d})", TS.DUCKDB)
+    drows = _duck_rows(
+        f"SELECT i, CAST(len({lines_d}) AS BIGINT), "
+        f"CAST({TS.dup_line_ppm_sql(f'({lines_d})', TS.DUCKDB)} AS BIGINT), "
+        f"CAST({TS.dup_line_chars_sql(f'({srt_d})', TS.DUCKDB)} AS BIGINT), "
+        f"CAST({TS.line_chars_sql(f'({lines_d})', TS.DUCKDB)} AS BIGINT) "
+        f"FROM tt",
+        _HOSTILE_LINES,
+    )
+    assert srows == drows
+    # hand-checked anchor: 'a\nb\na\n   \n\nb' -> 4 lines, all duplicated
+    assert srows[0] == (4, 500000, 4, 4)
+
+
+def test_with_line_stats_operator(spark):
+    from osmquadtree_rust_spark.operators.text import with_line_stats
+
+    docs = _mk_docs(spark, [(1, "dup\nuniq\ndup"), (2, ""), (3, "a\nbb")])
+    rows = {r["doc_id"]: r for r in with_line_stats(docs).collect()}
+    assert rows[1]["n_lines"] == 3
+    assert rows[1]["dup_line_ppm"] == 333333  # 1 - 2/3
+    assert rows[1]["dup_line_char_ppm"] == 600000  # 6 of 10 chars
+    assert rows[2]["n_lines"] == 0
+    assert rows[2]["dup_line_ppm"] == 0
+    assert rows[2]["dup_line_char_ppm"] == 0
+    assert rows[3]["dup_line_ppm"] == 0
+    with pytest.raises(ValueError, match="collide"):
+        with_line_stats(docs.withColumn("n_lines", F.lit(0)))
+
+
+_HOSTILE_MARKUP = [
+    '<p class="x">hi</p><br/> plain < 5 but > 3',
+    "&amp;lt; stays &lt; opens &#39;q&#39; &quot;w&quot; &nbsp;sp",
+    "<unclosed tag stays",
+    "<a href='u?x=1&amp;y=2'>link</a>",
+    "  lots   of\t\twhitespace\r\nand lines ",
+    "",
+    "<><><>",
+]
+
+
+def test_strip_markup_cross_engine(spark):
+    from osmquadtree_rust_spark.functions import text_sql as TS
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_HOSTILE_MARKUP)], "i long, t string"
+    )
+    srows = {
+        r["i"]: (r["st"], r["n"])
+        for r in sdf.selectExpr(
+            "i",
+            f"{TS.strip_markup_sql('t', TS.SPARK)} AS st",
+            f"{TS.tag_count_sql('t', TS.SPARK)} AS n",
+        ).collect()
+    }
+    drows = _duck_rows(
+        f"SELECT i, {TS.strip_markup_sql('t', TS.DUCKDB)}, "
+        f"{TS.tag_count_sql('t', TS.DUCKDB)} FROM tt",
+        _HOSTILE_MARKUP,
+    )
+    assert srows == drows
+    # NB: '< 5 but >' is itself eaten — any <...> span is a "tag" to the
+    # naive stripper (the standard regex-strip behavior; documented)
+    assert srows[0] == ("hi plain 3", 4)
+    assert srows[1] == ("&lt; stays < opens 'q' \"w\" sp", 0)
+    assert srows[2] == ("<unclosed tag stays", 0)
+    assert srows[3] == ("link", 2)
+    assert srows[5] == ("", 0)
+    assert srows[6] == ("", 3)
+
+
+def test_strip_markup_operator(spark):
+    from osmquadtree_rust_spark.operators.text import strip_markup
+
+    docs = _mk_docs(spark, [(1, "<b>x</b> &amp; y")])
+    r = strip_markup(docs).collect()[0]
+    assert r["text_stripped"] == "x & y"
+    assert r["n_tags"] == 2
+    assert r["text"] == "<b>x</b> &amp; y"  # original kept
+    with pytest.raises(ValueError, match="already exist"):
+        strip_markup(docs.withColumn("n_tags", F.lit(0)))
+
+
+_HOSTILE_URLS = [
+    "see https://www.alpha.example.com/p/1 and http://b.org",
+    "bare host no scheme example.com and ftp://skip.me",
+    "https://single-label/x then https://trail.dot./y",
+    "touching(https://in.parens.net/q)end",
+    "",
+]
+
+
+def test_url_hosts_cross_engine(spark):
+    from osmquadtree_rust_spark.functions import text_sql as TS
+
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_HOSTILE_URLS)], "i long, t string"
+    )
+    srows = {
+        r["i"]: tuple(r["h"])
+        for r in sdf.selectExpr(
+            "i", f"{TS.url_hosts_sql('t', TS.SPARK)} AS h"
+        ).collect()
+    }
+    drows = {
+        k: tuple(v[0])
+        for k, v in _duck_rows(
+            f"SELECT i, {TS.url_hosts_sql('t', TS.DUCKDB)} FROM tt",
+            _HOSTILE_URLS,
+        ).items()
+    }
+    assert srows == drows
+    assert srows[0] == ("www.alpha.example.com", "b.org")
+    assert srows[1] == ()  # scheme-anchored: bare hosts and ftp skipped
+    # domain: last two labels (host itself when single-label)
+    ddf = spark.createDataFrame(
+        [("www.alpha.example.com",), ("b.org",), ("single",)], "h string"
+    )
+    doms = [
+        r["d"]
+        for r in ddf.selectExpr(
+            f"{TS.domain_sql('h', TS.SPARK)} AS d"
+        ).collect()
+    ]
+    assert doms == ["example.com", "b.org", "single"]
+
+
+def test_url_host_stats_operator(spark):
+    from osmquadtree_rust_spark.operators.text import url_host_stats
+
+    docs = _mk_docs(
+        spark,
+        [
+            (1, "x https://a.example.com/1 https://a.example.com/2"),
+            (2, "y https://a.example.com/3 http://b.org/z"),
+            (3, "no urls"),
+        ],
+    )
+    rows = {r["host"]: r for r in url_host_stats(docs).collect()}
+    assert rows["a.example.com"]["n_urls"] == 3
+    assert rows["a.example.com"]["n_docs"] == 2
+    assert rows["a.example.com"]["domain"] == "example.com"
+    assert rows["b.org"]["n_urls"] == 1
+    assert set(rows) == {"a.example.com", "b.org"}
+
+
+def test_sample_by_weight_nested_and_endpoints(spark):
+    from osmquadtree_rust_spark.operators.text import sample_by_weight
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(400)], "doc_id long, text string"
+    )
+    kept = {}
+    for w in (0, 250000, 500000, 750000, 1000000):
+        d = docs.withColumn("weight_ppm", F.lit(w))
+        kept[w] = {r["doc_id"] for r in sample_by_weight(d).collect()}
+    assert kept[0] == set()
+    assert kept[1000000] == {i for i in range(400)}
+    for lo, hi in ((250000, 500000), (500000, 750000)):
+        assert kept[lo] <= kept[hi]
+    # roughly proportional (deterministic given the seed)
+    assert 50 <= len(kept[250000]) <= 150
+    # different seed -> different (deterministic) set
+    d = docs.withColumn("weight_ppm", F.lit(500000))
+    alt = {r["doc_id"] for r in sample_by_weight(d, seed="s1").collect()}
+    assert alt != kept[500000]
+    with pytest.raises(ValueError, match="single quotes"):
+        sample_by_weight(d, seed="bad'seed")
+
+
+def test_image_dedup_keep_best_small(spark):
+    from osmquadtree_rust_spark.operators.multimodal import (
+        image_dedup_keep_best,
+    )
+
+    # cluster {1,2,3}: chained 2-bit steps; 4 is 1 bit from 3; 5 is far
+    rows = [
+        (1, 0b0, 10),
+        (2, 0b11, 30),
+        (3, 0b1111, 20),
+        (4, 0b1110, 20),  # ties 3 on quality -> lower id 3 wins over 4
+        (5, (1 << 40) - 1, 99),
+    ]
+    sigs = spark.createDataFrame(rows, "image_id long, phash long, quality long")
+    kept = sorted(
+        r["image_id"]
+        for r in image_dedup_keep_best(sigs, max_hamming=3).collect()
+    )
+    # one component {1,2,3,4} (transitive) -> best quality 30 = id 2;
+    # 5 is a singleton
+    assert kept == [2, 5]
