@@ -3912,3 +3912,73 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
        CAST(quality AS BIGINT) AS quality
 FROM ranked WHERE rn = 1
 """
+
+
+# ===========================================================================
+# boilerplate-line removal (operators/text.remove_boilerplate_lines):
+# the corpus-wide CCNet step — a 4-line layout is planted where line 2
+# is a footer shared by ALL docs and line 4 a banner shared by every
+# 2nd doc; min_df=50 removes both everywhere while the per-doc substr
+# lines (df ~ 1) survive.  Both engines key line identity on the same
+# 60-bit md5 prefix, so the gate compares full rebuilt texts per doc.
+# ===========================================================================
+
+_BPL_PLANT = (
+    "concat(substr(text, 1, 30), chr(10), "
+    "'all rights reserved footer line', chr(10), "
+    "substr(text, 31, 25), chr(10), "
+    "CASE WHEN doc_id % 2 = 0 THEN 'accept cookies to continue' "
+    "ELSE substr(text, 61, 20) END)"
+)
+_BPL_MIN_DF = 50
+
+
+@_register("boilerplate_lines")
+def _bpl(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BPL_PLANT).alias("text")
+    )
+    out = TX.remove_boilerplate_lines(docs, min_df=_BPL_MIN_DF)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "text_clean",
+        F.col("n_boiler_lines").cast("long"),
+    )
+
+
+@_oracle("boilerplate_lines")
+def _bpl_o():
+    lines = TS.lines_array_sql("text", TS.DUCKDB)
+    lh = TS.md5_prefix_int_sql("line", TS.DUCKDB)
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, {_BPL_PLANT} AS text FROM documents
+),
+lx AS MATERIALIZED (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM (SELECT doc_id, {lines} AS lines FROM planted) t
+),
+hx AS MATERIALIZED (
+  SELECT doc_id, pos, line, {lh} AS lh FROM lx
+),
+hot AS MATERIALIZED (
+  SELECT lh FROM (SELECT lh, COUNT(DISTINCT doc_id) AS d FROM hx GROUP BY lh)
+  WHERE d >= {_BPL_MIN_DF}
+),
+fx AS MATERIALIZED (
+  SELECT hx.doc_id, hx.pos, hx.line, hot.lh IS NOT NULL AS is_hot
+  FROM hx LEFT JOIN hot ON hot.lh = hx.lh
+),
+rb AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT is_hot), '') AS text_clean,
+         CAST(COUNT(*) FILTER (WHERE is_hot) AS BIGINT) AS n_boiler_lines
+  FROM fx GROUP BY doc_id
+)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       COALESCE(rb.text_clean, '') AS text_clean,
+       COALESCE(rb.n_boiler_lines, 0) AS n_boiler_lines
+FROM planted p LEFT JOIN rb ON rb.doc_id = p.doc_id
+"""

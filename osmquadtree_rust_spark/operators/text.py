@@ -1109,3 +1109,83 @@ def sample_by_weight(
         f"concat('{seed}', ':', CAST({id_col} AS STRING))", TS.SPARK
     )
     return df.filter(F.expr(f"({h}) % 1000000 < {weight_ppm}"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    out: str = "text_clean",
+    out_count: str = "n_boiler_lines",
+) -> DataFrame:
+    """Corpus-wide boilerplate-LINE removal (the CCNet/Gopher step that
+    with_line_stats only measures): a line appearing in >= min_df
+    DISTINCT documents (cookie banners, nav menus, copyright footers) is
+    deleted from every document; survivors are rejoined in original
+    order.  Lines are the trimmed non-empty LF-split lines
+    (text_sql.lines_array_sql) and are IDENTIFIED BY their 60-bit md5
+    prefix (hash-as-identity, the CCNet convention) — the corpus-wide
+    frequency aggregate shuffles an 8-byte key instead of the line text,
+    and the DuckDB oracle keys on the same hash, so a collision (p ~
+    n_lines^2 / 2^61) is at worst an identically-shared wrong removal,
+    never an engine divergence.
+
+    Adds `out` (LF-rejoined surviving lines; '' when everything was
+    boilerplate or the doc had no lines) and `out_count` (lines
+    removed).  Shape at 100 TB: one explode + one hash aggregate on the
+    line hash (two-phase countDistinct), then an equi-join of the
+    exploded lines against the HOT subset only (aggregate output —
+    AQE broadcasts it when small, skew-splits when not) and a per-doc
+    regroup whose groups are bounded by lines-per-document.  No windows,
+    no Python, no per-row UDFs."""
+    if min_df < 1:
+        raise ValueError(f"min_df={min_df} must be >= 1")
+    reserved = {"__pos", "__line", "__lh", "__hot", out, out_count} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"column(s) {sorted(reserved)} collide with "
+            f"remove_boilerplate_lines's internal/output names"
+        )
+    lx = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(TS.lines_array_sql(text, TS.SPARK))).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__lh", F.expr(TS.md5_prefix_int_sql("__line", TS.SPARK)))
+    hot = (
+        lx.groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__ldf"))
+        .filter(F.col("__ldf") >= min_df)
+        .select("__lh", F.lit(1).alias("__hot"))
+    )
+    rebuilt = (
+        lx.join(hot, "__lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__hot").isNull(),
+                                F.struct(F.col("__pos"), F.col("__line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(out),
+            F.count("__hot").cast("long").alias(out_count),
+        )
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit("")))
+        .withColumn(
+            out_count, F.coalesce(F.col(out_count), F.lit(0).cast("long"))
+        )
+    )

@@ -693,3 +693,59 @@ def test_image_dedup_keep_best_small(spark):
     # one component {1,2,3,4} (transitive) -> best quality 30 = id 2;
     # 5 is a singleton
     assert kept == [2, 5]
+
+
+def test_remove_boilerplate_lines(spark):
+    from osmquadtree_rust_spark.operators.text import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    docs = _mk_docs(
+        spark,
+        [
+            (1, f"alpha one\n{footer}\nbeta two"),
+            (2, f"gamma three\n{footer}"),
+            (3, f"{footer}\n{footer}"),  # only boilerplate (twice)
+            (4, "unique content\nunique content"),  # intra-doc dup: df=1
+            (5, ""),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(docs, min_df=3).collect()
+    }
+    assert out[1]["text_clean"] == "alpha one\nbeta two"
+    assert out[1]["n_boiler_lines"] == 1
+    assert out[2]["text_clean"] == "gamma three"
+    assert out[3]["text_clean"] == ""
+    assert out[3]["n_boiler_lines"] == 2  # both copies counted
+    # df counts DISTINCT docs: doc 4's intra-doc dup stays (df=1 < 3)
+    assert out[4]["text_clean"] == "unique content\nunique content"
+    assert out[4]["n_boiler_lines"] == 0
+    assert out[5]["text_clean"] == ""
+    assert out[5]["n_boiler_lines"] == 0
+    # originals untouched, all rows present
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["text"].startswith("alpha")
+    with pytest.raises(ValueError, match="min_df"):
+        remove_boilerplate_lines(docs, min_df=0)
+    with pytest.raises(ValueError, match="collide"):
+        remove_boilerplate_lines(docs.withColumn("text_clean", F.lit("")))
+
+
+def test_remove_boilerplate_lines_threshold_boundary(spark):
+    from osmquadtree_rust_spark.operators.text import remove_boilerplate_lines
+
+    # a line in exactly min_df docs IS removed; min_df-1 is kept
+    docs = _mk_docs(
+        spark,
+        [(i, f"shared line\nuniq {i}") for i in range(3)]
+        + [(10, "pair line\nuniq 10"), (11, "pair line\nuniq 11")],
+    )
+    out = {
+        r["doc_id"]: r["text_clean"]
+        for r in remove_boilerplate_lines(docs, min_df=3).collect()
+    }
+    for i in range(3):
+        assert out[i] == f"uniq {i}"
+    assert out[10] == "pair line\nuniq 10"
+    assert out[11] == "pair line\nuniq 11"
