@@ -146,6 +146,16 @@ def main():
         "rarity_score",
         "curation_pipeline_v2",
         "distinct_kmv",
+        # round 6 additions
+        "redact_pii",
+        "line_quality_signals",
+        "strip_markup",
+        "url_host_stats",
+        "weighted_sample",
+        "boilerplate_lines",
+        "image_dedup_keep_best",
+        "compact_fp_index",
+        "web_curation_pipeline",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

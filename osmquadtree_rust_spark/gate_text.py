@@ -2820,9 +2820,11 @@ def _cfpi(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="gate_cfpi_")
     try:
+        # doc_id % 4 < 2: bench hygiene (r6) — the round-trip semantics,
+        # not corpus size, are the point; the two epochs stay disjoint
         for epoch, par in ((0, 0), (1, 1)):
             fps = D.winnow_fingerprints(
-                docs.filter(F.col("doc_id") % 2 == par),
+                docs.filter(F.col("doc_id") % 4 == par),
                 n=_WIN_N, window=_WIN_W,
             )
             INC.write_fp_index(fps, base, epoch)
@@ -2859,7 +2861,7 @@ def _cfpi_o():
     return f"""
 WITH wsx AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
-  FROM documents
+  FROM documents WHERE doc_id % 4 < 2
 ),
 shp AS MATERIALIZED (
   SELECT doc_id, i AS pos, {shh} AS shh
@@ -3981,4 +3983,128 @@ SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
        COALESCE(rb.text_clean, '') AS text_clean,
        COALESCE(rb.n_boiler_lines, 0) AS n_boiler_lines
 FROM planted p LEFT JOIN rb ON rb.doc_id = p.doc_id
+"""
+
+
+# ===========================================================================
+# the web-crawl half of curation in ONE DAG (r6 capstone, the
+# curation_pipeline_v2 pattern): planted markup + a universal footer
+# line + per-doc PII -> boilerplate-line removal -> markup strip -> PII
+# redaction -> quality score -> keep quality >= threshold -> per-source
+# stats.  Every stage is individually gated; this pins their
+# interaction and staging ORDER (line dedup must run while lines still
+# exist — strip_markup collapses LF).
+# ===========================================================================
+
+_WCP_PLANT = (
+    "concat('<h1>', substr(text, 1, 30), '</h1>', chr(10), "
+    "'subscribe to our newsletter', chr(10), "
+    "'<p>', substr(text, 31), '</p> reach user', "
+    "CAST(doc_id AS STRING), '@mail.example.org')"
+)
+_WCP_MIN_DF = 50
+_WCP_QCUT = 400000
+
+
+@_register("web_curation_pipeline")
+def _wcp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_WCP_PLANT).alias("text")
+    )
+    step1 = TX.remove_boilerplate_lines(docs, min_df=_WCP_MIN_DF)
+    step2 = TX.strip_markup(step1, text="text_clean")
+    step3 = TX.redact_pii(step2, text="text_stripped")
+    step4 = TX.with_quality_score(step3, text="text_stripped")
+    # the cut is folded into conditional aggregates, NOT a filter: a
+    # filter over an expensive derived column gets alias-SUBSTITUTED
+    # through the projection by predicate pushdown (no cost model), so
+    # `filter(quality >= cut)` would re-inline the whole strip+redact
+    # regex chain ~14x into the filter condition (measured 5.4s -> 2.3s
+    # at sf0.1; optimized-plan regexp_replace count 70 -> 11)
+    keep = F.col("quality") >= _WCP_QCUT
+    return (
+        step4.groupBy("source")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, F.col("n_boiler_lines"))).cast("long").alias("n_boiler"),
+            F.sum(F.when(keep, F.col("n_tags"))).cast("long").alias("n_tags"),
+            F.sum(F.when(keep, F.col("n_pii_redacted"))).cast("long").alias("n_pii"),
+            F.sum(F.when(keep, F.col("quality"))).cast("long").alias("sum_quality"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+@_oracle("web_curation_pipeline")
+def _wcp_o():
+    plant = _WCP_PLANT.replace("AS STRING", "AS VARCHAR")
+    lines = TS.lines_array_sql("text", TS.DUCKDB)
+    lh = TS.md5_prefix_int_sql("line", TS.DUCKDB)
+    stripped = TS.strip_markup_sql("text_clean", TS.DUCKDB)
+    ntags = TS.tag_count_sql("text_clean", TS.DUCKDB)
+    red = TS.redact_pii_sql("text_stripped", TS.DUCKDB)
+    npii = TS.pii_count_sql("text_stripped", TS.DUCKDB)
+    q = TS.quality_score_sql("text_redacted")
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, source, {plant} AS text FROM documents
+),
+lx AS MATERIALIZED (
+  SELECT doc_id, unnest(lines) AS line,
+         generate_subscripts(lines, 1) AS pos
+  FROM (SELECT doc_id, {lines} AS lines FROM planted) t
+),
+hx AS MATERIALIZED (
+  SELECT doc_id, pos, line, {lh} AS lh FROM lx
+),
+hot AS MATERIALIZED (
+  SELECT lh FROM (SELECT lh, COUNT(DISTINCT doc_id) AS d FROM hx GROUP BY lh)
+  WHERE d >= {_WCP_MIN_DF}
+),
+fx AS MATERIALIZED (
+  SELECT hx.doc_id, hx.pos, hx.line, hot.lh IS NOT NULL AS is_hot
+  FROM hx LEFT JOIN hot ON hot.lh = hx.lh
+),
+rb AS MATERIALIZED (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT is_hot), '') AS text_clean,
+         CAST(COUNT(*) FILTER (WHERE is_hot) AS BIGINT) AS n_boiler_lines
+  FROM fx GROUP BY doc_id
+),
+cleaned AS MATERIALIZED (
+  SELECT p.doc_id, p.source,
+         COALESCE(rb.text_clean, '') AS text_clean,
+         COALESCE(rb.n_boiler_lines, 0) AS n_boiler_lines
+  FROM planted p LEFT JOIN rb ON rb.doc_id = p.doc_id
+),
+strippedx AS MATERIALIZED (
+  SELECT doc_id, source, n_boiler_lines,
+         {stripped} AS text_stripped, {ntags} AS n_tags
+  FROM cleaned
+),
+redacted AS MATERIALIZED (
+  SELECT doc_id, source, n_boiler_lines, n_tags,
+         {red} AS text_redacted, {npii} AS n_pii_redacted
+  FROM strippedx
+),
+scored AS MATERIALIZED (
+  SELECT source, n_boiler_lines, n_tags, n_pii_redacted,
+         CAST({q} AS BIGINT) AS quality
+  FROM redacted
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE quality >= {_WCP_QCUT}) AS BIGINT)
+         AS n_docs,
+       CAST(SUM(n_boiler_lines) FILTER (WHERE quality >= {_WCP_QCUT})
+            AS BIGINT) AS n_boiler,
+       CAST(SUM(n_tags) FILTER (WHERE quality >= {_WCP_QCUT}) AS BIGINT)
+         AS n_tags,
+       CAST(SUM(n_pii_redacted) FILTER (WHERE quality >= {_WCP_QCUT})
+            AS BIGINT) AS n_pii,
+       CAST(SUM(quality) FILTER (WHERE quality >= {_WCP_QCUT}) AS BIGINT)
+         AS sum_quality
+FROM scored
+GROUP BY source
+HAVING COUNT(*) FILTER (WHERE quality >= {_WCP_QCUT}) > 0
 """

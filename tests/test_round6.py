@@ -749,3 +749,20 @@ def test_remove_boilerplate_lines_threshold_boundary(spark):
         assert out[i] == f"uniq {i}"
     assert out[10] == "pair line\nuniq 10"
     assert out[11] == "pair line\nuniq 11"
+
+
+def test_web_curation_pipeline_no_filter_reinlining(spark):
+    # the capstone gate folds its quality cut into conditional aggregates;
+    # a plain filter(quality >= cut) gets alias-substituted through the
+    # projection by predicate pushdown and re-inlines the strip+redact
+    # regex chain ~14x (measured 70 regexp_replace occurrences vs 11)
+    from osmquadtree_rust_spark import gate as G
+    from osmquadtree_rust_spark import gate_text  # noqa: F401
+
+    df = G.GATE["web_curation_pipeline"]["spark"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") <= 20
+    rows = df.collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
