@@ -156,6 +156,7 @@ def main():
         "image_dedup_keep_best",
         "compact_fp_index",
         "web_curation_pipeline",
+        "haversine_radius_join",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

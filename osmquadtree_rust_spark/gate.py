@@ -2330,3 +2330,88 @@ SELECT CAST(poly_id AS BIGINT) AS poly_id,
        CAST(MAX(x) AS BIGINT) AS maxlon, CAST(MAX(y) AS BIGINT) AS maxlat
 FROM edges GROUP BY poly_id
 """
+
+
+# ===========================================================================
+# great-circle radius join (operators/spatial_join.haversine_radius_join):
+# the metric-radius generalization of geohash_radius_join.  Points are
+# md5-uniform in a 0.1 x 0.1 degree window at 45 deg latitude (so
+# cos(lat) genuinely shrinks longitude degrees; the md5 derivation is
+# the shared cross-engine hash, giving a density the events synth's
+# hotspot skew cannot distort) and paired within 500 m great-circle.
+# The hav term is numpy sin/cos == libm == DuckDB (measured boundary);
+# the threshold is ONE repr literal in both engines.  The oracle
+# brute-forces pairs behind a cheap integer planar prefilter whose
+# bound (computed at the window's max latitude) is a strict superset of
+# the operator's candidate bound — both supersets of the true
+# hav <= thr set, so the final predicate decides identically.
+# ===========================================================================
+
+_HRJ_D_M = 500.0
+_HRJ_WIN = 1000000  # 0.1 degree in 1e-7 fixed-point
+
+
+def _hrj_pt_sql(dialect: str) -> tuple[str, str]:
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    from .functions import text_sql as TS
+
+    lon = TS.md5_prefix_int_sql(
+        f"concat('hrjlon:', CAST(doc_id AS {cast}))", dialect
+    )
+    lat = TS.md5_prefix_int_sql(
+        f"concat('hrjlat:', CAST(doc_id AS {cast}))", dialect
+    )
+    return (
+        f"(({lon}) % {_HRJ_WIN})",
+        f"(({lat}) % {_HRJ_WIN} + 450000000)",
+    )
+
+
+@_register("haversine_radius_join")
+def _hrj(spark, sf_dir):
+    from .operators.spatial_join import haversine_radius_join
+
+    lon_sql, lat_sql = _hrj_pt_sql("spark")
+    pts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pid"),
+        F.expr(lon_sql).alias("flon"),
+        F.expr(lat_sql).alias("flat"),
+    )
+    return haversine_radius_join(
+        pts, _HRJ_D_M, lon="flon", lat="flat", id_col="pid"
+    ).select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("hav_ppq").cast("long"),
+    )
+
+
+@_oracle("haversine_radius_join")
+def _hrj_o() -> str:
+    from .functions import geodesic as GEO
+
+    thr = repr(GEO.hav_threshold(_HRJ_D_M))
+    pre = GEO.planar_bound_fixed(_HRJ_D_M, 450000000 + _HRJ_WIN)
+    lon_sql, lat_sql = _hrj_pt_sql("duckdb")
+    wl = "LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))"
+    da = "ABS(a.flat - b.flat)"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT doc_id AS pid, {lon_sql} AS flon, {lat_sql} AS flat
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT a.pid AS a, b.pid AS b,
+         a.flon, a.flat, b.flon AS blon, b.flat AS blat
+  FROM pts a JOIN pts b ON a.pid < b.pid
+  WHERE {wl} * {wl} + {da} * {da} <= {pre * pre}
+),
+verified AS (
+  SELECT a, b,
+         {GEO.hav_sql("flon", "flat", "blon", "blat")} AS hav
+  FROM cand
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(FLOOR(hav * 1.0e15) AS BIGINT) AS hav_ppq
+FROM verified WHERE hav <= {thr}
+"""

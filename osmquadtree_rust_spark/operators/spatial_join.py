@@ -371,6 +371,7 @@ def _radius_join_impl(
     id_col: str,
     ring: int,
     cache: bool,
+    keep_coords: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Shared radius-join body.  The de-interleaved (id, lon, lat, x, y)
     projection is built ONCE and consumed by both join sides: the a-side
@@ -441,7 +442,14 @@ def _radius_join_impl(
         # contributes its single own cell and the b-side's block codes
         # are all distinct (the wrap guard in the chars derivation keeps
         # modular x offsets alias-free), so (a, b) joins on one code
-        .select("a", "b", "dist_sq")
+        .select(
+            "a", "b", "dist_sq",
+            *(
+                ["__alon", "__alat", "__blon", "__blat"]
+                if keep_coords
+                else []
+            ),
+        )
     )
     return pairs, proj if cache else None
 
@@ -641,4 +649,82 @@ def bbox_intersection_join(
             ).cast("long"),
         )
         .select("a", "b", "ix_area")
+    )
+
+
+def haversine_radius_join(
+    points: DataFrame,
+    d_meters: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "id",
+    max_abs_lat_fixed: int | None = None,
+    chars: int | None = None,
+    ring: int = 1,
+) -> DataFrame:
+    """All pairs (a < b) within `d_meters` GREAT-CIRCLE distance — the
+    true-sphere generalization of geohash_radius_join (whose fixed-point
+    predicate is planar-degree): candidates come from the same
+    grid-cover equi-join, with the cell bound derived from the metric
+    radius (geodesic.planar_bound_fixed — recall-complete for data away
+    from the poles; raises when |lat| is too high for a lon/lat grid to
+    bound a metric radius), then the exact haversine verify.
+
+    The verify compares in HAV space: hav(a, b) <= sin^2(d/2R), which is
+    exactly `great-circle <= d` (hav is monotone in distance) without
+    any cross-engine-unsafe inverse trig.  The hav term is a numpy
+    pandas_udf (sin/cos == libm == DuckDB, pinned order — see
+    functions/geodesic.py); the output `hav_ppq` = FLOOR(hav * 1e15) is
+    an exact-IEEE projection both engines agree on (actual meters, when
+    a human needs them, are 2*R*asin(sqrt(hav_ppq/1e15)) — driver-side).
+
+    max_abs_lat_fixed bounds the data's |latitude| (1e-7-degree units);
+    None computes it with one aggregate-only scan (parquet min/max
+    stats make this metadata-cheap).  Scale shape: identical to
+    geohash_radius_join (one de-interleaved projection consumed by both
+    join sides, broadcast offsets block, no join-back) + one vectorized
+    Arrow batch per candidate partition for the verify."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    from ..functions import geodesic as GEO
+
+    if max_abs_lat_fixed is None:
+        row = points.agg(
+            F.max(F.abs(F.col(lat))).alias("m")
+        ).collect()[0]
+        if row["m"] is None:
+            raise ValueError("haversine_radius_join: points is empty")
+        max_abs_lat_fixed = int(row["m"])
+    d_fixed = GEO.planar_bound_fixed(d_meters, max_abs_lat_fixed)
+    pairs, _ = _radius_join_impl(
+        points, d_fixed, lon, lat, chars, id_col, ring,
+        cache=False, keep_coords=True,
+    )
+    thr = GEO.hav_threshold(d_meters)
+
+    @F.pandas_udf(DoubleType())
+    def hav_udf(
+        alon: pd.Series, alat: pd.Series, blon: pd.Series, blat: pd.Series
+    ) -> pd.Series:
+        out = GEO.hav_np(
+            alon.to_numpy(np.int64),
+            alat.to_numpy(np.int64),
+            blon.to_numpy(np.int64),
+            blat.to_numpy(np.int64),
+        )
+        return pd.Series(out)
+
+    return (
+        pairs.withColumn(
+            "__hav", hav_udf("__alon", "__alat", "__blon", "__blat")
+        )
+        # double compare + mul + FLOOR are exact IEEE (engine-identical);
+        # only transcendentals are banned JVM-side
+        .filter(F.col("__hav") <= F.lit(thr))
+        .select(
+            "a",
+            "b",
+            F.floor(F.col("__hav") * 1.0e15).cast("long").alias("hav_ppq"),
+        )
     )

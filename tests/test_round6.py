@@ -766,3 +766,114 @@ def test_web_curation_pipeline_no_filter_reinlining(spark):
     assert plan.count("regexp_replace") <= 20
     rows = df.collect()
     assert rows and all(r["n_docs"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# great-circle radius join (r6 geodesic generalization)
+# ---------------------------------------------------------------------------
+
+
+def test_hav_cross_engine_bitexact():
+    # numpy sin/cos == libm == DuckDB (the measured boundary): the hav
+    # term must agree bit-for-bit across engines on adversarial
+    # coordinates — poles, antimeridian wrap, equal points, tiny deltas
+    import random
+
+    import duckdb
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+
+    rnd = random.Random(20260817)
+    rows = [
+        (0, 0, 0, 0),
+        (1799999999, 899999999, -1800000000, 899999999),  # near pole + wrap
+        (1800000000, -900000000, -1800000000, 900000000),
+        (1, 450000000, 2, 450000001),  # 1-unit deltas at 45 deg
+        (-1799999999, 0, 1799999999, 0),  # wrap: true dlon = 2 units
+    ] + [
+        (
+            rnd.randint(-1800000000, 1800000000),
+            rnd.randint(-900000000, 900000000),
+            rnd.randint(-1800000000, 1800000000),
+            rnd.randint(-900000000, 900000000),
+        )
+        for _ in range(5000)
+    ]
+    arr = np.array(rows, dtype=np.int64)
+    got_np = GEO.hav_np(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(i BIGINT, la BIGINT, pa BIGINT, lb BIGINT, pb BIGINT)"
+    )
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?, ?, ?)",
+        [(i, *r) for i, r in enumerate(rows)],
+    )
+    hav = GEO.hav_sql("la", "pa", "lb", "pb")
+    got_dk = np.array(
+        [r[0] for r in con.execute(f"SELECT {hav} FROM t ORDER BY i").fetchall()]
+    )
+    assert np.array_equal(got_np, got_dk)  # bit-exact, no tolerance
+
+
+def test_planar_bound_guards():
+    import math
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+
+    # monotone in latitude; sane magnitude at the equator
+    b0 = GEO.planar_bound_fixed(500.0, 0)
+    b45 = GEO.planar_bound_fixed(500.0, 450000000)
+    assert b0 < b45
+    # ~500m ~ 45000 fixed units of latitude; bound must cover hypot
+    assert 60000 < b0 < 70000
+    with pytest.raises(ValueError, match="pole"):
+        GEO.planar_bound_fixed(500.0, 899999999)
+    with pytest.raises(ValueError, match="lat"):
+        GEO.planar_bound_fixed(500.0, 2000000000)
+    with pytest.raises(ValueError, match="d_meters"):
+        GEO.hav_threshold(0)
+    # threshold is monotone + tiny for small radii
+    assert GEO.hav_threshold(1.0) < GEO.hav_threshold(500.0) < 1e-7
+
+
+def test_haversine_radius_join_small(spark):
+    import math
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        haversine_radius_join,
+    )
+
+    # 4 points at 45N: ~393m east, ~450m north, ~5km away
+    lat0 = 450000000
+    m_per_latfix = GEO.EARTH_R_M * math.pi / 180.0 / 1e7  # ~0.0111
+    m_per_lonfix = m_per_latfix * math.cos(math.radians(45.0))
+    east = int(393 / m_per_lonfix)
+    north = int(450 / m_per_latfix)
+    far = int(5000 / m_per_latfix)
+    pts = spark.createDataFrame(
+        [
+            (1, 1000000, lat0),
+            (2, 1000000 + east, lat0),
+            (3, 1000000, lat0 + north),
+            (4, 1000000, lat0 + far),
+        ],
+        "id long, lon long, lat long",
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in haversine_radius_join(pts, 500.0).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in p for p in got)
+    # hav_ppq is monotone in true distance: (1,2) at 393m < (1,3) at 450m
+    rows = {
+        (r["a"], r["b"]): r["hav_ppq"]
+        for r in haversine_radius_join(pts, 500.0).collect()
+    }
+    assert rows[(1, 2)] < rows[(1, 3)]
+    # empty input raises the documented error
+    with pytest.raises(ValueError, match="empty"):
+        haversine_radius_join(pts.filter("id > 99"), 500.0)
