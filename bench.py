@@ -157,6 +157,7 @@ def main():
         "compact_fp_index",
         "web_curation_pipeline",
         "haversine_radius_join",
+        "temperature_mixture",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

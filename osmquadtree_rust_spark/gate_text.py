@@ -4108,3 +4108,50 @@ FROM scored
 GROUP BY source
 HAVING COUNT(*) FILTER (WHERE quality >= {_WCP_QCUT}) > 0
 """
+
+
+# ===========================================================================
+# temperature mixture sampling (operators/text.
+# temperature_sample_by_source): source sizes are made UNEQUAL by a
+# deterministic thinning keyed on the source index (idx % 3 -> keep
+# 1/2, 1/3 or 1/4 of docs), then tau = 1/2 rebalances toward uniform.
+# The keep set is compared row-by-row; the rate math is sqrt-only
+# (exact IEEE on both engines) so the oracle reproduces it bit-for-bit.
+# ===========================================================================
+
+_TMS_THIN = "(doc_id % (2 + CAST(substr(source, 4) AS INT) % 3)) = 0"
+
+
+@_register("temperature_mixture")
+def _tms(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.expr(_TMS_THIN))
+    )
+    out = TX.temperature_sample_by_source(docs, tau_quarters=2)
+    return out.select(F.col("doc_id").cast("long"), "source")
+
+
+@_oracle("temperature_mixture")
+def _tms_o():
+    h = TS.md5_prefix_int_sql(
+        "concat('t0', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    x = "(CAST(nmin AS DOUBLE) / CAST(ns AS DOUBLE))"
+    return f"""
+WITH thinned AS MATERIALIZED (
+  SELECT doc_id, source FROM documents WHERE {_TMS_THIN}
+),
+counts AS MATERIALIZED (
+  SELECT source, COUNT(*) AS ns FROM thinned GROUP BY source
+),
+rates AS MATERIALIZED (
+  SELECT source,
+         CAST(FLOOR(1000000.0 * sqrt({x})) AS BIGINT) AS rppm
+  FROM counts CROSS JOIN (SELECT MIN(ns) AS nmin FROM counts) m
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.source
+FROM thinned t JOIN rates r ON r.source = t.source
+WHERE ({h}) % 1000000 < r.rppm
+"""

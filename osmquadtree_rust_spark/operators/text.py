@@ -1189,3 +1189,65 @@ def remove_boilerplate_lines(
             out_count, F.coalesce(F.col(out_count), F.lit(0).cast("long"))
         )
     )
+
+
+def temperature_sample_by_source(
+    df: DataFrame,
+    tau_quarters: int = 2,
+    source: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "t0",
+) -> DataFrame:
+    """Temperature-based per-source mixture sampling — the multinomial
+    rebalancing step of training-mix construction (tau < 1 flattens the
+    source distribution; the classic 'alpha sampling' of multilingual /
+    multi-source corpora): each row of source s is kept with probability
+
+        r_s = (n_min / n_s) ^ (1 - tau)        (r of the SMALLEST source = 1)
+
+    so expected per-source counts are proportional to n_s^tau.
+
+    tau is quantized to quarters (tau_quarters/4, in {0, 1, 2, 3}) so
+    the exponent 1 - tau is in {1, 3/4, 1/2, 1/4} and x^(1-tau) is a
+    product of IEEE-EXACT square roots (x, sqrt(x)*sqrt(sqrt(x)),
+    sqrt(x), sqrt(sqrt(x))) — sqrt/mul/div are exact IEEE on both
+    engines, so the DuckDB oracle reproduces the keep set bit-for-bit
+    with NO float-pow cross-engine hazard.  The per-row coin is the
+    shared md5 threshold test (sample_by_weight's): deterministic,
+    nested in tau (larger tau keeps a superset per source).
+
+    Shape: one tiny per-source count aggregate, a broadcast-sized join
+    back (source cardinality is metadata-scale), one filter.  No
+    Python, no windows."""
+    if tau_quarters not in (0, 1, 2, 3):
+        raise ValueError(f"tau_quarters={tau_quarters} must be 0..3")
+    if "'" in seed:
+        raise ValueError("seed must not contain single quotes")
+    reserved = {"__ns", "__nmin", "__rppm"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    counts = df.groupBy(source).agg(F.count("*").alias("__ns"))
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("__ns").alias("__nmin")))
+    )
+    x = "(CAST(__nmin AS DOUBLE) / CAST(__ns AS DOUBLE))"
+    pow_expr = {
+        0: f"{x}",                                  # tau=0    -> x^1
+        1: f"(sqrt({x}) * sqrt(sqrt({x})))",        # tau=1/4  -> x^(3/4)
+        2: f"sqrt({x})",                            # tau=1/2  -> x^(1/2)
+        3: f"sqrt(sqrt({x}))",                      # tau=3/4  -> x^(1/4)
+    }[tau_quarters]
+    rates = counts.select(
+        source,
+        F.expr(f"CAST(FLOOR(1000000.0 * {pow_expr}) AS BIGINT)").alias(
+            "__rppm"
+        ),
+    )
+    h = TS.md5_prefix_int_sql(
+        f"concat('{seed}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    return (
+        df.join(F.broadcast(rates), source)
+        .filter(F.expr(f"({h}) % 1000000 < __rppm"))
+        .drop("__rppm")
+    )

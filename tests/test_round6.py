@@ -877,3 +877,38 @@ def test_haversine_radius_join_small(spark):
     # empty input raises the documented error
     with pytest.raises(ValueError, match="empty"):
         haversine_radius_join(pts.filter("id > 99"), 500.0)
+
+
+def test_temperature_sample_by_source(spark):
+    from osmquadtree_rust_spark.operators.text import (
+        temperature_sample_by_source,
+    )
+
+    # sources of size 400 / 100 / 25
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {}
+    for tq in (0, 1, 2, 3):
+        out = temperature_sample_by_source(docs, tau_quarters=tq).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        kept[tq] = by_src
+        # the smallest source is always kept whole
+        assert len(by_src.get("small", set())) == 25
+    # tau=0: expected counts equal across sources (~25 each)
+    assert 10 <= len(kept[0]["big"]) <= 45
+    assert 10 <= len(kept[0]["mid"]) <= 45
+    # tau=1/2: big ~ sqrt(25*400)=100, mid ~ sqrt(25*100)=50
+    assert 70 <= len(kept[2]["big"]) <= 130
+    assert 30 <= len(kept[2]["mid"]) <= 70
+    # nested in tau: larger tau keeps a superset per source
+    for lo, hi in ((0, 1), (1, 2), (2, 3)):
+        for s in ("big", "mid", "small"):
+            assert kept[lo].get(s, set()) <= kept[hi].get(s, set())
+    with pytest.raises(ValueError, match="tau_quarters"):
+        temperature_sample_by_source(docs, tau_quarters=4)
