@@ -2415,3 +2415,73 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(FLOOR(hav * 1.0e15) AS BIGINT) AS hav_ppq
 FROM verified WHERE hav <= {thr}
 """
+
+
+# ===========================================================================
+# great-circle kNN join (operators/spatial_join.knn_great_circle): the
+# metric twin of knn_radius_join over the same md5-uniform 0.1-degree
+# window at 45N as haversine_radius_join; ranking by hav_ppq ascending
+# (exactly true-distance order), neighbor-id tie-break.
+# ===========================================================================
+
+_KGC_K = 3
+
+
+@_register("knn_great_circle")
+def _kgc(spark, sf_dir):
+    from .operators.spatial_join import knn_great_circle
+
+    lon_sql, lat_sql = _hrj_pt_sql("spark")
+    pts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pid"),
+        F.expr(lon_sql).alias("flon"),
+        F.expr(lat_sql).alias("flat"),
+    )
+    out = knn_great_circle(
+        pts, _HRJ_D_M, k=_KGC_K, lon="flon", lat="flat", id_col="pid"
+    )
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.col("hav_ppq").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("knn_great_circle")
+def _kgc_o() -> str:
+    from .functions import geodesic as GEO
+
+    thr = repr(GEO.hav_threshold(_HRJ_D_M))
+    pre = GEO.planar_bound_fixed(_HRJ_D_M, 450000000 + _HRJ_WIN)
+    lon_sql, lat_sql = _hrj_pt_sql("duckdb")
+    wl = "LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))"
+    da = "ABS(a.flat - b.flat)"
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT doc_id AS pid, {lon_sql} AS flon, {lat_sql} AS flat
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT a.pid AS a, b.pid AS b,
+         a.flon, a.flat, b.flon AS blon, b.flat AS blat
+  FROM pts a JOIN pts b ON a.pid != b.pid
+  WHERE {wl} * {wl} + {da} * {da} <= {pre * pre}
+),
+verified AS MATERIALIZED (
+  SELECT a, b,
+         {GEO.hav_sql("flon", "flat", "blon", "blat")} AS hav
+  FROM cand
+),
+inrad AS MATERIALIZED (
+  SELECT a, b, CAST(FLOOR(hav * 1.0e15) AS BIGINT) AS hav_ppq
+  FROM verified WHERE hav <= {thr}
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, hav_ppq,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT a, b, hav_ppq,
+         ROW_NUMBER() OVER (PARTITION BY a ORDER BY hav_ppq, b) AS rk
+  FROM inrad
+) WHERE rk <= {_KGC_K}
+"""

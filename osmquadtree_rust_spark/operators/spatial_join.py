@@ -684,7 +684,27 @@ def haversine_radius_join(
     geohash_radius_join (one de-interleaved projection consumed by both
     join sides, broadcast offsets block, no join-back) + one vectorized
     Arrow batch per candidate partition for the verify."""
-    import pandas as pd
+    pairs, _ = _haversine_pairs_impl(
+        points, d_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
+        ring, cache=False,
+    )
+    return pairs
+
+
+def _haversine_pairs_impl(
+    points: DataFrame,
+    d_meters: float,
+    lon: str,
+    lat: str,
+    id_col: str,
+    max_abs_lat_fixed: int | None,
+    chars: int | None,
+    ring: int,
+    cache: bool,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Shared body: grid-cover candidates (metric-derived bound) + hav
+    verify.  Returns ((a, b, hav_ppq), proj-or-None) — proj is the
+    persisted points projection when cache=True (caller unpersists)."""
     from pyspark.sql.types import DoubleType
 
     from ..functions import geodesic as GEO
@@ -697,9 +717,9 @@ def haversine_radius_join(
             raise ValueError("haversine_radius_join: points is empty")
         max_abs_lat_fixed = int(row["m"])
     d_fixed = GEO.planar_bound_fixed(d_meters, max_abs_lat_fixed)
-    pairs, _ = _radius_join_impl(
+    pairs, proj = _radius_join_impl(
         points, d_fixed, lon, lat, chars, id_col, ring,
-        cache=False, keep_coords=True,
+        cache=cache, keep_coords=True,
     )
     thr = GEO.hav_threshold(d_meters)
 
@@ -715,7 +735,7 @@ def haversine_radius_join(
         )
         return pd.Series(out)
 
-    return (
+    out = (
         pairs.withColumn(
             "__hav", hav_udf("__alon", "__alat", "__blon", "__blat")
         )
@@ -728,3 +748,55 @@ def haversine_radius_join(
             F.floor(F.col("__hav") * 1.0e15).cast("long").alias("hav_ppq"),
         )
     )
+    return out, proj
+
+
+def knn_great_circle(
+    points: DataFrame,
+    d_meters: float,
+    k: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "id",
+    max_abs_lat_fixed: int | None = None,
+    chars: int | None = None,
+) -> DataFrame:
+    """For EVERY point, its k nearest neighbors by GREAT-CIRCLE distance
+    among points within `d_meters` — the metric twin of
+    knn_within_radius (same radius-bounded contract: points with fewer
+    than k in-radius neighbors return what exists; no neighbor in d =
+    absent).  Ranking is by hav_ppq ascending, which orders exactly as
+    true distance (hav is monotone), with neighbor-id tie-break.
+
+    Composition of verified pieces: metric grid-cover candidates + hav
+    verify (haversine_radius_join's body, recall-complete away from the
+    poles) symmetrized with ONE explode (the union-branch recompute
+    trap), then the salted skew-safe top_k_per_group.  Cache lifecycle
+    as knn_within_radius: the points projection is persisted across the
+    join's two consumers, the k-bounded result localCheckpointed, the
+    cache released before return."""
+    pairs, proj = _haversine_pairs_impl(
+        points, d_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
+        ring=1, cache=True,
+    )
+    sym = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a"), F.col("b"), F.col("hav_ppq")),
+                F.struct(
+                    F.col("b").alias("a"),
+                    F.col("a").alias("b"),
+                    F.col("hav_ppq"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b", "s.hav_ppq")
+    from .text import top_k_per_group
+
+    ranked = top_k_per_group(
+        sym, group="a", order="hav_ppq", k=k, id_col="b", ascending=True
+    )
+    res = ranked.localCheckpoint(eager=True)
+    if proj is not None:
+        proj.unpersist()
+    return res

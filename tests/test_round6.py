@@ -912,3 +912,36 @@ def test_temperature_sample_by_source(spark):
             assert kept[lo].get(s, set()) <= kept[hi].get(s, set())
     with pytest.raises(ValueError, match="tau_quarters"):
         temperature_sample_by_source(docs, tau_quarters=4)
+
+
+def test_knn_great_circle_small(spark):
+    import math
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        knn_great_circle,
+    )
+
+    lat0 = 450000000
+    m_per_latfix = GEO.EARTH_R_M * math.pi / 180.0 / 1e7
+    m_per_lonfix = m_per_latfix * math.cos(math.radians(45.0))
+    pts = spark.createDataFrame(
+        [
+            (1, 1000000, lat0),
+            (2, 1000000 + int(100 / m_per_lonfix), lat0),   # ~100m E of 1
+            (3, 1000000, lat0 + int(200 / m_per_latfix)),   # ~200m N of 1
+            (4, 1000000, lat0 + int(420 / m_per_latfix)),   # ~420m N of 1
+            (5, 1000000 + int(4000 / m_per_lonfix), lat0),  # isolated
+        ],
+        "id long, lon long, lat long",
+    )
+    out = {
+        (r["a"], r["rk"]): r["b"]
+        for r in knn_great_circle(pts, 500.0, k=2).collect()
+    }
+    # point 1: nearest 2 (100m), then 3 (200m); 4 at 420m is rank 3
+    assert out[(1, 1)] == 2 and out[(1, 2)] == 3
+    # point 4: 3 at ~220m, 1 at ~420m; 2 at ~432m just misses k=2
+    assert out[(4, 1)] == 3 and out[(4, 2)] == 1
+    # isolated point absent entirely
+    assert not any(a == 5 for a, _ in out)
