@@ -2485,3 +2485,117 @@ FROM (
   FROM inrad
 ) WHERE rk <= {_KGC_K}
 """
+
+
+# ===========================================================================
+# trajectory analytics (operators/trajectory.py): per-entity ordered
+# great-circle segment stats + polygon fence transitions.  Positions
+# are the deterministic synthetic footprint centres (sources/synth.py)
+# attached to the events stream, so both engines derive them from the
+# same shared SQL text; segment lengths are integer-mm chords
+# (trajectory.chord_mm_sql == _chord_mm_udf, sqrt/mul/floor IEEE).
+# ===========================================================================
+
+
+def _traj_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = synth.synth_geo_exprs("event_id")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr(e["lon"]).alias("lon"),
+        F.expr(e["lat"]).alias("lat"),
+    )
+
+
+def _traj_synth_sql() -> str:
+    e = synth.synth_geo_exprs("event_id")
+    return (
+        f"SELECT event_id, user_id, ts, {e['lon']} AS lon, "
+        f"{e['lat']} AS lat FROM events"
+    )
+
+
+@_register("track_stats")
+def _tst(spark, sf_dir):
+    from .operators.trajectory import track_stats
+
+    out = track_stats(_traj_events(spark, sf_dir))
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_points").cast("long"),
+        F.col("n_segments").cast("long"),
+        F.col("path_mm").cast("long"),
+        F.col("max_seg_mm").cast("long"),
+    )
+
+
+@_oracle("track_stats")
+def _tst_o() -> str:
+    from .operators.trajectory import chord_mm_sql
+
+    seg = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS MATERIALIZED (
+  {_traj_synth_sql()}
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN plon IS NULL THEN NULL ELSE {seg} END AS seg_mm
+  FROM lagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(COUNT(seg_mm) AS BIGINT) AS n_segments,
+       CAST(COALESCE(SUM(seg_mm), 0) AS BIGINT) AS path_mm,
+       CAST(COALESCE(MAX(seg_mm), 0) AS BIGINT) AS max_seg_mm
+FROM seg GROUP BY user_id
+"""
+
+
+@_register("geofence_transitions")
+def _gft(spark, sf_dir):
+    from .operators import filter as FL
+    from .operators.trajectory import geofence_transitions
+
+    poly = FL.Poly(_POLY_VX, _POLY_VY)
+    out = geofence_transitions(_traj_events(spark, sf_dir), poly)
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("event_id").cast("long"),
+        F.col("transition"),
+    )
+
+
+@_oracle("geofence_transitions")
+def _gft_o() -> str:
+    pip = geo_sql.pnpoly_sql(
+        _POLY_VX,
+        _POLY_VY,
+        "CAST(lon AS DOUBLE) * 0.0000001",
+        "CAST(lat AS DOUBLE) * 0.0000001",
+    )
+    return f"""
+WITH pts AS MATERIALIZED (
+  {_traj_synth_sql()}
+),
+flagged AS MATERIALIZED (
+  SELECT user_id, event_id, ts, ({pip}) AS inf
+  FROM pts
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, inf, LAG(inf) OVER w AS pin
+  FROM flagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CASE WHEN inf THEN 'enter' ELSE 'exit' END AS transition
+FROM lagged WHERE pin IS NOT NULL AND pin != inf
+"""

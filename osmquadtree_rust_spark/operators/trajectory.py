@@ -1,0 +1,191 @@
+"""Trajectory analytics over per-entity point-event streams.
+
+The reference engine's change machinery is built on per-id temporally
+ordered element streams (combine_block.rs:93-134 latest-wins ordering,
+find_update.rs:22-137 per-id state harvest); trajectory reconstruction
+is the metric generalization: order each entity's events by time and
+derive great-circle segment statistics and region enter/exit
+transitions.
+
+Scale shape: one data-sized hash shuffle on the entity key (window
+partitionBy) followed by narrow projections; the per-entity aggregate
+in track_stats partial-aggregates before its exchange, so its shuffle
+is entity-count-sized (see its docstring).  The point-in-polygon test
+is a vectorized Arrow-batch projection (filter.make_pip_udf) evaluated
+before the shuffle, so the window carries one boolean, not
+coordinates.
+
+Float discipline (functions/geodesic.py): the haversine term is
+numpy sin/cos + pinned IEEE arithmetic (libm-exact both engines);
+segment lengths are reported as the CHORD through the sphere,
+2R*sqrt(hav), because sqrt is IEEE-correctly-rounded on every engine
+while asin is not — chord is a true metric, strictly monotone in arc
+distance, and within 0.0017% of arc length for segments <= 50 km.
+Chords are floored to integer millimetres so per-entity sums are exact
+integer arithmetic cross-engine (no float summation order anywhere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions import geodesic as GEO
+
+# floor(sqrt(hav) * CHORD_MM_LIT) == chord length in whole millimetres:
+# chord = 2R*sin(d/2R) = 2R*sqrt(hav).  One literal, one mul — pinned.
+CHORD_MM_LIT = repr(2.0 * GEO.EARTH_R_M * 1000.0)
+
+
+@F.pandas_udf(LongType())
+def _chord_mm_udf(
+    alon: pd.Series, alat: pd.Series, blon: pd.Series, blat: pd.Series
+) -> pd.Series:
+    # inputs must be non-null (callers coalesce/filter first): a null
+    # would widen the int64 batch to float64 and corrupt the fixed-point
+    hav = GEO.hav_np(
+        alon.to_numpy(np.int64),
+        alat.to_numpy(np.int64),
+        blon.to_numpy(np.int64),
+        blat.to_numpy(np.int64),
+    )
+    return pd.Series(
+        np.floor(np.sqrt(hav) * float(CHORD_MM_LIT)).astype(np.int64)
+    )
+
+
+def chord_mm_sql(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:
+    """The identical chord computation as SQL text (DuckDB oracle side):
+    FLOOR(sqrt(hav) * lit) — sqrt/mul/floor are engine-identical IEEE."""
+    hav = GEO.hav_sql(lon_a, lat_a, lon_b, lat_b)
+    return f"CAST(FLOOR(sqrt({hav}) * {CHORD_MM_LIT}) AS BIGINT)"
+
+
+def track_segments(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Consecutive-point segments per entity.
+
+    Orders each entity's events by (ts_col, seq_col) — a pinned TOTAL
+    order (seq_col must be unique per entity) so results are
+    deterministic under timestamp ties — and emits one row per
+    consecutive pair: (id_col, seq_col, chord_mm) where chord_mm is the
+    great-circle chord length of the segment ENDING at this event, in
+    whole millimetres (see module docstring).  The first event of each
+    entity emits no segment.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    lagged = (
+        events.select(id_col, ts_col, seq_col, lon, lat)
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__plat", F.lag(lat).over(w))
+    )
+    return lagged.filter(F.col("__plon").isNotNull()).select(
+        F.col(id_col),
+        F.col(seq_col),
+        _chord_mm_udf(F.col("__plon"), F.col("__plat"), F.col(lon), F.col(lat)).alias(
+            "chord_mm"
+        ),
+    )
+
+
+def track_stats(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity track statistics in one shuffle.
+
+    Returns (id_col, n_points, n_segments, path_mm, max_seg_mm):
+    point count, segment count, total path length (sum of integer-mm
+    chords — exact, order-free), and the longest single segment.
+    Entities with a single point report n_segments 0 and path_mm 0.
+
+    path_mm is exact while n_segments * 2R*1000 < 2^63 (~7.2e8
+    antipodal segments per entity — unreachable for real tracks).
+    Plan shape: the aggregate groups on the window's own partition key;
+    the ArrowEvalPython chord projection drops the propagated
+    partitioning in Spark 4, so Catalyst inserts a second exchange —
+    but BELOW a partial HashAggregate, so that shuffle carries one row
+    per (entity, input partition): entity-count-sized, not data-sized.
+    """
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    lagged = (
+        events.select(id_col, ts_col, seq_col, lon, lat)
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__plat", F.lag(lat).over(w))
+        .withColumn(
+            # the UDF runs on every row (Spark evaluates Python UDFs
+            # before the when-mask), so feed first-rows their own point
+            # (chord 0) and let the mask null them out for the counts
+            "__seg_mm",
+            F.when(
+                F.col("__plon").isNotNull(),
+                _chord_mm_udf(
+                    F.coalesce(F.col("__plon"), F.col(lon)),
+                    F.coalesce(F.col("__plat"), F.col(lat)),
+                    F.col(lon),
+                    F.col(lat),
+                ),
+            ),
+        )
+    )
+    return lagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.count("__seg_mm").alias("n_segments"),
+        F.coalesce(F.sum("__seg_mm"), F.lit(0)).alias("path_mm"),
+        F.coalesce(F.max("__seg_mm"), F.lit(0)).alias("max_seg_mm"),
+    )
+
+
+def geofence_transitions(
+    events: DataFrame,
+    poly,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Enter/exit transitions of each entity across a polygon fence.
+
+    `poly` is an operators.filter.Poly (the reference's exact pnpoly
+    crossing-number semantics, filter_elements.rs:89-129, vectorized).
+    Each event is classified inside/outside BEFORE the shuffle (the
+    window then carries one boolean); per entity in (ts_col, seq_col)
+    order, every flip of the flag emits one row:
+
+      (id_col, seq_col, ts_col, transition) — transition 'enter' when
+      the event is the first inside after being outside, 'exit' for the
+      reverse.  An entity's first event emits nothing (no prior state).
+    """
+    from .filter import make_pip_udf
+
+    pip = make_pip_udf(poly)
+    flagged = events.select(id_col, ts_col, seq_col, lon, lat).withColumn(
+        "__in", pip(F.col(lon), F.col(lat))
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    return (
+        flagged.withColumn("__pin", F.lag("__in").over(w))
+        .filter(F.col("__pin").isNotNull() & (F.col("__pin") != F.col("__in")))
+        .select(
+            F.col(id_col),
+            F.col(seq_col),
+            F.col(ts_col),
+            F.when(F.col("__in"), F.lit("enter"))
+            .otherwise(F.lit("exit"))
+            .alias("transition"),
+        )
+    )

@@ -945,3 +945,85 @@ def test_knn_great_circle_small(spark):
     assert out[(4, 1)] == 3 and out[(4, 2)] == 1
     # isolated point absent entirely
     assert not any(a == 5 for a, _ in out)
+
+
+def test_track_stats_small(spark):
+    import math
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.trajectory import (
+        CHORD_MM_LIT,
+        track_segments,
+        track_stats,
+    )
+
+    lat0 = 450000000
+    m_per_latfix = GEO.EARTH_R_M * math.pi / 180.0 / 1e7
+    step = int(1000 / m_per_latfix)  # ~1 km due north per hop
+    rows = []
+    # user 1: three points northward (2 segments); out-of-order ts input
+    for i, (seq, toff) in enumerate([(11, 30), (10, 20), (12, 40)]):
+        rows.append((1, seq, toff, 100, lat0 + step * [1, 0, 2][i]))
+    # user 2: single point (no segments)
+    rows.append((2, 20, 0, 100, lat0))
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (u, s, datetime.datetime(2024, 1, 1, 0, 0, t), lo, la)
+            for u, s, t, lo, la in rows
+        ],
+        "user_id long, event_id long, ts timestamp, lon long, lat long",
+    )
+    import numpy as np
+
+    def chord(la1, la2):
+        h = GEO.hav_np(
+            np.array([100]), np.array([la1]), np.array([100]), np.array([la2])
+        )[0]
+        return int(math.floor(math.sqrt(h) * float(CHORD_MM_LIT)))
+
+    seg_exp = {11: chord(lat0, lat0 + step), 12: chord(lat0 + step, lat0 + 2 * step)}
+    segs = {r["event_id"]: r["chord_mm"] for r in track_segments(df).collect()}
+    assert segs == seg_exp
+
+    st = {r["user_id"]: r for r in track_stats(df).collect()}
+    assert st[1]["n_points"] == 3 and st[1]["n_segments"] == 2
+    assert st[1]["path_mm"] == sum(seg_exp.values())
+    assert st[1]["max_seg_mm"] == max(seg_exp.values())
+    assert st[2]["n_points"] == 1 and st[2]["n_segments"] == 0
+    assert st[2]["path_mm"] == 0 and st[2]["max_seg_mm"] == 0
+    # ~1 km hops: chord within 1 mm of 1000 m (flooring + sphere chord)
+    assert abs(seg_exp[11] - 1000000) <= 1000
+
+
+def test_geofence_transitions_small(spark):
+    import datetime
+
+    from osmquadtree_rust_spark.operators.filter import Poly
+    from osmquadtree_rust_spark.operators.trajectory import (
+        geofence_transitions,
+    )
+
+    # unit square fence 0..10 degrees
+    poly = Poly([0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0])
+    mk = lambda t: datetime.datetime(2024, 1, 1, 0, 0, t)
+    inside, outside = (50000000, 50000000), (200000000, 50000000)
+    rows = [
+        # user 1: out -> in -> in -> out  => enter at e2, exit at e4
+        (1, 1, mk(1), *outside),
+        (1, 2, mk(2), *inside),
+        (1, 3, mk(3), *inside),
+        (1, 4, mk(4), *outside),
+        # user 2: starts inside, stays -> no transitions
+        (2, 5, mk(1), *inside),
+        (2, 6, mk(2), *inside),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, lon long, lat long"
+    )
+    out = {
+        (r["user_id"], r["event_id"]): r["transition"]
+        for r in geofence_transitions(df, poly).collect()
+    }
+    assert out == {(1, 2): "enter", (1, 4): "exit"}
