@@ -2599,3 +2599,100 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CASE WHEN inf THEN 'enter' ELSE 'exit' END AS transition
 FROM lagged WHERE pin IS NOT NULL AND pin != inf
 """
+
+
+# ===========================================================================
+# metric DBSCAN (operators/spatial_join.dbscan_metric): deterministic
+# density clustering — grid-cover + hav-verified eps-neighborhoods,
+# min-label components over core-core edges, min-comp border rule.
+# Same md5-uniform 0.1-degree point window as haversine_radius_join.
+# ===========================================================================
+
+_DBS_EPS_M = 300.0
+_DBS_MIN_PTS = 4
+
+
+@_register("dbscan_clusters")
+def _dbs(spark, sf_dir):
+    from .operators.spatial_join import dbscan_metric
+
+    lon_sql, lat_sql = _hrj_pt_sql("spark")
+    pts = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("pid"),
+        F.expr(lon_sql).alias("flon"),
+        F.expr(lat_sql).alias("flat"),
+    )
+    out = dbscan_metric(
+        pts, _DBS_EPS_M, _DBS_MIN_PTS, lon="flon", lat="flat", id_col="pid"
+    )
+    return out.select(
+        F.col("id").cast("long"),
+        F.col("role"),
+        F.col("comp").cast("long"),
+    )
+
+
+@_oracle("dbscan_clusters")
+def _dbs_o() -> str:
+    from .functions import geodesic as GEO
+
+    thr = repr(GEO.hav_threshold(_DBS_EPS_M))
+    pre = GEO.planar_bound_fixed(_DBS_EPS_M, 450000000 + _HRJ_WIN)
+    lon_sql, lat_sql = _hrj_pt_sql("duckdb")
+    wl = "LEAST(ABS(a.flon - b.flon), 3600000000 - ABS(a.flon - b.flon))"
+    da = "ABS(a.flat - b.flat)"
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED (
+  SELECT doc_id AS pid, {lon_sql} AS flon, {lat_sql} AS flat
+  FROM documents
+),
+cand AS MATERIALIZED (
+  SELECT a.pid AS a, b.pid AS b,
+         a.flon, a.flat, b.flon AS blon, b.flat AS blat
+  FROM pts a JOIN pts b ON a.pid < b.pid
+  WHERE {wl} * {wl} + {da} * {da} <= {pre * pre}
+),
+pairs AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b, {GEO.hav_sql("flon", "flat", "blon", "blat")} AS hav
+    FROM cand
+  ) WHERE hav <= {thr}
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+),
+core AS MATERIALIZED (
+  SELECT a AS id FROM sym GROUP BY a HAVING COUNT(*) + 1 >= {_DBS_MIN_PTS}
+),
+core_edges AS MATERIALIZED (
+  SELECT s.a, s.b FROM sym s
+  JOIN core c1 ON s.a = c1.id JOIN core c2 ON s.b = c2.id
+),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN core_edges e ON e.a = reach.r
+),
+cc AS MATERIALIZED (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+),
+cls AS MATERIALIZED (
+  SELECT s.a AS id, MIN(cb.comp) AS minbc
+  FROM sym s LEFT JOIN cc cb ON s.b = cb.id
+  GROUP BY s.a
+),
+lab AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN cc.comp IS NOT NULL THEN 'core'
+              WHEN c.minbc IS NOT NULL THEN 'border'
+              ELSE 'noise' END AS role,
+         COALESCE(cc.comp, c.minbc) AS comp
+  FROM cls c LEFT JOIN cc ON c.id = cc.id
+)
+SELECT CAST(id AS BIGINT) AS id, role, CAST(comp AS BIGINT) AS comp
+FROM lab
+UNION ALL
+SELECT CAST(p.pid AS BIGINT) AS id, 'noise' AS role,
+       CAST(NULL AS BIGINT) AS comp
+FROM pts p WHERE p.pid NOT IN (SELECT a FROM sym)
+"""

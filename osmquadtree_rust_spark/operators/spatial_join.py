@@ -800,3 +800,125 @@ def knn_great_circle(
     if proj is not None:
         proj.unpersist()
     return res
+
+
+def dbscan_metric(
+    points: DataFrame,
+    eps_meters: float,
+    min_pts: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "id",
+    max_abs_lat_fixed: int | None = None,
+    chars: int | None = None,
+) -> DataFrame:
+    """Deterministic metric DBSCAN over fixed-point lon/lat points.
+
+    Semantics (classical DBSCAN, made order-independent):
+      - neighbors: great-circle distance <= eps_meters (hav-space
+        verify, recall-complete grid-cover candidates away from poles);
+      - core: |N_eps(p)| >= min_pts COUNTING p itself (the textbook
+        rule);
+      - clusters: connected components over core-core edges, labelled
+        by the MINIMUM core id in the component (min-label CC) — unlike
+        scan-order DBSCAN this is a pure function of the point set;
+      - border: non-core with >= 1 core neighbor, assigned the MINIMUM
+        of its core neighbors' components (scan-order DBSCAN assigns
+        whichever core claimed it first; the min rule pins it);
+      - noise: everything else (comp NULL).
+
+    Returns (id, role, comp): role in {'core','border','noise'}.
+    min_pts == 1 makes every point core (singletons become their own
+    cluster), matching the definition.
+
+    Scale shape: candidate pairs are grid-bucketed (never all-pairs);
+    the pair frame is persisted across its three consumers (degree,
+    core-core edge list, classification) and released before return;
+    components run min-label propagation with per-round checkpoint
+    lineage truncation (operators/dedup.connected_components).  The
+    output (one row per point) is localCheckpointed so callers never
+    re-drive the pair join; at planet scale write it straight to a
+    sink.
+    """
+    if min_pts < 1:
+        raise ValueError(f"min_pts={min_pts} must be >= 1")
+    from .dedup import connected_components
+
+    pairs, proj = _haversine_pairs_impl(
+        points, eps_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
+        ring=1, cache=True,
+    )
+    # ONE explode, not union-with-swap (union branches re-evaluate their
+    # whole subtree — the pair join would run twice)
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("s")
+        )
+        .select("s.a", "s.b")
+        .persist()
+    )
+    sym.count()  # eager drive, then the expensive upstream can go
+    if proj is not None:
+        proj.unpersist()
+
+    ids = points.select(F.col(id_col).alias("id"))
+    if min_pts <= 1:
+        core_ids = ids
+    else:
+        core_ids = (
+            sym.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") + 1 >= min_pts)
+            .select("id")
+        )
+    core_edges = (
+        sym.join(core_ids.withColumnRenamed("id", "a"), "a", "left_semi")
+        .join(core_ids.withColumnRenamed("id", "b"), "b", "left_semi")
+        .select("a", "b")
+    )
+    # (id, comp) for every core id; isolated cores (min_pts == 1) label
+    # themselves.  connected_components checkpoints its inputs and
+    # returns materialized labels.
+    cc = connected_components(core_ids, core_edges, id_col="id")
+
+    cls = (
+        sym.join(
+            cc.select(
+                F.col("id").alias("b"), F.col("comp").alias("__bcomp")
+            ),
+            "b",
+            "left",
+        )
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.min("__bcomp").alias("__minbc"))
+        .join(cc.withColumnRenamed("comp", "__acomp"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__acomp").isNotNull(), F.lit("core"))
+            .when(F.col("__minbc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("__acomp"), F.col("__minbc")).alias("comp"),
+        )
+    )
+    isolated = ids.join(sym.select(F.col("a").alias("id")), "id", "left_anti")
+    if min_pts <= 1:
+        iso_cls = isolated.select(
+            "id",
+            F.lit("core").alias("role"),
+            F.col("id").cast("long").alias("comp"),
+        )
+    else:
+        iso_cls = isolated.select(
+            "id",
+            F.lit("noise").alias("role"),
+            F.lit(None).cast("long").alias("comp"),
+        )
+    res = cls.unionByName(iso_cls).localCheckpoint(eager=True)
+    sym.unpersist()
+    return res

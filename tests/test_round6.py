@@ -1027,3 +1027,124 @@ def test_geofence_transitions_small(spark):
         for r in geofence_transitions(df, poly).collect()
     }
     assert out == {(1, 2): "enter", (1, 4): "exit"}
+
+
+def _brute_dbscan(ids, lons, lats, eps_m, min_pts):
+    """Pure-python reference: same deterministic DBSCAN rules
+    (min-label components, min-comp border)."""
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+
+    thr = GEO.hav_threshold(eps_m)
+    n = len(ids)
+    lons = np.asarray(lons, dtype=np.int64)
+    lats = np.asarray(lats, dtype=np.int64)
+    nbrs = {i: set() for i in range(n)}
+    for i in range(n):
+        h = GEO.hav_np(
+            np.full(n, lons[i]), np.full(n, lats[i]), lons, lats
+        )
+        for j in range(n):
+            if j != i and h[j] <= thr:
+                nbrs[i].add(j)
+    core = {i for i in range(n) if len(nbrs[i]) + 1 >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    comp = {}
+    for i in core:
+        root = find(i)
+        grp = comp.setdefault(root, [])
+        grp.append(i)
+    label = {}
+    for root, members in comp.items():
+        lab = min(ids[m] for m in members)
+        for m in members:
+            label[m] = lab
+    out = {}
+    for i in range(n):
+        if i in core:
+            out[ids[i]] = ("core", label[i])
+        else:
+            cn = [label[j] for j in nbrs[i] if j in core]
+            if cn:
+                out[ids[i]] = ("border", min(cn))
+            else:
+                out[ids[i]] = ("noise", None)
+    return out
+
+
+def test_dbscan_metric_small(spark):
+    import math
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.spatial_join import dbscan_metric
+
+    lat0 = 450000000
+    m_lat = GEO.EARTH_R_M * math.pi / 180.0 / 1e7
+    s = lambda m: int(m / m_lat)  # metres -> lat fixed units
+    pts = [
+        # cluster A: 4 points within 100m of each other (all core at
+        # min_pts=4 when eps=200: each sees the other 3)
+        (1, 0, lat0),
+        (2, 0, lat0 + s(80)),
+        (3, 0, lat0 + s(160)),
+        (4, 0, lat0 + s(120)),
+        # border: 180m above point 3 — sees only core 3 within eps
+        (5, 0, lat0 + s(340)),
+        # noise pair: two points 100m apart, 10km east
+        (6, 2000000, lat0),
+        (7, 2000000, lat0 + s(100)),
+    ]
+    df = spark.createDataFrame(pts, "id long, lon long, lat long")
+    got = {
+        r["id"]: (r["role"], r["comp"])
+        for r in dbscan_metric(df, 200.0, 4, id_col="id").collect()
+    }
+    exp = _brute_dbscan(
+        [p[0] for p in pts], [p[1] for p in pts], [p[2] for p in pts],
+        200.0, 4,
+    )
+    assert got == exp
+    assert got[1] == ("core", 1) and got[5] == ("border", 1)
+    assert got[6] == ("noise", None) and got[7] == ("noise", None)
+
+
+def test_dbscan_metric_randomized_net(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.spatial_join import dbscan_metric
+
+    lat0 = 450000000
+    for seed, n, eps, min_pts in [
+        (101, 60, 400.0, 3),
+        (202, 90, 700.0, 4),
+        (303, 120, 250.0, 2),
+        (404, 80, 1500.0, 1),
+    ]:
+        rng = random.Random(seed)
+        ids = list(range(1, n + 1))
+        lons = [rng.randrange(0, 120000) for _ in ids]
+        lats = [lat0 + rng.randrange(0, 120000) for _ in ids]
+        df = spark.createDataFrame(
+            list(zip(ids, lons, lats)), "id long, lon long, lat long"
+        )
+        got = {
+            r["id"]: (r["role"], r["comp"])
+            for r in dbscan_metric(df, eps, min_pts, id_col="id").collect()
+        }
+        exp = _brute_dbscan(ids, lons, lats, eps, min_pts)
+        assert got == exp, f"seed={seed}"
