@@ -1148,3 +1148,57 @@ def test_dbscan_metric_randomized_net(spark):
         }
         exp = _brute_dbscan(ids, lons, lats, eps, min_pts)
         assert got == exp, f"seed={seed}"
+
+
+def test_connected_components_log_diameter(spark):
+    """Pointer jumping: a 64-vertex chain (diameter 63) must converge in
+    O(log d) rounds — max_iter=10 would fail under plain O(d) min-label
+    propagation (it needs 63)."""
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    n = 64
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = D.connected_components(verts, chain, max_iter=10)
+    assert {r["comp"] for r in out.collect()} == {0}
+
+
+def test_connected_components_random_net(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators import dedup as D
+
+    for seed in (7, 77):
+        rng = random.Random(seed)
+        n = 200
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(150)
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {}
+        for i in range(n):
+            exp.setdefault(find(i), []).append(i)
+        want = {i: min(m) for r, m in exp.items() for i in m}
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pf = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["doc_id"]: r["comp"]
+            for r in D.connected_components(verts, pf).collect()
+        }
+        assert got == want, f"seed={seed}"
