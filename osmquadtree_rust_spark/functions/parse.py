@@ -151,3 +151,29 @@ def epoch_seconds(df, ts_col: str, floor: bool = True):
             f"ts column {ts_col!r} has non-temporal, non-numeric type {dtype}"
         )
     return F.floor(base).cast("long") if floor else base
+
+
+def epoch_micros(df, ts_col: str):
+    """Epoch-MICROSECONDS Column with the same strict dtype dispatch as
+    epoch_seconds — for operators that need sub-second time arithmetic
+    (trajectory interpolation).  TIMESTAMP goes through unix_micros;
+    TIMESTAMP_NTZ is cast to TIMESTAMP first, which is instant-exact
+    because the engine session timezone is pinned to UTC (session.py) —
+    the same naive==UTC convention DuckDB's epoch_us applies to parquet
+    NTZ values, verified bit-equal cross-engine.  Integral columns pass
+    through as already-micros; anything else raises."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype is None:
+        raise ValueError(f"ts column {ts_col!r} not in {df.columns}")
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(ts_col))
+    if dtype == "timestamp_ntz":
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return F.col(ts_col).cast("long")
+    raise ValueError(
+        f"ts column {ts_col!r} has type {dtype}; epoch_micros needs a "
+        f"timestamp or integral-micros column"
+    )

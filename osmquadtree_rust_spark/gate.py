@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import geo_sql
+from .functions import parse as PARSE
 from .functions import qt_spark as qs
 from .functions import qt_sql as qsql
 from .operators import merge as M
@@ -2695,4 +2696,102 @@ UNION ALL
 SELECT CAST(p.pid AS BIGINT) AS id, 'noise' AS role,
        CAST(NULL AS BIGINT) AS comp
 FROM pts p WHERE p.pid NOT IN (SELECT a FROM sym)
+"""
+
+
+# ===========================================================================
+# trajectory position interpolation (operators/trajectory.
+# interpolate_track): per-entity resampling at query timestamps —
+# ignore-nulls bracket windows + the shared interp_exprs text (integer
+# wrap math + one IEEE div/mul/add/FLOOR, identical both engines).
+# Queries are derived from the events stream itself: every 7th event
+# queries 7.78s after its own timestamp (interp/after_end), every 14th
+# 11.6 days BEFORE it (exercises before_start for early-month events).
+# ===========================================================================
+
+_ITP_FWD = 7777777          # +7.78 s in microseconds
+_ITP_BWD = -999999999999    # -11.57 days
+
+
+@_register("interpolate_track")
+def _itp(spark, sf_dir):
+    from .operators.trajectory import interpolate_track
+
+    pts = _traj_events(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").filter(F.expr("event_id % 7 = 3"))
+    qs = ev.select(
+        "user_id",
+        F.col("event_id").alias("qid"),
+        (
+            PARSE.epoch_micros(ev, "ts")
+            + F.when(
+                F.expr("event_id % 14 = 3"), F.lit(_ITP_BWD)
+            ).otherwise(F.lit(_ITP_FWD))
+        ).alias("qts"),
+    )
+    out = interpolate_track(pts, qs, keep_cols=("qid",))
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("qus").cast("long"),
+        F.col("mode"),
+        F.col("lon").cast("long"),
+        F.col("lat").cast("long"),
+    )
+
+
+@_oracle("interpolate_track")
+def _itp_o() -> str:
+    from .operators.trajectory import interp_exprs
+
+    lon_sql, lat_sql = interp_exprs(
+        "qus", "t0", "t1", "lon0", "lat0", "lon1", "lat1"
+    )
+    return f"""
+WITH pts AS MATERIALIZED (
+  {_traj_synth_sql()}
+),
+pp AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS tus, lon, lat FROM pts
+),
+q AS MATERIALIZED (
+  SELECT user_id, event_id AS qid,
+         epoch_us(ts) + CASE WHEN event_id % 14 = 3
+                             THEN {_ITP_BWD} ELSE {_ITP_FWD} END AS qus
+  FROM events WHERE event_id % 7 = 3
+),
+b0 AS MATERIALIZED (
+  SELECT q.qid, q.user_id, q.qus,
+         arg_max(p.tus, p.tus) AS t0,
+         arg_max(p.lon, p.tus) AS lon0,
+         arg_max(p.lat, p.tus) AS lat0
+  FROM q LEFT JOIN pp p ON q.user_id = p.user_id AND p.tus <= q.qus
+  GROUP BY q.qid, q.user_id, q.qus
+),
+b1 AS MATERIALIZED (
+  SELECT q.qid,
+         arg_min(p.tus, p.tus) AS t1,
+         arg_min(p.lon, p.tus) AS lon1,
+         arg_min(p.lat, p.tus) AS lat1
+  FROM q LEFT JOIN pp p ON q.user_id = p.user_id AND p.tus > q.qus
+  GROUP BY q.qid
+),
+j AS MATERIALIZED (
+  SELECT b0.qid, b0.user_id, b0.qus, t0, lon0, lat0, t1, lon1, lat1
+  FROM b0 JOIN b1 ON b0.qid = b1.qid
+  WHERE t0 IS NOT NULL OR t1 IS NOT NULL
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(qus AS BIGINT) AS qus,
+       CASE WHEN t0 IS NULL THEN 'before_start'
+            WHEN t1 IS NULL THEN 'after_end'
+            ELSE 'interp' END AS mode,
+       CAST(CASE WHEN t0 IS NULL THEN lon1
+                 WHEN t1 IS NULL THEN lon0
+                 ELSE {lon_sql} END AS BIGINT) AS lon,
+       CAST(CASE WHEN t0 IS NULL THEN lat1
+                 WHEN t1 IS NULL THEN lat0
+                 ELSE {lat_sql} END AS BIGINT) AS lat
+FROM j
 """

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions import geodesic as GEO
+from ..functions import parse as PARSE
 
 # floor(sqrt(hav) * CHORD_MM_LIT) == chord length in whole millimetres:
 # chord = 2R*sin(d/2R) = 2R*sqrt(hav).  One literal, one mul — pinned.
@@ -188,4 +189,131 @@ def geofence_transitions(
             .otherwise(F.lit("exit"))
             .alias("transition"),
         )
+    )
+
+
+def interp_exprs(
+    qus: str, t0: str, t1: str,
+    lon0: str, lat0: str, lon1: str, lat1: str,
+) -> tuple[str, str]:
+    """(lon_sql, lat_sql) for linear position interpolation at fraction
+    (qus-t0)/(t1-t0) — SHARED expression text, valid and bit-identical
+    in Spark SQL and DuckDB: integer wrap/normalize math uses % (both
+    engines truncate toward zero) and the float part is one div, one
+    mul, one add, one FLOOR in pinned order (IEEE-identical).  The
+    longitude delta takes the SHORT way around the antimeridian and the
+    result is normalized back into [-1.8e9, 1.8e9) fixed-point."""
+    frac = f"(CAST({qus} - {t0} AS DOUBLE) / CAST({t1} - {t0} AS DOUBLE))"
+    dlon = (
+        f"((({lon1} - {lon0} + 1800000000) % 3600000000 + 3600000000) "
+        f"% 3600000000 - 1800000000)"
+    )
+    raw = (
+        f"CAST(FLOOR(CAST({lon0} AS DOUBLE) + CAST({dlon} AS DOUBLE) * "
+        f"{frac}) AS BIGINT)"
+    )
+    lon = (
+        f"((({raw} + 1800000000) % 3600000000 + 3600000000) "
+        f"% 3600000000 - 1800000000)"
+    )
+    lat = (
+        f"CAST(FLOOR(CAST({lat0} AS DOUBLE) + "
+        f"CAST({lat1} - {lat0} AS DOUBLE) * {frac}) AS BIGINT)"
+    )
+    return lon, lat
+
+
+def interpolate_track(
+    points: DataFrame,
+    queries: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    qts_col: str = "qts",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Per-entity position resampling: for every (entity, query time)
+    return the track position linearly interpolated between the
+    bracketing points.
+
+      - interp: last point at ts <= qts and first point at ts > qts
+        both exist; position = p0 + (p1 - p0) * (qts-t0)/(t1-t0) with
+        short-way longitude wrap (interp_exprs).  A point exactly AT
+        qts is the p0 bracket (frac 0, integer-exact result; t1 is
+        strictly later so the division is never 0/0).
+      - before_start / after_end: only one bracket exists; position is
+        clamped to it (standard telemetry resampling).
+      - entities with no points at all are dropped.
+
+    Duplicate (id, ts) point rows are the caller's to resolve — the
+    bracket choice between them would be nondeterministic.
+
+    Output: (id_col, qus, mode, lon, lat) + keep_cols passed through
+    from `queries`.  qus is the query time in integer epoch
+    microseconds.  No Python UDF anywhere: brackets come from two
+    ignore-nulls window passes over ONE entity-key exchange (same
+    partitioning, two sort orders), and the interpolation is plain
+    IEEE div/mul/add/FLOOR (engine-identical; only transcendentals are
+    banned JVM-side)."""
+    pts = points.select(
+        F.col(id_col),
+        PARSE.epoch_micros(points, ts_col).alias("__tus"),
+        F.col(lon).cast("long").alias("__plon"),
+        F.col(lat).cast("long").alias("__plat"),
+        F.lit(0).alias("__isq"),
+        *[F.lit(None).cast(queries.schema[k].dataType).alias(k) for k in keep_cols],
+    )
+    qs = queries.select(
+        F.col(id_col),
+        PARSE.epoch_micros(queries, qts_col).alias("__tus"),
+        F.lit(None).cast("long").alias("__plon"),
+        F.lit(None).cast("long").alias("__plat"),
+        F.lit(1).alias("__isq"),
+        *[F.col(k) for k in keep_cols],
+    )
+    u = pts.unionByName(qs)
+    st = F.when(
+        F.col("__isq") == 0,
+        F.struct(
+            F.col("__tus").alias("t"),
+            F.col("__plon").alias("lo"),
+            F.col("__plat").alias("la"),
+        ),
+    )
+    wf = (
+        Window.partitionBy(id_col)
+        .orderBy("__tus", "__isq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__tus").desc(), F.col("__isq").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    br = (
+        u.withColumn("__p0", F.last(st, ignorenulls=True).over(wf))
+        .withColumn("__p1", F.last(st, ignorenulls=True).over(wb))
+        .filter(F.col("__isq") == 1)
+        .filter(F.col("__p0").isNotNull() | F.col("__p1").isNotNull())
+    )
+    lon_sql, lat_sql = interp_exprs(
+        "__tus", "__p0.t", "__p1.t", "__p0.lo", "__p0.la", "__p1.lo", "__p1.la"
+    )
+    return br.select(
+        F.col(id_col),
+        F.col("__tus").alias("qus"),
+        F.when(F.col("__p0").isNull(), F.lit("before_start"))
+        .when(F.col("__p1").isNull(), F.lit("after_end"))
+        .otherwise(F.lit("interp"))
+        .alias("mode"),
+        F.when(F.col("__p0").isNull(), F.col("__p1.lo"))
+        .when(F.col("__p1").isNull(), F.col("__p0.lo"))
+        .otherwise(F.expr(lon_sql))
+        .alias(lon),
+        F.when(F.col("__p0").isNull(), F.col("__p1.la"))
+        .when(F.col("__p1").isNull(), F.col("__p0.la"))
+        .otherwise(F.expr(lat_sql))
+        .alias(lat),
+        *[F.col(k) for k in keep_cols],
     )

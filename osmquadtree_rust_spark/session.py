@@ -26,6 +26,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
+        # every cross-engine gate relies on naive parquet timestamps
+        # meaning UTC instants (DuckDB epoch()/epoch_us() semantics);
+        # pin it instead of inheriting the container default
+        .config("spark.sql.session.timeZone", "Etc/UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce small shuffles to the target partition size instead of
         # stopping at default parallelism (the Spark-docs-recommended

@@ -1202,3 +1202,43 @@ def test_connected_components_random_net(spark):
             for r in D.connected_components(verts, pf).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_interpolate_track_small(spark):
+    from osmquadtree_rust_spark.operators.trajectory import (
+        interpolate_track,
+    )
+
+    M = 1000000  # 1 second in micros
+    pts = spark.createDataFrame(
+        [
+            # user 1: antimeridian hop 179E -> 179W over 100s
+            (1, 0 * M, 1790000000, 100),
+            (1, 100 * M, -1790000000, 300),
+            # user 2: plain northward
+            (2, 0 * M, 0, 0),
+            (2, 10 * M, 0, 1000),
+        ],
+        "user_id long, ts long, lon long, lat long",
+    )
+    qs = spark.createDataFrame(
+        [
+            (1, 50 * M, 10),    # mid-hop: short way crosses the antimeridian
+            (1, 0 * M, 11),     # exactly at first point -> its position
+            (1, 200 * M, 12),   # after track end -> clamp to last
+            (2, -5 * M, 20),    # before track start -> clamp to first
+            (2, 2500000, 21),   # t=2.5s -> lat 250
+        ],
+        "user_id long, qts long, qid long",
+    )
+    out = {
+        r["qid"]: (r["mode"], r["lon"], r["lat"])
+        for r in interpolate_track(pts, qs, keep_cols=("qid",)).collect()
+    }
+    # short-way delta is +20000000 (2 degrees east through the seam);
+    # halfway = 1790000000 + 10000000 = 1800000000 -> normalizes to -1.8e9
+    assert out[10] == ("interp", -1800000000, 200)
+    assert out[11] == ("interp", 1790000000, 100)
+    assert out[12] == ("after_end", -1790000000, 300)
+    assert out[20] == ("before_start", 0, 0)
+    assert out[21] == ("interp", 0, 250)
