@@ -158,6 +158,10 @@ def main():
         "web_curation_pipeline",
         "haversine_radius_join",
         "temperature_mixture",
+        "knn_great_circle",
+        "track_stats",
+        "geofence_transitions",
+        "interpolate_track",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline
