@@ -162,6 +162,8 @@ def main():
         "track_stats",
         "geofence_transitions",
         "interpolate_track",
+        "split_trips",
+        "dwell_episodes",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -2795,3 +2795,184 @@ SELECT CAST(qid AS BIGINT) AS qid,
                  ELSE {lat_sql} END AS BIGINT) AS lat
 FROM j
 """
+
+
+# ===========================================================================
+# trip segmentation + dwell detection (operators/trajectory.split_trips,
+# dwell_episodes).  split_trips runs on the standard synthetic footprint
+# positions (planetary hops exercise big exact integer-mm path sums);
+# dwell_episodes needs genuine slow runs, so its positions derive from a
+# 2-hour TIME BUCKET of the event timestamp — the device "parks" inside a
+# bucket (+-0.0003 deg jitter per event ~ <=94 m steps) and relocates
+# across buckets — via dialect-parameterized integer expression
+# generators shared with the DuckDB oracle (all % and // on non-negative
+# BIGINTs, engine-identical).
+# ===========================================================================
+
+_TRIP_GAP_US = 6 * 3600 * 1_000_000  # new trip after a 6 h silence
+
+_DWELL_BUCKET_US = 2 * 3600 * 1_000_000
+_DWELL_EPS_MM = 150_000              # 150 m: above the 94 m jitter ceiling
+_DWELL_MAX_GAP_US = 4 * 3600 * 1_000_000
+_DWELL_MIN_US = 30 * 60 * 1_000_000  # keep stays >= 30 min end-to-end
+
+
+@_register("split_trips")
+def _spt(spark, sf_dir):
+    from .operators.trajectory import split_trips
+
+    out = split_trips(_traj_events(spark, sf_dir), max_gap_us=_TRIP_GAP_US)
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("trip").cast("long"),
+        F.col("n_points").cast("long"),
+        F.col("start_us").cast("long"),
+        F.col("end_us").cast("long"),
+        F.col("duration_us").cast("long"),
+        F.col("path_mm").cast("long"),
+        F.col("max_seg_mm").cast("long"),
+    )
+
+
+@_oracle("split_trips")
+def _spt_o() -> str:
+    from .operators.trajectory import chord_mm_sql
+
+    seg = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH pts AS MATERIALIZED (
+  {_traj_synth_sql()}
+),
+pp AS MATERIALIZED (
+  SELECT user_id, event_id, lon, lat, epoch_us(ts) AS tus FROM pts
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, lon, lat, tus,
+         LAG(tus) OVER w AS ptus,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM pp
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+tripped AS MATERIALIZED (
+  SELECT user_id, tus,
+         SUM(CASE WHEN ptus IS NULL OR tus - ptus > {_TRIP_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - 1 AS trip,
+         CASE WHEN ptus IS NULL OR tus - ptus > {_TRIP_GAP_US}
+              THEN NULL ELSE {seg} END AS seg_mm
+  FROM lagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(trip AS BIGINT) AS trip,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(tus) AS BIGINT) AS start_us,
+       CAST(MAX(tus) AS BIGINT) AS end_us,
+       CAST(MAX(tus) - MIN(tus) AS BIGINT) AS duration_us,
+       CAST(COALESCE(SUM(seg_mm), 0) AS BIGINT) AS path_mm,
+       CAST(COALESCE(MAX(seg_mm), 0) AS BIGINT) AS max_seg_mm
+FROM tripped GROUP BY user_id, trip
+"""
+
+
+def _dwell_pos_exprs(tus: str, eid: str, uid: str, dialect: str) -> dict:
+    """lon/lat fixed-point expressions for the park-and-relocate synthetic
+    track: base position hops per (user, 2-hour bucket), tiny per-event
+    jitter inside the bucket.  Pure non-negative integer // and % —
+    identical on both engines (text_sql.idiv_sql handles the dialect)."""
+    from .functions.text_sql import idiv_sql
+
+    bkt = idiv_sql(tus, str(_DWELL_BUCKET_US), dialect)
+    seed = f"({bkt} * 1009 + CAST({uid} AS BIGINT) * 7919)"
+    lon_b = f"((({seed} * 40503) % 3500000000) - 1750000000)"
+    lat_b = f"((({seed} * 69069) % 1700000000) - 850000000)"
+    jl = f"(((CAST({eid} AS BIGINT) * 97) % 6001) - 3000)"
+    jt = f"(((CAST({eid} AS BIGINT) * 89) % 6001) - 3000)"
+    return {"lon": f"({lon_b} + {jl})", "lat": f"({lat_b} + {jt})"}
+
+
+@_register("dwell_episodes")
+def _dwl(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SPARK_D
+    from .operators.trajectory import dwell_episodes
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = ev.withColumn("__tus", PARSE.epoch_micros(ev, "ts"))
+    pos = _dwell_pos_exprs("__tus", "event_id", "user_id", _SPARK_D)
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "__tus",
+        F.expr(pos["lon"]).alias("lon"),
+        F.expr(pos["lat"]).alias("lat"),
+    )
+    out = dwell_episodes(
+        pts,
+        ts_col="__tus",
+        eps_mm=_DWELL_EPS_MM,
+        max_gap_us=_DWELL_MAX_GAP_US,
+        min_dwell_us=_DWELL_MIN_US,
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("start_us").cast("long"),
+        F.col("end_us").cast("long"),
+        F.col("dwell_us").cast("long"),
+        F.col("n_points").cast("long"),
+    )
+
+
+@_oracle("dwell_episodes")
+def _dwl_o() -> str:
+    from .functions.text_sql import DUCKDB as _DUCK_D
+    from .operators.trajectory import chord_mm_sql
+
+    pos = _dwell_pos_exprs("tus", "event_id", "user_id", _DUCK_D)
+    seg = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH pp AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+),
+pts AS MATERIALIZED (
+  SELECT user_id, event_id, tus,
+         {pos['lon']} AS lon, {pos['lat']} AS lat
+  FROM pp
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, tus,
+         LAG(tus) OVER w AS ptus,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         lon, lat
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+slowed AS MATERIALIZED (
+  SELECT user_id, event_id, tus, ptus,
+         (ptus IS NOT NULL AND {seg} <= {_DWELL_EPS_MM}
+          AND tus - ptus <= {_DWELL_MAX_GAP_US}) AS slow
+  FROM lagged
+),
+pslowed AS MATERIALIZED (
+  SELECT user_id, event_id, tus, ptus, slow,
+         COALESCE(LAG(slow) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id),
+                  FALSE) AS pslow
+  FROM slowed
+),
+isl AS MATERIALIZED (
+  SELECT user_id, tus, ptus, slow,
+         SUM(CASE WHEN slow AND NOT pslow THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM pslowed
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(ptus) AS BIGINT) AS start_us,
+       CAST(MAX(tus) AS BIGINT) AS end_us,
+       CAST(MAX(tus) - MIN(ptus) AS BIGINT) AS dwell_us,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_points
+FROM isl WHERE slow
+GROUP BY user_id, isl
+HAVING MAX(tus) - MIN(ptus) >= {_DWELL_MIN_US}
+"""

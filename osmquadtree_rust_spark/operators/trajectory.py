@@ -192,6 +192,169 @@ def geofence_transitions(
     )
 
 
+def split_trips(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Trip segmentation: split each entity's track wherever consecutive
+    events are more than `max_gap_us` apart, and report per-trip stats.
+
+    Output one row per (entity, trip): (id_col, trip, n_points,
+    start_us, end_us, duration_us, path_mm, max_seg_mm).  `trip` is the
+    0-based index of the trip in time order; path lengths are integer-mm
+    chord sums (module docstring) over WITHIN-trip segments only — the
+    gap segment that opens a new trip contributes to neither trip.
+    Single-point trips report path_mm 0 / max_seg_mm 0 / duration_us 0.
+
+    Plan shape: one data-sized hash exchange on the entity key feeds
+    both window passes (lag + running trip counter share the partition
+    and sort), then the (entity, trip) aggregate partial-aggregates
+    below its exchange (same note as track_stats: the ArrowEvalPython
+    chord projection drops the propagated partitioning in Spark 4, so
+    the final shuffle carries one row per (entity, trip, partition) —
+    trip-count-sized, not data-sized).
+    """
+    if max_gap_us <= 0:
+        raise ValueError(f"max_gap_us={max_gap_us} must be > 0")
+    base = events.withColumn(
+        "__tus", PARSE.epoch_micros(events, ts_col)
+    ).select(id_col, seq_col, lon, lat, "__tus")
+    w = Window.partitionBy(id_col).orderBy("__tus", seq_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagged = (
+        base.withColumn("__ptus", F.lag("__tus").over(w))
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__plat", F.lag(lat).over(w))
+        .withColumn(
+            "__new",
+            F.col("__ptus").isNull()
+            | (F.col("__tus") - F.col("__ptus") > F.lit(int(max_gap_us))),
+        )
+        .withColumn(
+            "__trip", F.sum(F.col("__new").cast("long")).over(wrun) - F.lit(1)
+        )
+        .withColumn(
+            # the UDF runs on every row (Python UDFs evaluate before the
+            # when-mask) — feed trip-opening rows their own point and let
+            # the mask null the result out of the aggregates
+            "__seg_mm",
+            F.when(
+                ~F.col("__new"),
+                _chord_mm_udf(
+                    F.coalesce(F.col("__plon"), F.col(lon)),
+                    F.coalesce(F.col("__plat"), F.col(lat)),
+                    F.col(lon),
+                    F.col(lat),
+                ),
+            ),
+        )
+    )
+    return lagged.groupBy(
+        F.col(id_col), F.col("__trip").alias("trip")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("__tus").alias("start_us"),
+        F.max("__tus").alias("end_us"),
+        (F.max("__tus") - F.min("__tus")).alias("duration_us"),
+        F.coalesce(F.sum("__seg_mm"), F.lit(0)).alias("path_mm"),
+        F.coalesce(F.max("__seg_mm"), F.lit(0)).alias("max_seg_mm"),
+    )
+
+
+def dwell_episodes(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    eps_mm: int = 100_000,
+    max_gap_us: int = 30 * 60 * 1_000_000,
+    min_dwell_us: int = 5 * 60 * 1_000_000,
+) -> DataFrame:
+    """Dwell (stay-point) detection: maximal runs of consecutive SLOW
+    segments — chord <= eps_mm AND time delta <= max_gap_us — lasting at
+    least `min_dwell_us` end to end.
+
+    A segment is the (prev event -> event) pair in (ts_col, seq_col)
+    order; an episode starts at the anchor event BEFORE its first slow
+    segment and ends at the last slow segment's event, so a device
+    parked through k events reports n_points = k and dwell_us =
+    end_us - start_us of the full stay.  Long signal gaps (> max_gap_us)
+    break episodes even when the device reappears nearby — a gap is
+    absence of evidence, not dwelling (same cut as split_trips).
+
+    Output: (id_col, start_us, end_us, dwell_us, n_points), episodes
+    with dwell_us >= min_dwell_us only.
+
+    Plan shape: two entity-key exchanges — the slow flag derives from
+    the Arrow chord projection, which drops the propagated partitioning
+    in Spark 4, so the island window re-shuffles the flagged frame; the
+    final aggregate then partial-aggregates below an episode-count-sized
+    exchange.  Everything between exchanges is narrow.
+    """
+    if eps_mm < 0:
+        raise ValueError(f"eps_mm={eps_mm} must be >= 0")
+    if max_gap_us <= 0 or min_dwell_us < 0:
+        raise ValueError("max_gap_us must be > 0 and min_dwell_us >= 0")
+    base = events.withColumn(
+        "__tus", PARSE.epoch_micros(events, ts_col)
+    ).select(id_col, seq_col, lon, lat, "__tus")
+    w = Window.partitionBy(id_col).orderBy("__tus", seq_col)
+    lagged = (
+        base.withColumn("__ptus", F.lag("__tus").over(w))
+        .withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__plat", F.lag(lat).over(w))
+        .withColumn(
+            "__seg_mm",
+            F.when(
+                F.col("__ptus").isNotNull(),
+                _chord_mm_udf(
+                    F.coalesce(F.col("__plon"), F.col(lon)),
+                    F.coalesce(F.col("__plat"), F.col(lat)),
+                    F.col(lon),
+                    F.col(lat),
+                ),
+            ),
+        )
+        .withColumn(
+            "__slow",
+            F.col("__seg_mm").isNotNull()
+            & (F.col("__seg_mm") <= F.lit(int(eps_mm)))
+            & (F.col("__tus") - F.col("__ptus") <= F.lit(int(max_gap_us))),
+        )
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        lagged.withColumn("__pslow", F.lag("__slow").over(w))
+        .withColumn(
+            "__isl",
+            F.sum(
+                (
+                    F.col("__slow") & ~F.coalesce(F.col("__pslow"), F.lit(False))
+                ).cast("long")
+            ).over(wrun),
+        )
+        .filter(F.col("__slow"))
+    )
+    return (
+        islands.groupBy(F.col(id_col), F.col("__isl"))
+        .agg(
+            F.min("__ptus").alias("start_us"),
+            F.max("__tus").alias("end_us"),
+            (F.max("__tus") - F.min("__ptus")).alias("dwell_us"),
+            (F.count(F.lit(1)) + F.lit(1)).alias("n_points"),
+        )
+        .filter(F.col("dwell_us") >= F.lit(int(min_dwell_us)))
+        .select(id_col, "start_us", "end_us", "dwell_us", "n_points")
+    )
+
+
 def interp_exprs(
     qus: str, t0: str, t1: str,
     lon0: str, lat0: str, lon1: str, lat1: str,

@@ -1242,3 +1242,217 @@ def test_interpolate_track_small(spark):
     assert out[12] == ("after_end", -1790000000, 300)
     assert out[20] == ("before_start", 0, 0)
     assert out[21] == ("interp", 0, 250)
+
+
+# ---------------------------------------------------------------------------
+# trip segmentation + dwell detection (operators/trajectory.split_trips,
+# dwell_episodes)
+# ---------------------------------------------------------------------------
+
+
+def _py_chord_mm(alon, alat, blon, blat):
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.trajectory import CHORD_MM_LIT
+
+    hav = GEO.hav_np(
+        np.array([alon], dtype=np.int64),
+        np.array([alat], dtype=np.int64),
+        np.array([blon], dtype=np.int64),
+        np.array([blat], dtype=np.int64),
+    )[0]
+    return int(np.floor(np.sqrt(hav) * float(CHORD_MM_LIT)))
+
+
+def _py_split_trips(rows, max_gap_us):
+    """rows: (uid, eid, tus, lon, lat).  Returns {(uid, trip): stats}."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, tus, lon, lat in rows:
+        by_user[uid].append((tus, eid, lon, lat))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        trip = -1
+        prev = None
+        cur = None
+        for tus, eid, lon, lat in evs:
+            new = prev is None or tus - prev[0] > max_gap_us
+            if new:
+                trip += 1
+                cur = out[(uid, trip)] = {
+                    "n_points": 0, "start_us": tus, "end_us": tus,
+                    "path_mm": 0, "max_seg_mm": 0,
+                }
+            else:
+                seg = _py_chord_mm(prev[2], prev[3], lon, lat)
+                cur["path_mm"] += seg
+                cur["max_seg_mm"] = max(cur["max_seg_mm"], seg)
+            cur["n_points"] += 1
+            cur["end_us"] = tus
+            prev = (tus, eid, lon, lat)
+    for st in out.values():
+        st["duration_us"] = st["end_us"] - st["start_us"]
+    return out
+
+
+def _py_dwell(rows, eps_mm, max_gap_us, min_dwell_us):
+    """Returns sorted [(uid, start_us, end_us, dwell_us, n_points)]."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, eid, tus, lon, lat in rows:
+        by_user[uid].append((tus, eid, lon, lat))
+    eps = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        run_start = None
+        run_points = 0
+        run_end = None
+        prev = None
+        for tus, eid, lon, lat in evs:
+            slow = (
+                prev is not None
+                and tus - prev[0] <= max_gap_us
+                and _py_chord_mm(prev[2], prev[3], lon, lat) <= eps_mm
+            )
+            if slow:
+                if run_start is None:
+                    run_start = prev[0]
+                    run_points = 1
+                run_points += 1
+                run_end = tus
+            else:
+                if run_start is not None and run_end - run_start >= min_dwell_us:
+                    eps.append((uid, run_start, run_end, run_end - run_start, run_points))
+                run_start = None
+            prev = (tus, eid, lon, lat)
+        if run_start is not None and run_end - run_start >= min_dwell_us:
+            eps.append((uid, run_start, run_end, run_end - run_start, run_points))
+    return sorted(eps)
+
+
+def _traj_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+
+
+def test_split_trips_basic(spark):
+    from osmquadtree_rust_spark.operators.trajectory import split_trips
+
+    m = 60 * 1_000_000
+    rows = [
+        # user 1: 3-point trip, 2h silence, 2-point trip (zero movement)
+        (1, 1, 0 * m, 100, 200),
+        (1, 2, 1 * m, 100, 200),
+        (1, 3, 2 * m, 100, 200),
+        (1, 4, 122 * m, 100, 200),
+        (1, 5, 123 * m, 100, 200),
+        # user 2: single point
+        (2, 6, 5 * m, 0, 0),
+    ]
+    got = {
+        (r["user_id"], r["trip"]): r.asDict()
+        for r in split_trips(
+            _traj_df(spark, rows), max_gap_us=60 * m
+        ).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)]["n_points"] == 3
+    assert got[(1, 0)]["duration_us"] == 2 * m
+    assert got[(1, 0)]["path_mm"] == 0
+    assert got[(1, 1)]["n_points"] == 2
+    assert got[(1, 1)]["start_us"] == 122 * m
+    assert got[(2, 0)]["n_points"] == 1
+    assert got[(2, 0)]["duration_us"] == 0
+    # gap segment counted in neither trip: moving the gap endpoint far
+    # away must not change path sums
+    rows2 = [r if r[1] != 4 else (1, 4, 122 * m, 500000000, 300000000) for r in rows]
+    got2 = {
+        (r["user_id"], r["trip"]): r.asDict()
+        for r in split_trips(_traj_df(spark, rows2), max_gap_us=60 * m).collect()
+    }
+    assert got2[(1, 0)]["path_mm"] == 0
+    assert got2[(1, 1)]["path_mm"] == got2[(1, 1)]["max_seg_mm"] > 0
+
+
+def test_dwell_episodes_basic(spark):
+    from osmquadtree_rust_spark.operators.trajectory import dwell_episodes
+
+    m = 60 * 1_000_000
+    park1 = [(1, i, i * 10 * m, 1000 + i * 300, 2000 + (i % 2) * 300) for i in range(4)]
+    # fast 10 km hop at 40 min, then parked again 41..80 min
+    far = (1, 10, 40 * m, 1000 + 2_500_000, 2000)
+    park2 = [
+        (1, 11 + i, (41 + i * 13) * m, 1000 + 900000 + i * 200, 2000 + i * 100)
+        for i in range(4)
+    ]
+    # same spot but after a 5 h silence: gap breaks the run
+    late = (1, 20, (80 + 300) * m, 1000 + 900000 + 600, 2000 + 300)
+    rows = park1 + [far] + park2 + [late]
+    out = sorted(
+        (r["start_us"], r["end_us"], r["n_points"])
+        for r in dwell_episodes(
+            _traj_df(spark, rows),
+            ts_col="ts",
+            eps_mm=150_000,
+            max_gap_us=240 * m,
+            min_dwell_us=25 * m,
+        ).collect()
+    )
+    assert out == [(0, 30 * m, 4), (41 * m, 80 * m, 4)]
+
+
+def test_trajectory_net_vs_python(spark):
+    """Seeded randomized net: split_trips and dwell_episodes vs the
+    pure-python references, several configs."""
+    import random
+
+    from osmquadtree_rust_spark.operators.trajectory import (
+        dwell_episodes,
+        split_trips,
+    )
+
+    for seed in (7, 19, 42):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for uid in range(6):
+            tus = rng.randrange(0, 10**9)
+            lon = rng.randrange(-17 * 10**8, 17 * 10**8)
+            lat = rng.randrange(-8 * 10**8, 8 * 10**8)
+            for _ in range(rng.randrange(1, 60)):
+                eid += 1
+                rows.append((uid, eid, tus, lon, lat))
+                tus += rng.randrange(1, 4 * 10**9)
+                if rng.random() < 0.55:
+                    lon += rng.randrange(-2000, 2001)
+                    lat += rng.randrange(-2000, 2001)
+                else:
+                    lon = rng.randrange(-17 * 10**8, 17 * 10**8)
+                    lat = rng.randrange(-8 * 10**8, 8 * 10**8)
+        df = _traj_df(spark, rows)
+        gap = 2 * 10**9
+        exp_t = _py_split_trips(rows, gap)
+        got_t = {
+            (r["user_id"], r["trip"]): r.asDict()
+            for r in split_trips(df, max_gap_us=gap).collect()
+        }
+        assert set(got_t) == set(exp_t), f"seed={seed}"
+        for k, st in exp_t.items():
+            g = got_t[k]
+            for f in ("n_points", "start_us", "end_us", "duration_us",
+                      "path_mm", "max_seg_mm"):
+                assert g[f] == st[f], f"seed={seed} {k} {f}: {g[f]} != {st[f]}"
+        eps, mg, md = 400_000, 3 * 10**9, 10**9
+        exp_d = _py_dwell(rows, eps, mg, md)
+        got_d = sorted(
+            (r["user_id"], r["start_us"], r["end_us"], r["dwell_us"], r["n_points"])
+            for r in dwell_episodes(
+                df, ts_col="ts", eps_mm=eps, max_gap_us=mg, min_dwell_us=md
+            ).collect()
+        )
+        assert got_d == exp_d, f"seed={seed}"
