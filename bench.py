@@ -164,6 +164,7 @@ def main():
         "interpolate_track",
         "split_trips",
         "dwell_episodes",
+        "pack_sequences",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -4155,3 +4155,66 @@ SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.source
 FROM thinned t JOIN rates r ON r.source = t.source
 WHERE ({h}) % 1000000 < r.rppm
 """
+
+
+# ===========================================================================
+# training-sequence packing (operators/packing.pack_sequences): global
+# concat-and-chunk of the documents table into fixed-budget token
+# windows.  The Spark side runs the two-level distributed scan
+# (within-bucket window + broadcast bucket offsets — no single-partition
+# global sort); the oracle is the NAIVE global prefix-sum window, so the
+# gate pins that the scalable decomposition is bit-identical to the
+# simple definition.  bucket_width 64 forces multi-bucket routing even
+# at sf0.001.
+# ===========================================================================
+
+_PACK_BUDGET = 2048
+_PACK_BUCKET_W = 64
+
+
+@_register("pack_sequences")
+def _pks(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    out = pack_sequences(
+        _t(spark, sf_dir, "documents"),
+        _PACK_BUDGET,
+        bucket_width=_PACK_BUCKET_W,
+    )
+    return out.select(
+        F.col("seq").cast("long"),
+        F.col("seq_off").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("doc_off").cast("long"),
+        F.col("n_tokens").cast("long"),
+    )
+
+
+@_oracle("pack_sequences")
+def _pks_o():
+    toks = TS.bpe_token_count_sql("text", TS.DUCKDB)
+    L = _PACK_BUDGET
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, CAST({toks} AS BIGINT) AS tok FROM documents
+),
+nz AS MATERIALIZED (
+  SELECT doc_id, tok,
+         CAST(COALESCE(SUM(tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS g
+  FROM d WHERE tok > 0
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, tok, g,
+         UNNEST(generate_series(g // {L}, (g + tok - 1) // {L})) AS seq
+  FROM nz
+)
+SELECT CAST(seq AS BIGINT) AS seq,
+       CAST(GREATEST(g, seq * {L}) - seq * {L} AS BIGINT) AS seq_off,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(GREATEST(g, seq * {L}) - g AS BIGINT) AS doc_off,
+       CAST(LEAST(g + tok, (seq + 1) * {L})
+            - GREATEST(g, seq * {L}) AS BIGINT) AS n_tokens
+FROM spans
+"""

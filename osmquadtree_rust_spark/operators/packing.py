@@ -1,0 +1,143 @@
+"""Training-sequence packing: concat-and-chunk documents into
+fixed-length token windows (the standard LLM-pretraining shard layout).
+
+Every document contributes its token span [g, g+tok) to a single global
+token stream (g = exclusive prefix sum of token counts in document-id
+order); training sequence k covers [k*budget, (k+1)*budget).  The
+operator emits one row per (document, sequence) overlap — exactly what a
+materializer needs to build fixed-length rows: which sequence, at which
+offset inside it, which slice of the document.
+
+Scale shape — the naive form of a global prefix sum is a window with no
+partition key, i.e. a single-partition sort of the entire corpus.  This
+module instead runs the classic two-level distributed scan:
+
+  1. bucket documents by id range (`bucket_width` ids per bucket) and
+     cumsum WITHIN each bucket — an ordinary hash-partitioned window;
+  2. per-bucket token totals come from one aggregate-only scan
+     (map-side combinable, bucket-count rows), are prefix-summed on the
+     driver (metadata-scale: choose bucket_width so buckets number in
+     the thousands), and broadcast back as per-bucket offsets.
+
+The result is bit-identical to the naive global window (the DuckDB gate
+oracle uses exactly that naive form), but no stage ever sees more than a
+bucket in one sort.  Span fan-out is bounded: a document emits
+ceil(tok/budget)+1 rows at most.
+
+Per-group packing (group_col) skips the scan machinery: groups are
+independent streams, so one hash-partitioned window per group suffices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_sql import SPARK, bpe_token_count_sql
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    tokens_col: str | None = None,
+    bucket_width: int = 1_048_576,
+) -> DataFrame:
+    """Assign documents to fixed-`budget` training sequences.
+
+    Output: one row per (document, sequence) overlap —
+      (group_col?, seq, seq_off, id_col, doc_off, n_tokens)
+    where seq is the 0-based sequence index (per group when group_col is
+    set, global otherwise), seq_off the span's start inside the
+    sequence, doc_off the span's start inside the document's own token
+    stream, n_tokens the span length.  Documents are packed in id_col
+    order; zero-token documents emit nothing; the final sequence may be
+    partial (standard concat-and-chunk semantics — no padding rows are
+    emitted).
+
+    Token counts come from `tokens_col` when given (a precomputed BIGINT
+    column), else from the cross-engine BPE-ish subword count
+    (functions/text_sql.bpe_token_count_sql) over `text`.
+
+    id_col must be unique (per group) and non-negative BIGINT-castable:
+    the global path buckets ids by integer division.
+    """
+    if budget < 1:
+        raise ValueError(f"budget={budget} must be >= 1")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width={bucket_width} must be >= 1")
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.expr(bpe_token_count_sql(text, SPARK)).cast("long")
+    )
+    keep = ([group_col] if group_col else []) + [id_col]
+    d = docs.select(*keep, tok.alias("__tok")).filter(F.col("__tok") > 0)
+
+    if group_col is not None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        g = d.withColumn("__g", F.sum("__tok").over(w) - F.col("__tok"))
+    else:
+        # two-level distributed scan (module docstring): within-bucket
+        # window + driver-side prefix of bucket totals, broadcast back.
+        # The negative-id guard lives INSIDE the bucket projection (a
+        # separate assert filter would knock the scan out of whole-stage
+        # codegen and cost an extra job) — non-negative ids make DIV an
+        # exact floor, so buckets and the oracle's // agree.
+        d = d.withColumn(
+            "__bkt",
+            F.expr(
+                f"CASE WHEN CAST({id_col} AS BIGINT) < 0 THEN "
+                f"CAST(raise_error('pack_sequences: {id_col} must be "
+                f"non-negative for global packing') AS BIGINT) "
+                f"ELSE CAST({id_col} AS BIGINT) DIV {int(bucket_width)} END"
+            ),
+        )
+        w = (
+            Window.partitionBy("__bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        totals = sorted(
+            (r["__bkt"], r["__t"])
+            for r in d.groupBy("__bkt").agg(F.sum("__tok").alias("__t")).collect()
+        )
+        offs, run = [], 0
+        for b, t in totals:
+            offs.append((int(b), int(run)))
+            run += int(t)
+        spark = docs.sparkSession
+        odf = spark.createDataFrame(offs or [(0, 0)], "__bkt long, __off long")
+        g = (
+            d.withColumn("__c", F.sum("__tok").over(w) - F.col("__tok"))
+            .join(F.broadcast(odf), "__bkt")
+            .withColumn("__g", F.col("__off") + F.col("__c"))
+            .drop("__bkt", "__c", "__off")
+        )
+
+    L = F.lit(int(budget))
+    spans = g.withColumn(
+        "__seq",
+        F.explode(
+            F.sequence(
+                F.expr(f"__g DIV {int(budget)}"),
+                F.expr(f"(__g + __tok - 1) DIV {int(budget)}"),
+            )
+        ),
+    )
+    start = F.greatest(F.col("__g"), F.col("__seq") * L)
+    end = F.least(F.col("__g") + F.col("__tok"), (F.col("__seq") + 1) * L)
+    return spans.select(
+        *( [group_col] if group_col else [] ),
+        F.col("__seq").alias("seq"),
+        (start - F.col("__seq") * L).alias("seq_off"),
+        F.col(id_col),
+        (start - F.col("__g")).alias("doc_off"),
+        (end - start).alias("n_tokens"),
+    )

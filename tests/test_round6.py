@@ -1456,3 +1456,111 @@ def test_trajectory_net_vs_python(spark):
             ).collect()
         )
         assert got_d == exp_d, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (operators/packing.pack_sequences)
+# ---------------------------------------------------------------------------
+
+
+def _py_pack(tok_by_id, budget):
+    """Naive reference: concat in id order, chunk at budget boundaries.
+    Returns sorted [(seq, seq_off, doc_id, doc_off, n_tokens)]."""
+    out = []
+    g = 0
+    for did in sorted(tok_by_id):
+        tok = tok_by_id[did]
+        if tok <= 0:
+            continue
+        off = 0
+        while off < tok:
+            seq = (g + off) // budget
+            take = min(tok - off, (seq + 1) * budget - (g + off))
+            out.append((seq, (g + off) - seq * budget, did, off, take))
+            off += take
+        g += tok
+    return sorted(out)
+
+
+def _pack_df(spark, tok_by_id):
+    return spark.createDataFrame(
+        [(k, v) for k, v in tok_by_id.items()], "doc_id long, tok long"
+    )
+
+
+def test_pack_sequences_basic(spark):
+    from osmquadtree_rust_spark.operators.packing import pack_sequences
+
+    toks = {1: 4, 2: 8, 3: 25, 4: 0, 5: 3}
+    out = sorted(
+        tuple(r) for r in pack_sequences(
+            _pack_df(spark, toks), 10, tokens_col="tok", bucket_width=2
+        ).collect()
+    )
+    assert out == _py_pack(toks, 10)
+    # doc 4 (zero tokens) emits nothing
+    assert not any(r[2] == 4 for r in out)
+    # every full sequence holds exactly `budget` tokens; final may be less
+    from collections import defaultdict
+
+    per_seq = defaultdict(int)
+    for seq, _, _, _, n in out:
+        per_seq[seq] += n
+    last = max(per_seq)
+    for s, n in per_seq.items():
+        assert n == 10 or (s == last and n <= 10)
+    # each doc's spans tile the doc exactly
+    per_doc = defaultdict(list)
+    for _, _, did, doff, n in out:
+        per_doc[did].append((doff, n))
+    for did, spans in per_doc.items():
+        spans.sort()
+        pos = 0
+        for doff, n in spans:
+            assert doff == pos
+            pos += n
+        assert pos == toks[did]
+
+
+def test_pack_sequences_net_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.packing import pack_sequences
+
+    for seed, budget, width in ((3, 7, 1), (11, 64, 5), (29, 1, 3)):
+        rng = random.Random(seed)
+        toks = {rng.randrange(0, 10**6): rng.randrange(0, 200) for _ in range(120)}
+        got = sorted(
+            tuple(r) for r in pack_sequences(
+                _pack_df(spark, toks), budget,
+                tokens_col="tok", bucket_width=width,
+            ).collect()
+        )
+        assert got == _py_pack(toks, budget), f"seed={seed}"
+
+
+def test_pack_sequences_grouped(spark):
+    from osmquadtree_rust_spark.operators.packing import pack_sequences
+
+    rows = [
+        ("a", 1, 4), ("a", 2, 8), ("b", 1, 25), ("b", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, tok long")
+    out = pack_sequences(
+        df, 10, id_col="doc_id", group_col="src", tokens_col="tok"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(
+            (r["seq"], r["seq_off"], r["doc_id"], r["doc_off"], r["n_tokens"])
+        )
+    assert sorted(by_src["a"]) == _py_pack({1: 4, 2: 8}, 10)
+    assert sorted(by_src["b"]) == _py_pack({1: 25, 2: 3}, 10)
+
+
+def test_pack_sequences_negative_id_raises(spark):
+    from osmquadtree_rust_spark.operators.packing import pack_sequences
+
+    df = _pack_df(spark, {-1: 5, 2: 5})
+    with pytest.raises(Exception, match="non-negative"):
+        pack_sequences(df, 10, tokens_col="tok").collect()
