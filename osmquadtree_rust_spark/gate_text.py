@@ -4218,3 +4218,51 @@ SELECT CAST(seq AS BIGINT) AS seq,
             - GREATEST(g, seq * {L}) AS BIGINT) AS n_tokens
 FROM spans
 """
+
+
+# ===========================================================================
+# cross-modal duplicate audit: the 'any' policy of multimodal_neardup_
+# pairs classified by modality agreement — both / image_only /
+# caption_only — over the same planted three-class corpus.  Mismatched
+# classes are the curation signal (caption spam over distinct images;
+# watermark/template images under distinct captions).  NULL metrics
+# (the modality that did not match) are filled with -1 on BOTH engines
+# so the value-hash comparison is deterministic.
+# ===========================================================================
+
+
+@_register("cross_modal_audit")
+def _cma(spark, sf_dir):
+    from .operators import multimodal as MM
+
+    corpus = _mm_corpus(spark, sf_dir)
+    out = MM.multimodal_neardup_pairs(corpus, n=_MM_N, policy="any")
+    return out.select(
+        F.col("a").cast("long"),
+        F.col("b").cast("long"),
+        F.when(F.col("hamming").isNull(), F.lit("caption_only"))
+        .when(F.col("jaccard_ppm").isNull(), F.lit("image_only"))
+        .otherwise(F.lit("both"))
+        .alias("dup_class"),
+        F.coalesce(F.col("hamming"), F.lit(-1)).cast("long").alias("hamming"),
+        F.coalesce(F.col("jaccard_ppm"), F.lit(-1)).cast("long").alias("jaccard_ppm"),
+    )
+
+
+@_oracle("cross_modal_audit")
+def _cma_o():
+    base = GATE["multimodal_neardup"]["oracle"]()
+    # same himg/txt CTEs, FULL OUTER composition instead of the inner join
+    head, _tail = base.rsplit("SELECT CAST(h.a AS BIGINT)", 1)
+    return (
+        head
+        + """SELECT CAST(COALESCE(h.a, t.a) AS BIGINT) AS a,
+       CAST(COALESCE(h.b, t.b) AS BIGINT) AS b,
+       CASE WHEN h.a IS NULL THEN 'caption_only'
+            WHEN t.a IS NULL THEN 'image_only'
+            ELSE 'both' END AS dup_class,
+       CAST(COALESCE(h.hamming, -1) AS BIGINT) AS hamming,
+       CAST(COALESCE(t.jaccard_ppm, -1) AS BIGINT) AS jaccard_ppm
+FROM himg h FULL OUTER JOIN txt t ON t.a = h.a AND t.b = h.b
+"""
+    )
