@@ -4266,3 +4266,83 @@ def _cma_o():
 FROM himg h FULL OUTER JOIN txt t ON t.a = h.a AND t.b = h.b
 """
     )
+
+
+# ===========================================================================
+# integer BM25 top-k retrieval (operators/retrieval.bm25_topk): queries
+# are every 50th document's first 60 characters (substr is identical on
+# both engines, so a word cut mid-query truncates identically); k=5 per
+# query, rank ties broken by doc_id.  idf is the rarity-score integer
+# bit trick; the saturation ratio is the pure-integer 44Ttf/(20Ttf+6T+
+# 18*dl*N) rational form (k1=6/5, b=3/4) floored to per-thousand units.
+# ===========================================================================
+
+_BM25_K = 5
+
+
+@_register("bm25_topk")
+def _bm25(spark, sf_dir):
+    from .operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qs = docs.filter(F.expr("doc_id % 50 = 7")).select(
+        F.col("doc_id").alias("qid"),
+        F.expr("substr(text, 1, 60)").alias("qtext"),
+    )
+    out = bm25_topk(docs, qs, k=_BM25_K)
+    return out.select(
+        F.col("qid").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("score_ppk").cast("long"),
+        F.col("rk").cast("long"),
+    )
+
+
+@_oracle("bm25_topk")
+def _bm25_o():
+    words = "list_filter(string_split({src}, ' '), x -> len(x) > 0)"
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id, unnest({words.format(src='text')}) AS w FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w
+),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+st AS MATERIALIZED (
+  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS t FROM dl
+),
+qw AS MATERIALIZED (
+  SELECT doc_id AS qid, unnest({words.format(src="substr(text, 1, 60)")}) AS w
+  FROM documents WHERE doc_id % 50 = 7
+),
+q AS MATERIALIZED (SELECT DISTINCT qid, w FROM qw),
+dfw AS MATERIALIZED (
+  SELECT w, COUNT(*) AS dfw FROM tf
+  WHERE w IN (SELECT w FROM q) GROUP BY w
+),
+sc AS MATERIALIZED (
+  SELECT q.qid, tf.doc_id,
+         CAST(SUM(((64 - len(bin(dfw.dfw))) * 44000 * st.t * tf.tf)
+             // (20 * st.t * tf.tf + 6 * st.t + 18 * dl.dl * st.n))
+             AS BIGINT) AS score_ppk
+  FROM tf
+  JOIN q USING (w)
+  JOIN dfw USING (w)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+  GROUP BY q.qid, tf.doc_id
+)
+SELECT CAST(qid AS BIGINT) AS qid,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       score_ppk,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT qid, doc_id, score_ppk,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_ppk DESC, doc_id) AS rk
+  FROM sc
+) WHERE rk <= {_BM25_K}
+"""

@@ -1564,3 +1564,91 @@ def test_pack_sequences_negative_id_raises(spark):
     df = _pack_df(spark, {-1: 5, 2: 5})
     with pytest.raises(Exception, match="non-negative"):
         pack_sequences(df, 10, tokens_col="tok").collect()
+
+
+# ---------------------------------------------------------------------------
+# integer BM25 retrieval (operators/retrieval.bm25_topk)
+# ---------------------------------------------------------------------------
+
+
+def _py_bm25(docs, queries, k):
+    """Pure-python mirror of the integer BM25: docs/queries are
+    {id: text}.  Returns sorted [(qid, doc_id, score_ppk, rk)]."""
+    from collections import Counter
+
+    tf = {d: Counter(w for w in t.split(" ") if w) for d, t in docs.items()}
+    tf = {d: c for d, c in tf.items() if c}
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    n = len(tf)
+    t = sum(dl.values())
+    dfw = Counter()
+    for c in tf.values():
+        for w in c:
+            dfw[w] += 1
+    out = []
+    for qid, qt in queries.items():
+        qws = set(w for w in qt.split(" ") if w)
+        scores = {}
+        for d, c in tf.items():
+            s = 0
+            for w in qws:
+                if w in c:
+                    idf = 64 - len(bin(dfw[w])[2:])
+                    s += (idf * 44000 * t * c[w]) // (
+                        20 * t * c[w] + 6 * t + 18 * dl[d] * n
+                    )
+            if any(w in c for w in qws):
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out.extend((qid, d, s, i + 1) for i, (d, s) in enumerate(ranked))
+    return sorted(out)
+
+
+def test_bm25_topk_basic(spark):
+    from osmquadtree_rust_spark.operators.retrieval import bm25_topk
+
+    docs = {
+        1: "apple banana apple cherry",
+        2: "banana banana banana",
+        3: "cherry date elderberry",
+        4: "",
+        5: "apple apple apple apple apple",
+    }
+    queries = {10: "apple cherry", 11: "banana", 12: "zebra"}
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        list(queries.items()), "qid long, qtext string"
+    )
+    got = sorted(
+        tuple(r) for r in bm25_topk(ddf, qdf, k=3).collect()
+    )
+    assert got == _py_bm25(docs, queries, 3)
+    # zebra matches nothing; empty doc 4 never appears
+    assert not any(r[0] == 12 for r in got)
+    assert not any(r[1] == 4 for r in got)
+
+
+def test_bm25_topk_net_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.retrieval import bm25_topk
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed in (5, 23):
+        rng = random.Random(seed)
+        docs = {
+            d: " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+            for d in range(60)
+        }
+        queries = {
+            100 + q: " ".join(rng.choice(vocab) for _ in range(3))
+            for q in range(8)
+        }
+        ddf = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        qdf = spark.createDataFrame(
+            list(queries.items()), "qid long, qtext string"
+        )
+        got = sorted(tuple(r) for r in bm25_topk(ddf, qdf, k=4).collect())
+        assert got == _py_bm25(docs, queries, 4), f"seed={seed}"
