@@ -165,6 +165,7 @@ def main():
         "split_trips",
         "dwell_episodes",
         "pack_sequences",
+        "skew_report",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

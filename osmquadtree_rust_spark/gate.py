@@ -2976,3 +2976,67 @@ FROM isl WHERE slow
 GROUP BY user_id, isl
 HAVING MAX(tus) - MIN(ptus) >= {_DWELL_MIN_US}
 """
+
+
+# ===========================================================================
+# partition-skew diagnostic (operators/stats.skew_report): per-key
+# heaviness over events.user_id + the summary row — the operational tool
+# behind the engine's explicit salt-factor choices.  Rank ties break by
+# the key's STRING form (the operator's deterministic tie-break); the
+# summary key is NULL in the operator and -1-filled here for the value
+# hash.
+# ===========================================================================
+
+_SKEW_TOP = 20
+_SKEW_TARGET = 100
+
+
+@_register("skew_report")
+def _skw(spark, sf_dir):
+    from .operators.stats import skew_report
+
+    out = skew_report(
+        _t(spark, sf_dir, "events").select("user_id"),
+        "user_id",
+        top=_SKEW_TOP,
+        salt_target=_SKEW_TARGET,
+    )
+    return out.select(
+        F.coalesce(F.col("user_id"), F.lit(-1)).cast("long").alias("user_id"),
+        F.col("n_rows").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("share_ppm").cast("long"),
+        F.col("salt_factor").cast("long"),
+    )
+
+
+@_oracle("skew_report")
+def _skw_o() -> str:
+    return f"""
+WITH c AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+),
+t AS MATERIALIZED (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS nkeys
+  FROM c
+),
+r AS MATERIALIZED (
+  SELECT user_id, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+                            CAST(user_id AS VARCHAR)) AS rank
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(rank AS BIGINT) AS rank,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n_rows + {_SKEW_TARGET} - 1) // {_SKEW_TARGET} AS BIGINT)
+         AS salt_factor
+FROM r CROSS JOIN t WHERE rank <= {_SKEW_TOP}
+UNION ALL
+SELECT -1, total, 0, 1000000,
+       GREATEST(CAST(1 AS BIGINT),
+                ((total // nkeys) + {_SKEW_TARGET} - 1) // {_SKEW_TARGET})
+FROM t
+"""

@@ -283,3 +283,76 @@ def _gq_route(node, resolved, fetch, pending, limit):
         fetch[node["nid"]] = node
     else:
         pending.append(node)
+
+
+def skew_report(
+    df: DataFrame,
+    key,
+    top: int = 20,
+    salt_target: int = 1_000_000,
+) -> DataFrame:
+    """Partition-skew diagnostic for a prospective shuffle key: the
+    operational tool behind this engine's explicit skew handling (the
+    north rule) — run it BEFORE picking salt factors for a hot join or
+    write (plans/pipeline.write_tiles' salt_threshold, top_k_per_group's
+    salt_buckets).
+
+    `key` is a column name or list of names.  Returns the `top` heaviest
+    keys plus one summary row (key columns NULL), each with:
+
+      n_rows        rows under the key (summary: total rows)
+      rank          1-based heaviness rank (summary: 0)
+      share_ppm     FLOOR(1e6 * n_rows / total)
+      salt_factor   CEIL(n_rows / salt_target) — the number of salt
+                    buckets that caps each bucket at ~salt_target rows
+                    (summary row: CEIL(mean rows per key / salt_target),
+                    the balanced-key baseline, >= 1)
+
+    Two aggregate-only scans of the input (map-side combinable groupBys
+    for the per-key counts and the totals) plus a skew-safe top-k over
+    the per-key counts — no window over the raw rows, no collect of
+    anything key-cardinality-sized.  Deterministic: count ties rank by
+    the key columns' string form.
+    """
+    from .text import top_k_per_group
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if top < 1:
+        raise ValueError(f"top={top} must be >= 1")
+    if salt_target < 1:
+        raise ValueError(f"salt_target={salt_target} must be >= 1")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    # deterministic tie-break id: the concatenated key string
+    counts = counts.withColumn(
+        "__kid", F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    )
+    heavy = top_k_per_group(
+        counts.withColumn("__g", F.lit(0)),
+        group="__g",
+        order="n_rows",
+        k=top,
+        id_col="__kid",
+        out="rank",
+    ).drop("__g", "__kid")
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count("*").alias("__nkeys")
+    )
+    st = int(salt_target)
+    heavy = heavy.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n_rows",
+        F.col("rank").cast("long").alias("rank"),
+        F.expr("(n_rows * 1000000L) DIV __total").alias("share_ppm"),
+        F.expr(f"(n_rows + {st}L - 1) DIV {st}L").alias("salt_factor"),
+    )
+    summary = totals.select(
+        *[F.lit(None).cast(dict(heavy.dtypes)[k]).alias(k) for k in keys],
+        F.col("__total").alias("n_rows"),
+        F.lit(0).cast("long").alias("rank"),
+        F.lit(1_000_000).cast("long").alias("share_ppm"),
+        F.expr(
+            f"GREATEST(CAST(1 AS BIGINT), "
+            f"(__total DIV __nkeys + {st}L - 1) DIV {st}L)"
+        ).alias("salt_factor"),
+    )
+    return heavy.unionByName(summary)

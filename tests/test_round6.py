@@ -1652,3 +1652,34 @@ def test_bm25_topk_net_vs_python(spark):
         )
         got = sorted(tuple(r) for r in bm25_topk(ddf, qdf, k=4).collect())
         assert got == _py_bm25(docs, queries, 4), f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# skew diagnostics (operators/stats.skew_report)
+# ---------------------------------------------------------------------------
+
+
+def test_skew_report(spark):
+    from osmquadtree_rust_spark.operators.stats import skew_report
+
+    # key 'hot' has 70 rows, 'warm' 25, 'cold' 5
+    rows = [("hot",)] * 70 + [("warm",)] * 25 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        (r["k"],): (r["n_rows"], r["rank"], r["share_ppm"], r["salt_factor"])
+        for r in skew_report(df, "k", top=2, salt_target=10).collect()
+    }
+    assert out[("hot",)] == (70, 1, 700000, 7)
+    assert out[("warm",)] == (25, 2, 250000, 3)
+    assert ("cold",) not in out
+    # summary: total 100, mean rows/key 33 -> ceil(33/10) = 4
+    assert out[(None,)] == (100, 0, 1000000, 4)
+    # multi-column keys + count-tie determinism (string tie-break)
+    rows2 = [(1, "a")] * 3 + [(1, "b")] * 3 + [(2, "a")] * 3
+    df2 = spark.createDataFrame(rows2, "x long, y string")
+    got = sorted(
+        (r["rank"], r["x"], r["y"])
+        for r in skew_report(df2, ["x", "y"], top=3, salt_target=100).collect()
+        if r["rank"] > 0
+    )
+    assert got == [(1, 1, "a"), (2, 1, "b"), (3, 2, "a")]
