@@ -166,6 +166,7 @@ def main():
         "dwell_episodes",
         "pack_sequences",
         "skew_report",
+        "pagerank",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

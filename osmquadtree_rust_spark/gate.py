@@ -3040,3 +3040,80 @@ SELECT -1, total, 0, 1000000,
                 ((total // nkeys) + {_SKEW_TARGET} - 1) // {_SKEW_TARGET})
 FROM t
 """
+
+
+# ===========================================================================
+# deterministic integer PageRank (operators/graph.pagerank): synthetic
+# link graph over document ids (1 + id%4 out-edges per doc, dst =
+# (97*id + 131*k) % N), 4 exact integer iterations.  The oracle UNROLLS
+# the same stages as MATERIALIZED CTEs (the substitution-explosion rule)
+# — rank mass is int64 fixed-point and damping the rational 85/100, so
+# iteration order cannot leak and both engines agree bit-for-bit.
+# ===========================================================================
+
+_PR_ITERS = 4
+_PR_SCALE = 10**12
+
+
+def _pr_edges_sql(n: str) -> str:
+    """Shared edge derivation given a SQL expression for the doc count."""
+    return f"(doc_id * 97 + k * 131) % ({n})"
+
+
+@_register("pagerank")
+def _prk(spark, sf_dir):
+    from .operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.withColumn(
+        "k", F.explode(F.expr("sequence(1, 1 + doc_id % 4)"))
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.expr(_pr_edges_sql(str(n))).alias("dst"),
+    )
+    out = pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE)
+    return out.select(F.col("node").cast("long"), F.col("pr").cast("long"))
+
+
+@_oracle("pagerank")
+def _prk_o() -> str:
+    scale = _PR_SCALE
+    stages = []
+    for t in range(_PR_ITERS):
+        stages.append(f"""
+p{t + 1} AS MATERIALIZED (
+  SELECT p.node,
+         CAST((15 * {scale} // (100 * c.n)) + COALESCE(s.m, 0) AS BIGINT) AS pr,
+         p.od
+  FROM p{t} p CROSS JOIN cnt c
+  LEFT JOIN (
+    SELECT e.v AS node,
+           CAST(SUM((85 * q.pr) // (100 * q.od)) AS BIGINT) AS m
+    FROM p{t} q JOIN e ON e.u = q.node
+    WHERE q.od IS NOT NULL
+    GROUP BY e.v
+  ) s USING (node)
+)""")
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id, UNNEST(generate_series(1, 1 + doc_id % 4)) AS k
+  FROM documents
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS u,
+         {_pr_edges_sql('SELECT COUNT(*) FROM documents')} AS v
+  FROM raw
+),
+nodes AS MATERIALIZED (
+  SELECT u AS node FROM e UNION SELECT v FROM e
+),
+cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+od AS MATERIALIZED (SELECT u AS node, COUNT(*) AS od FROM e GROUP BY u),
+p0 AS MATERIALIZED (
+  SELECT n.node, CAST({scale} // c.n AS BIGINT) AS pr, od.od
+  FROM nodes n CROSS JOIN cnt c LEFT JOIN od USING (node)
+),{",".join(stages)}
+SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
+FROM p{_PR_ITERS}
+"""

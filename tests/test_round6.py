@@ -1683,3 +1683,55 @@ def test_skew_report(spark):
         if r["rank"] > 0
     )
     assert got == [(1, 1, "a"), (2, 1, "b"), (3, 2, "a")]
+
+
+# ---------------------------------------------------------------------------
+# deterministic integer PageRank (operators/graph.pagerank)
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, iters, scale=10**12, dn=85, dd=100):
+    """Pure-python mirror over distinct edges.  Returns {node: pr}."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    od = {}
+    for u, _ in e:
+        od[u] = od.get(u, 0) + 1
+    n = len(nodes)
+    pr = {v: scale // n for v in nodes}
+    base = (dd - dn) * scale // (dd * n)
+    for _ in range(iters):
+        m = {v: 0 for v in nodes}
+        for u, v in e:
+            m[v] += (dn * pr[u]) // (dd * od[u])
+        pr = {v: base + m[v] for v in nodes}
+    return pr
+
+
+def test_pagerank_basic(spark):
+    from osmquadtree_rust_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3 -> 1 cycle plus a dangling sink 4 (1 -> 4)
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4), (1, 2)]  # dup edge dropped
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (0, 1, 3):
+        got = {r["node"]: r["pr"] for r in pagerank(df, iters=iters).collect()}
+        assert got == _py_pagerank(edges, iters), f"iters={iters}"
+    # mass conservation minus flooring + dangling loss: total <= scale
+    got3 = {r["node"]: r["pr"] for r in pagerank(df, iters=3).collect()}
+    assert sum(got3.values()) <= 10**12
+
+
+def test_pagerank_net_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.graph import pagerank
+
+    for seed in (13, 37):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(150)
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["pr"] for r in pagerank(df, iters=4).collect()}
+        assert got == _py_pagerank(edges, 4), f"seed={seed}"
