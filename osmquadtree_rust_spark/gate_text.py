@@ -4346,3 +4346,116 @@ FROM (
   FROM sc
 ) WHERE rk <= {_BM25_K}
 """
+
+
+# ===========================================================================
+# spatially-constrained image dedup (operators/multimodal.
+# geo_image_dedup_keep_best) — the graft cell (geospatial x image) in
+# one operator: phash-near pairs count as duplicates ONLY when taken
+# within 500 m great-circle of each other.  Corpus plants three classes
+# by doc_id parity/mask: co-located 2-bit flips (true dups — keeper by
+# planted quality), DISPLACED 2-bit flips (+0.1 deg lon ~ 11 km:
+# phash-near but spatially distinct, both survive), and co-located
+# 28-bit flips (phash-far, both survive).  Positions are the shared
+# synthetic footprint centres; the chord verify is the libm-pinned
+# 2R*sqrt(hav) integer-mm form (trajectory.chord_mm_sql).
+# ===========================================================================
+
+_GID_SHIFT = 500000
+_GID_MASK_SQL = "CASE doc_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 96 ELSE 268435455 END"
+_GID_DISP_SQL = "CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1000000 END"
+_GID_RADIUS_MM = 500_000
+
+
+def _gid_corpus(spark, sf_dir):
+    from .sources import synth
+
+    e = synth.synth_geo_exprs("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
+    base = docs.select(
+        F.col("doc_id").alias("image_id"),
+        F.expr(ph0).alias("phash"),
+        F.expr("(doc_id * 13) % 1000").alias("quality"),
+        F.expr(e["lon"]).alias("lon"),
+        F.expr(e["lat"]).alias("lat"),
+    )
+    dups = docs.select(
+        (F.col("doc_id") + _GID_SHIFT).alias("image_id"),
+        F.expr(f"({ph0}) ^ ({_GID_MASK_SQL})").alias("phash"),
+        F.expr(
+            "(doc_id * 13) % 1000 + CASE WHEN doc_id % 2 = 0 THEN 500 ELSE -500 END"
+        ).alias("quality"),
+        F.expr(f"({e['lon']}) + ({_GID_DISP_SQL})").alias("lon"),
+        F.expr(e["lat"]).alias("lat"),
+    )
+    return base.unionByName(dups)
+
+
+@_register("geo_image_dedup")
+def _gid(spark, sf_dir):
+    from .operators import multimodal as MM
+
+    kept = MM.geo_image_dedup_keep_best(
+        _gid_corpus(spark, sf_dir), max_hamming=3, radius_mm=_GID_RADIUS_MM
+    )
+    return kept.select(
+        F.col("image_id").cast("long"),
+        F.col("phash").cast("long"),
+        F.col("quality").cast("long"),
+        F.col("lon").cast("long"),
+        F.col("lat").cast("long"),
+    )
+
+
+@_oracle("geo_image_dedup")
+def _gid_o():
+    from .operators.trajectory import chord_mm_sql
+    from .sources import synth
+
+    e = synth.synth_geo_exprs("doc_id")
+    ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS VARCHAR)", TS.DUCKDB)
+    chord = chord_mm_sql("l.lon", "l.lat", "r.lon", "r.lat")
+    return f"""
+WITH RECURSIVE corpus AS MATERIALIZED (
+  SELECT doc_id AS image_id, {ph0} AS phash,
+         (doc_id * 13) % 1000 AS quality,
+         {e['lon']} AS lon, {e['lat']} AS lat
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_GID_SHIFT}, xor({ph0}, {_GID_MASK_SQL}),
+         (doc_id * 13) % 1000
+           + CASE WHEN doc_id % 2 = 0 THEN 500 ELSE -500 END,
+         ({e['lon']}) + ({_GID_DISP_SQL}), {e['lat']}
+  FROM documents
+),
+pairs AS MATERIALIZED (
+  SELECT l.image_id AS a, r.image_id AS b
+  FROM corpus l JOIN corpus r ON l.image_id < r.image_id
+  WHERE bit_count(xor(l.phash, r.phash)) <= 3
+    AND {chord} <= {_GID_RADIUS_MM}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT CAST(image_id AS BIGINT), CAST(image_id AS BIGINT) FROM corpus
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comps AS (
+  SELECT id AS image_id, MIN(r) AS comp FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.image_id, c.phash, c.quality, c.lon, c.lat,
+         ROW_NUMBER() OVER (PARTITION BY m.comp
+                            ORDER BY c.quality DESC, c.image_id ASC) AS rn
+  FROM corpus c JOIN comps m ON m.image_id = c.image_id
+)
+SELECT CAST(image_id AS BIGINT) AS image_id,
+       CAST(phash AS BIGINT) AS phash,
+       CAST(quality AS BIGINT) AS quality,
+       CAST(lon AS BIGINT) AS lon,
+       CAST(lat AS BIGINT) AS lat
+FROM ranked WHERE rn = 1
+"""

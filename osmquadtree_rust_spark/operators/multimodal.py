@@ -491,3 +491,72 @@ def image_dedup_keep_best(
         order=quality_col,
     )
     return kept.withColumnRenamed("doc_id", id_col)
+
+
+def geo_image_dedup_keep_best(
+    sigs: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    quality_col: str = "quality",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_hamming: int = 3,
+    radius_mm: int = 500_000,
+) -> DataFrame:
+    """Spatially-constrained image dedup: two images are duplicates only
+    when they are phash-near (Hamming <= max_hamming) AND taken within
+    `radius_mm` great-circle millimetres of each other — the
+    geo-image-corpus curation rule (the same street photographed from
+    the same spot collapses; the same meme template re-shot on another
+    continent is a distinct observation and survives).
+
+    Composition, every stage bounded: pigeonhole-banded Hamming
+    candidate pairs (recall-exact) -> per-pair chord verify (integer-mm
+    great-circle chord, trajectory._chord_mm_udf — two entity-sized
+    hash joins attach coordinates to the pair frame, never a spatial
+    all-pairs) -> min-label connected components over the surviving
+    pairs -> salted keep-best by `quality_col`.  Note transitive
+    chaining is the standard CC semantic: a chain of pairwise-co-located
+    dups can span more than radius_mm end to end.
+
+    `sigs` is (id, phash, quality, lon, lat) with fixed-point 1e-7 deg
+    coordinates.  Returns the kept rows of `sigs` unchanged."""
+    from . import dedup as D
+    from .trajectory import _chord_mm_udf
+
+    if radius_mm < 0:
+        raise ValueError(f"radius_mm={radius_mm} must be >= 0")
+    pairs = D.simhash_neardup_pairs(
+        sigs.select(
+            F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+        ),
+        max_hamming=max_hamming,
+    ).select("a", "b")
+    pa = sigs.select(
+        F.col(id_col).alias("a"),
+        F.col(lon).alias("__alon"),
+        F.col(lat).alias("__alat"),
+    )
+    pb = sigs.select(
+        F.col(id_col).alias("b"),
+        F.col(lon).alias("__blon"),
+        F.col(lat).alias("__blat"),
+    )
+    near = (
+        pairs.join(pa, "a")
+        .join(pb, "b")
+        .filter(
+            _chord_mm_udf(
+                F.col("__alon"), F.col("__alat"), F.col("__blon"), F.col("__blat")
+            )
+            <= F.lit(int(radius_mm))
+        )
+        .select("a", "b")
+    )
+    comps = D.connected_components(
+        sigs.select(F.col(id_col).alias("doc_id")), near
+    )
+    kept = D.dedup_keep_best(
+        sigs.withColumnRenamed(id_col, "doc_id"), comps, order=quality_col
+    )
+    return kept.withColumnRenamed("doc_id", id_col)

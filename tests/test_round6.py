@@ -1735,3 +1735,35 @@ def test_pagerank_net_vs_python(spark):
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {r["node"]: r["pr"] for r in pagerank(df, iters=4).collect()}
         assert got == _py_pagerank(edges, 4), f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# spatially-constrained image dedup (multimodal.geo_image_dedup_keep_best)
+# ---------------------------------------------------------------------------
+
+
+def test_geo_image_dedup(spark):
+    from osmquadtree_rust_spark.operators.multimodal import (
+        geo_image_dedup_keep_best,
+    )
+
+    # pairs: (1,2) phash-equal + co-located -> dedup, keeper = higher
+    # quality (2); (3,4) phash-equal but 11 km apart -> both kept;
+    # (5,6) co-located but phash-far -> both kept; 7 singleton.
+    rows = [
+        (1, 0xABC, 10, 1000, 2000),
+        (2, 0xABC, 20, 1200, 2100),            # ~25 m away
+        (3, 0xDEF, 10, 50_000_000, 0),
+        (4, 0xDEF, 20, 51_000_000, 0),          # 0.1 deg ~ 11 km
+        (5, 0x0, 10, -1000, -2000),
+        (6, 0x00FFFF00, 20, -1000, -2000),      # hamming 16
+        (7, 0x123, 5, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, phash long, quality long, lon long, lat long"
+    )
+    kept = sorted(
+        r["image_id"]
+        for r in geo_image_dedup_keep_best(df, radius_mm=500_000).collect()
+    )
+    assert kept == [2, 3, 4, 5, 6, 7]
