@@ -167,6 +167,8 @@ def main():
         "pack_sequences",
         "skew_report",
         "pagerank",
+        "pack_by_source",
+        "time_in_fence",
     ]
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline

@@ -3117,3 +3117,65 @@ p0 AS MATERIALIZED (
 SELECT CAST(node AS BIGINT) AS node, CAST(pr AS BIGINT) AS pr
 FROM p{_PR_ITERS}
 """
+
+
+# ===========================================================================
+# time-in-fence aggregate (operators/trajectory.time_in_fence):
+# left-continuous step integration of presence — interval [t_i, t_{i+1})
+# counts when event i is inside the fence; gaps > 6 h dropped (signal
+# loss is not presence).  Same polygon + synthetic positions as
+# geofence_transitions; pnpoly via the shared generated SQL.
+# ===========================================================================
+
+_TIF_GAP_US = 6 * 3600 * 1_000_000
+
+
+@_register("time_in_fence")
+def _tif(spark, sf_dir):
+    from .operators import filter as FL
+    from .operators.trajectory import time_in_fence
+
+    poly = FL.Poly(_POLY_VX, _POLY_VY)
+    out = time_in_fence(
+        _traj_events(spark, sf_dir), poly, max_gap_us=_TIF_GAP_US
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("inside_us").cast("long"),
+        F.col("n_events").cast("long"),
+        F.col("n_inside").cast("long"),
+    )
+
+
+@_oracle("time_in_fence")
+def _tif_o() -> str:
+    pip = geo_sql.pnpoly_sql(
+        _POLY_VX,
+        _POLY_VY,
+        "CAST(lon AS DOUBLE) * 0.0000001",
+        "CAST(lat AS DOUBLE) * 0.0000001",
+    )
+    return f"""
+WITH pts AS MATERIALIZED (
+  {_traj_synth_sql()}
+),
+flagged AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, ({pip}) AS inf
+  FROM pts
+),
+stepped AS MATERIALIZED (
+  SELECT user_id, tus, inf,
+         LEAD(tus) OVER (PARTITION BY user_id
+                         ORDER BY tus, event_id) AS nt
+  FROM flagged
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COALESCE(SUM(CASE WHEN nt IS NOT NULL
+                               AND nt - tus <= {_TIF_GAP_US}
+                               AND inf
+                              THEN nt - tus ELSE 0 END), 0) AS BIGINT)
+         AS inside_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN inf THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+FROM stepped GROUP BY user_id
+"""

@@ -4459,3 +4459,59 @@ SELECT CAST(image_id AS BIGINT) AS image_id,
        CAST(lat AS BIGINT) AS lat
 FROM ranked WHERE rn = 1
 """
+
+
+# ===========================================================================
+# per-group packing (pack_sequences group_col mode): independent
+# concat-and-chunk streams per documents.source — the sharded training
+# layout (one sequence namespace per shard).  Oracle is the per-group
+# naive prefix-sum window.
+# ===========================================================================
+
+
+@_register("pack_by_source")
+def _pkg(spark, sf_dir):
+    from .operators.packing import pack_sequences
+
+    out = pack_sequences(
+        _t(spark, sf_dir, "documents"), _PACK_BUDGET, group_col="source"
+    )
+    return out.select(
+        F.col("source"),
+        F.col("seq").cast("long"),
+        F.col("seq_off").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("doc_off").cast("long"),
+        F.col("n_tokens").cast("long"),
+    )
+
+
+@_oracle("pack_by_source")
+def _pkg_o():
+    toks = TS.bpe_token_count_sql("text", TS.DUCKDB)
+    L = _PACK_BUDGET
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT source, doc_id, CAST({toks} AS BIGINT) AS tok FROM documents
+),
+nz AS MATERIALIZED (
+  SELECT source, doc_id, tok,
+         CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS g
+  FROM d WHERE tok > 0
+),
+spans AS MATERIALIZED (
+  SELECT source, doc_id, tok, g,
+         UNNEST(generate_series(g // {L}, (g + tok - 1) // {L})) AS seq
+  FROM nz
+)
+SELECT source,
+       CAST(seq AS BIGINT) AS seq,
+       CAST(GREATEST(g, seq * {L}) - seq * {L} AS BIGINT) AS seq_off,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(GREATEST(g, seq * {L}) - g AS BIGINT) AS doc_off,
+       CAST(LEAST(g + tok, (seq + 1) * {L})
+            - GREATEST(g, seq * {L}) AS BIGINT) AS n_tokens
+FROM spans
+"""

@@ -480,3 +480,54 @@ def interpolate_track(
         .alias(lat),
         *[F.col(k) for k in keep_cols],
     )
+
+
+def time_in_fence(
+    events: DataFrame,
+    poly,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_gap_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Total time each entity spends inside a polygon fence.
+
+    Left-continuous step integration: the interval [t_i, t_{i+1})
+    counts as inside exactly when event i is inside (the standard
+    telemetry convention — state holds until the next observation); an
+    entity's last event contributes nothing, and intervals longer than
+    max_gap_us are dropped (signal loss is not presence — the same cut
+    as split_trips/dwell_episodes).
+
+    Output: (id_col, inside_us, n_events, n_inside).  The
+    inside/outside flag is the vectorized pnpoly Arrow projection
+    evaluated BEFORE the entity shuffle (the window carries one boolean
+    and two longs); one window pass + one aggregate.
+    """
+    from .filter import make_pip_udf
+
+    if max_gap_us <= 0:
+        raise ValueError(f"max_gap_us={max_gap_us} must be > 0")
+    pip = make_pip_udf(poly)
+    base = (
+        events.withColumn("__tus", PARSE.epoch_micros(events, ts_col))
+        .select(id_col, seq_col, "__tus", lon, lat)
+        .withColumn("__in", pip(F.col(lon), F.col(lat)))
+    )
+    w = Window.partitionBy(id_col).orderBy("__tus", seq_col)
+    stepped = base.withColumn("__nt", F.lead("__tus").over(w)).withColumn(
+        "__dwell",
+        F.when(
+            F.col("__nt").isNotNull()
+            & (F.col("__nt") - F.col("__tus") <= F.lit(int(max_gap_us)))
+            & F.col("__in"),
+            F.col("__nt") - F.col("__tus"),
+        ).otherwise(F.lit(0)),
+    )
+    return stepped.groupBy(id_col).agg(
+        F.sum("__dwell").alias("inside_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__in").cast("long")).alias("n_inside"),
+    )

@@ -1767,3 +1767,38 @@ def test_geo_image_dedup(spark):
         for r in geo_image_dedup_keep_best(df, radius_mm=500_000).collect()
     )
     assert kept == [2, 3, 4, 5, 6, 7]
+
+
+# ---------------------------------------------------------------------------
+# time-in-fence aggregate (operators/trajectory.time_in_fence)
+# ---------------------------------------------------------------------------
+
+
+def test_time_in_fence(spark):
+    from osmquadtree_rust_spark.operators.filter import Poly
+    from osmquadtree_rust_spark.operators.trajectory import time_in_fence
+
+    poly = Poly([0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0])  # unit square
+    m = 60 * 1_000_000
+    IN, OUT = (5_000_000, 5_000_000), (25_000_000, 5_000_000)
+    rows = [
+        # user 1: inside 0..10, outside 10..20, inside 20..30 (last event
+        # contributes nothing); gap 30..400 dropped even though inside
+        (1, 1, 0 * m, *IN),
+        (1, 2, 10 * m, *OUT),
+        (1, 3, 20 * m, *IN),
+        (1, 4, 30 * m, *IN),
+        (1, 5, 400 * m, *IN),
+        # user 2: never inside
+        (2, 6, 0 * m, *OUT),
+        (2, 7, 10 * m, *OUT),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    got = {
+        r["user_id"]: (r["inside_us"], r["n_events"], r["n_inside"])
+        for r in time_in_fence(df, poly, max_gap_us=60 * m).collect()
+    }
+    assert got[1] == (20 * m, 5, 4)
+    assert got[2] == (0, 2, 0)
