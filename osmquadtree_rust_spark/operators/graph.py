@@ -43,20 +43,55 @@ def pagerank(
     scale: int = 10**12,
     damp_num: int = 85,
     damp_den: int = 100,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, pr) after `iters` exact integer PageRank iterations over
     the DISTINCT directed edges.  Nodes are the union of endpoints; pr
     is in `scale` fixed-point units of total mass (module docstring).
+
+    reliable=False truncates per-round lineage with localCheckpoint
+    (executor-local blocks — fastest, but a lost executor kills the
+    job); reliable=True writes each rank generation as parquet under
+    checkpoint_dir and deletes dead generations through the Hadoop FS
+    API (cluster URIs clean up like local paths), exactly the
+    connected_components fault-tolerance contract — the FINAL rank
+    parquet backs the returned frame and is the caller's to remove
+    with checkpoint_dir.
     """
+    spark = edges.sparkSession
     if iters < 0:
         raise ValueError(f"iters={iters} must be >= 0")
     if not (0 < damp_num < damp_den):
         raise ValueError("need 0 < damp_num < damp_den")
     if scale < 1:
         raise ValueError(f"scale={scale} must be >= 1")
-    e = edges.select(
-        F.col(src).cast("long").alias("__u"), F.col(dst).cast("long").alias("__v")
-    ).distinct().localCheckpoint(eager=True)
+    if reliable and checkpoint_dir is None:
+        raise ValueError("reliable=True needs checkpoint_dir")
+    from .. import fsio
+
+    _gen = {"n": 0}
+
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, str | None]:
+        if not reliable:
+            return df.localCheckpoint(eager=True), None
+        path = f"{checkpoint_dir}/pr_gen_{_gen['n']}.parquet"
+        _gen["n"] += 1
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), path
+
+    def _drop(df: DataFrame, path: str | None) -> None:
+        if path is None:
+            df.unpersist()
+        else:
+            fsio.rmtree_any(path, spark)
+
+    e, e_path = _ckpt(
+        edges.select(
+            F.col(src).cast("long").alias("__u"),
+            F.col(dst).cast("long").alias("__v"),
+        ).distinct()
+    )
     nodes = (
         e.select(F.col("__u").alias("node"))
         .unionByName(e.select(F.col("__v").alias("node")))
@@ -68,23 +103,18 @@ def pagerank(
     # rank carries outdeg from the start — one init join instead of one
     # per iteration (the carry-through rule: Spark re-evaluates shared
     # subplans per consumer)
-    deg = (
-        nodes.join(outdeg, "node", "left")
-        .select("node", F.col("__od"))
-        .localCheckpoint(eager=True)
+    deg, deg_path = _ckpt(
+        nodes.join(outdeg, "node", "left").select("node", F.col("__od"))
     )
     n = deg.count()
     if n == 0:
-        deg.unpersist()
-        e.unpersist()
-        return edges.sparkSession.createDataFrame([], "node long, pr long")
+        _drop(deg, deg_path)
+        _drop(e, e_path)
+        return spark.createDataFrame([], "node long, pr long")
     init = int(scale) // n
     base = (damp_den - damp_num) * int(scale) // (damp_den * n)
-    pr = (
-        deg.withColumn("pr", F.lit(init).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    deg.unpersist()
+    pr, pr_path = _ckpt(deg.withColumn("pr", F.lit(init).cast("long")))
+    _drop(deg, deg_path)
     contrib_expr = (
         f"({damp_num}L * pr) DIV ({damp_den}L * __od)"
     )
@@ -96,7 +126,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__m"))
         )
-        nxt = (
+        nxt, nxt_path = _ckpt(
             pr.select("node", "__od")
             .join(contrib, "node", "left")
             .select(
@@ -106,10 +136,9 @@ def pagerank(
                 .cast("long")
                 .alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
-        pr.unpersist()
-        pr = nxt
+        _drop(pr, pr_path)
+        pr, pr_path = nxt, nxt_path
     out = pr.select("node", "pr")
-    e.unpersist()
+    _drop(e, e_path)
     return out

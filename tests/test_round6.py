@@ -1802,3 +1802,21 @@ def test_time_in_fence(spark):
     }
     assert got[1] == (20 * m, 5, 4)
     assert got[2] == (0, 2, 0)
+
+
+def test_pagerank_reliable_mode(spark, tmp_path):
+    from osmquadtree_rust_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ckpt = str(tmp_path / "pr_ckpt")
+    rel = {
+        r["node"]: r["pr"]
+        for r in pagerank(df, iters=3, reliable=True, checkpoint_dir=ckpt).collect()
+    }
+    assert rel == _py_pagerank(edges, 3)
+    # dead generations cleaned: only the final rank parquet remains
+    import os
+
+    gens = [d for d in os.listdir(ckpt) if d.startswith("pr_gen_")]
+    assert len(gens) == 1
