@@ -4515,3 +4515,224 @@ SELECT source,
             - GREATEST(g, seq * {L}) AS BIGINT) AS n_tokens
 FROM spans
 """
+
+
+# ===========================================================================
+# resize pipeline gate (operators/multimodal.resize_nearest -> decode_
+# verify): nearest-neighbour downscale of the PNG synthetic images to
+# 20x12, then per-image exact channel sums of the RESIZED pixels — the
+# oracle derives the same sums purely arithmetically from the pixel
+# generator (R depends only on x, G only on y, B on x+y) composed with
+# the floor source-index mapping x = X*w // out_w.  PSNR/equality check
+# runs against a python ref of the identical composition (psnr_ok
+# must be all-1).
+# ===========================================================================
+
+_RSZ_W, _RSZ_H = 20, 12
+
+
+@_register("resize_stats")
+def _rsz(spark, sf_dir):
+    import numpy as np
+
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    small = MM.resize_nearest(images, _RSZ_W, _RSZ_H)
+
+    def ref(image_id: str, w: int, h: int):
+        i = int(image_id[3:])
+        iw, ih = FX.W_CYCLE[i % 4], FX.H_CYCLE[i % 4]
+        px = FX.synth_pixels(i, iw, ih)
+        ys = (np.arange(_RSZ_H) * ih // _RSZ_H).astype(int)
+        xs = (np.arange(_RSZ_W) * iw // _RSZ_W).astype(int)
+        return px[ys][:, xs]
+
+    out = MM.decode_verify(small, ref)
+    return out.select(
+        F.col("image_id"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("n_pixels").cast("long"),
+        F.col("sum_r").cast("long"),
+        F.col("sum_g").cast("long"),
+        F.col("sum_b").cast("long"),
+        F.col("psnr_ok").cast("long"),
+    )
+
+
+@_oracle("resize_stats")
+def _rsz_o():
+    from .sources.fixtures import FMT_CYCLE, H_CYCLE, W_CYCLE
+
+    png_pos = FMT_CYCLE.index("png")
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    OW, OH = _RSZ_W, _RSZ_H
+    return f"""
+WITH imgs AS MATERIALIZED (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS BIGINT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS BIGINT) AS h
+  FROM range({_IDS_N}) t(i) WHERE t.i % {len(FMT_CYCLE)} = {png_pos}),
+rsum AS (
+  SELECT i.i, SUM((((x.range * i.w // {OW}) * 255) // (i.w - 1) + i.i) % 256) AS sr
+  FROM imgs i, range({OW}) x GROUP BY i.i),
+gsum AS (
+  SELECT i.i, SUM((((y.range * i.h // {OH}) * 255) // (i.h - 1) + 2 * i.i) % 256) AS sg
+  FROM imgs i, range({OH}) y GROUP BY i.i),
+bsum AS (
+  SELECT i.i, SUM(((x.range * i.w // {OW}) + (y.range * i.h // {OH}) + 3 * i.i) % 256) AS sb
+  FROM imgs i, range({OW}) x, range({OH}) y GROUP BY i.i)
+SELECT im.image_id,
+       CAST({OW} AS INT) AS w, CAST({OH} AS INT) AS h,
+       CAST({OW} * {OH} AS BIGINT) AS n_pixels,
+       CAST(r.sr * {OH} AS BIGINT) AS sum_r,
+       CAST(g.sg * {OW} AS BIGINT) AS sum_g,
+       CAST(b.sb AS BIGINT) AS sum_b,
+       CAST(1 AS BIGINT) AS psnr_ok
+FROM imgs im
+JOIN rsum r ON r.i = im.i
+JOIN gsum g ON g.i = im.i
+JOIN bsum b ON b.i = im.i
+"""
+
+
+# ===========================================================================
+# video frame sampling (operators/multimodal.sample_frames) + audio DSP
+# features (audio_features), over deterministic fixture codecs.  Frame f
+# of video v is synth_pixels(v*101 + f), so the sampled frames' channel
+# sums derive arithmetically (every_n = 3 keeps frames 0,3,6,9 of 12);
+# audio clips are s[k] = ((k*k + 7i) % 20001) - 10000, whose squared
+# sums stay < 2^53 — the RMS floor(sqrt(sum/n)*1000) is the pinned
+# div/sqrt/mul/floor chain, engine-identical.
+# ===========================================================================
+
+_VID_N = 8
+_VID_EVERY = 3
+_AUD_N = 24
+
+
+@_register("frame_sample_stats")
+def _fss(spark, sf_dir):
+    import numpy as np
+
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    vdf = spark.createDataFrame(
+        FX.synth_video_rows(_VID_N), "video_id string, bytes binary"
+    )
+    frames = MM.sample_frames(vdf, every_n=_VID_EVERY)
+    imgs = frames.select(
+        F.concat(F.col("video_id"), F.lit(":"), F.col("frame_idx")).alias(
+            "image_id"
+        ),
+        F.col("frame_idx"),
+        F.col("bytes"),
+        F.col("w"),
+        F.col("h"),
+        F.lit("png").alias("fmt"),
+    )
+
+    def ref(image_id: str, w: int, h: int):
+        vid, fidx = image_id.split(":")
+        return FX.synth_pixels(
+            int(vid[3:]) * 101 + int(fidx), FX.VID_W, FX.VID_H
+        )
+
+    out = MM.decode_verify(imgs, ref)
+    return out.select(
+        F.col("image_id"),
+        F.col("n_pixels").cast("long"),
+        F.col("sum_r").cast("long"),
+        F.col("sum_g").cast("long"),
+        F.col("sum_b").cast("long"),
+        F.col("psnr_ok").cast("long"),
+    )
+
+
+@_oracle("frame_sample_stats")
+def _fss_o():
+    from .sources.fixtures import VID_FRAMES, VID_H, VID_W
+
+    return f"""
+WITH vf AS MATERIALIZED (
+  SELECT v.range AS v, f.range AS f,
+         CAST(v.range * 101 + f.range AS BIGINT) AS i
+  FROM range({_VID_N}) v, range({VID_FRAMES}) f
+  WHERE f.range % {_VID_EVERY} = 0),
+rsum AS (
+  SELECT vf.v, vf.f, SUM((x.range * 255 // ({VID_W} - 1) + vf.i) % 256) AS sr
+  FROM vf, range({VID_W}) x GROUP BY vf.v, vf.f),
+gsum AS (
+  SELECT vf.v, vf.f, SUM((y.range * 255 // ({VID_H} - 1) + 2 * vf.i) % 256) AS sg
+  FROM vf, range({VID_H}) y GROUP BY vf.v, vf.f),
+bsum AS (
+  SELECT vf.v, vf.f,
+         SUM((x.range + y.range + 3 * vf.i) % 256) AS sb
+  FROM vf, range({VID_W}) x, range({VID_H}) y GROUP BY vf.v, vf.f)
+SELECT printf('vid%06d:%d', vf.v, vf.f) AS image_id,
+       CAST({VID_W} * {VID_H} AS BIGINT) AS n_pixels,
+       CAST(r.sr * {VID_H} AS BIGINT) AS sum_r,
+       CAST(g.sg * {VID_W} AS BIGINT) AS sum_g,
+       CAST(b.sb AS BIGINT) AS sum_b,
+       CAST(1 AS BIGINT) AS psnr_ok
+FROM vf
+JOIN rsum r ON r.v = vf.v AND r.f = vf.f
+JOIN gsum g ON g.v = vf.v AND g.f = vf.f
+JOIN bsum b ON b.v = vf.v AND b.f = vf.f
+"""
+
+
+@_register("audio_feature_stats")
+def _afs(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    adf = spark.createDataFrame(
+        FX.synth_audio_rows(_AUD_N), "audio_id string, bytes binary"
+    )
+    out = MM.audio_features(adf)
+    return out.select(
+        F.col("audio_id"),
+        F.col("sample_rate").cast("long"),
+        F.col("n_samples").cast("long"),
+        F.col("duration_ms").cast("long"),
+        F.col("rms_milli").cast("long"),
+        F.col("zero_crossings").cast("long"),
+    )
+
+
+@_oracle("audio_feature_stats")
+def _afs_o():
+    from .sources.fixtures import AUD_BASE_N
+
+    s = "(((k.range * k.range + 7 * a.i) % 20001) - 10000)"
+    sp = "(((p * p + 7 * a.i) % 20001) - 10000)"
+    return f"""
+WITH a AS MATERIALIZED (
+  SELECT CAST(t.i AS BIGINT) AS i,
+         CAST({AUD_BASE_N} + 100 * (t.i % 5) AS BIGINT) AS n,
+         CAST(8000 + 4000 * (t.i % 2) AS BIGINT) AS sr
+  FROM range({_AUD_N}) t(i)),
+agg AS (
+  SELECT a.i, a.n, a.sr,
+         CAST(SUM({s} * {s}) AS BIGINT) AS ss,
+         CAST(SUM(CASE WHEN k.range > 0 AND
+                       (({sp.replace('p', '(k.range - 1)')}) >= 0)
+                       != ({s} >= 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zc
+  FROM a, range({AUD_BASE_N} + 400) k
+  WHERE k.range < a.n
+  GROUP BY a.i, a.n, a.sr)
+SELECT printf('aud%06d', i) AS audio_id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+       CAST(FLOOR(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) * 1000.0)
+            AS BIGINT) AS rms_milli,
+       zc AS zero_crossings
+FROM agg
+"""

@@ -442,3 +442,45 @@ def audio_decode(data: bytes):
     assert data[:8] == _AUD_MAGIC, "not a fixture audio"
     (sr,) = struct.unpack(">I", data[8:12])
     return sr, np.frombuffer(zlib.decompress(data[12:]), dtype=np.int16)
+
+
+# ---------------------------------------------------------------------------
+# deterministic video/audio fixture tables (gate + test inputs)
+# ---------------------------------------------------------------------------
+
+VID_W, VID_H = 16, 16
+VID_FRAMES = 12
+
+
+def synth_video_rows(n: int):
+    """n fixture videos; frame f of video v has synth_pixels seed
+    v*101 + f, so any frame's channel sums are pure arithmetic."""
+    rows = []
+    for v in range(n):
+        frames = [
+            synth_pixels(v * 101 + f, VID_W, VID_H) for f in range(VID_FRAMES)
+        ]
+        rows.append((f"vid{v:06d}", video_encode(frames)))
+    return rows
+
+
+AUD_BASE_N = 1000
+
+
+def synth_audio_samples(i: int) -> "np.ndarray":
+    """Deterministic int16 clip: s[k] = ((k*k + 7i) % 20001) - 10000 —
+    integer arithmetic an SQL oracle reproduces exactly; squared sums
+    stay under 2^53 so double mean/sqrt/floor are engine-identical."""
+    n = AUD_BASE_N + 100 * (i % 5)
+    k = np.arange(n, dtype=np.int64)
+    return (((k * k + 7 * i) % 20001) - 10000).astype(np.int16)
+
+
+def synth_audio_rows(n: int):
+    return [
+        (
+            f"aud{i:06d}",
+            audio_encode(synth_audio_samples(i), 8000 + 4000 * (i % 2)),
+        )
+        for i in range(n)
+    ]
