@@ -1820,3 +1820,18 @@ def test_pagerank_reliable_mode(spark, tmp_path):
 
     gens = [d for d in os.listdir(ckpt) if d.startswith("pr_gen_")]
     assert len(gens) == 1
+
+
+def test_bench_queries_subset_of_registry():
+    """Every bench.py query name must resolve in the gate registry — a
+    typo here would crash the driver's per-round BENCH run."""
+    import re
+
+    from osmquadtree_rust_spark import gate, gate_text  # noqa: F401
+
+    src = open("bench.py").read()
+    block = src.split("bench_queries = [", 1)[1].split("]", 1)[0]
+    names = re.findall(r'"([a-z0-9_]+)"', block)
+    assert len(names) >= 70
+    missing = [n for n in names if n not in gate.GATE]
+    assert not missing, missing
