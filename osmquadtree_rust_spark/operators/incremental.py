@@ -21,7 +21,7 @@ work therefore never runs a window over the full index — sizes are READ,
 not recomputed.  Without fp_df_cap the index contributes only its side
 of the candidate equi-join; with fp_df_cap one aggregate-only scan
 derives the (tiny) hot-fingerprint set, which is materialized and
-broadcast — still no index-wide sort/window.
+joined back (strategy left to AQE) — still no index-wide sort/window.
 
 At 100 TB the index is a few percent of the corpus (fingerprints are
 (id, int64, int64) rows at ~1 per `window` words) and the per-delta cost
@@ -134,11 +134,13 @@ def _index_side(
 
     * stored-size path (index has `sz`): sizes are read.  With
       fp_df_cap, the hot-fingerprint set (df > cap) comes from ONE
-      aggregate-only scan (map-side-combinable groupBy, no sort), is
+      aggregate-only scan (map-side-combinable groupBy, no sort) and is
       materialized lineage-free (it is metadata-scale — fingerprints
-      shared by > cap documents), and broadcast into an anti-join;
-      per-doc removal counts (also bounded by the hot mass) adjust sz
-      so capped sizes equal what recomputation would give.
+      shared by > cap documents); per-doc removal counts adjust sz so
+      capped sizes equal what recomputation would give.  Join strategy
+      is AQE's call: `rem` is doc-count-sized when a boilerplate
+      fingerprint appears in every document (the case the cap exists
+      for), so it must never be force-broadcast.
     * legacy path (no `sz` column): the pre-r6 full-index windows —
       kept for callers passing ad-hoc (id, fp) frames; documented as
       NOT the 100 TB shape."""
@@ -156,14 +158,23 @@ def _index_side(
                 .select("fp")
                 .localCheckpoint(eager=True)
             )
+            # No forced broadcasts here (r7): `rem` is per-doc removal
+            # counts over every document containing a hot fingerprint —
+            # in the boilerplate-footer-in-every-doc case (the exact
+            # corpus fp_df_cap exists for) that is index-doc-count-sized,
+            # and a forced broadcast OOMs at scale.  AQE picks broadcast
+            # when the runtime size is small and degrades to a shuffle
+            # join otherwise — the same argument _cap_fp_df documents for
+            # its hot-set join (operators/dedup.py).  `hot` is metadata-
+            # scale in practice, but the same defensive reasoning applies.
             rem = (
-                idx.join(F.broadcast(hot), "fp", "left_semi")
+                idx.join(hot, "fp", "left_semi")
                 .groupBy(id_col)
                 .agg(F.count("*").alias("__rem"))
             )
             idx = (
-                idx.join(F.broadcast(hot), "fp", "left_anti")
-                .join(F.broadcast(rem), id_col, "left")
+                idx.join(hot, "fp", "left_anti")
+                .join(rem, id_col, "left")
                 .withColumn(
                     "__sz",
                     F.col("__sz") - F.coalesce(F.col("__rem"), F.lit(0)),
