@@ -40,6 +40,53 @@ def bpe_token_count_sql(text: str, dialect: str) -> str:
     return f"len(regexp_extract_all({text}, '{pat}'))"
 
 
+def bpe_word_extract_sql(text: str, dialect: str) -> str:
+    """Lowercase alphabetic runs as an array — the word inventory BPE
+    merge learning trains on.  Restricting to [a-z]+ keeps every symbol
+    single-byte, so the spaced-symbol representation below is exact on
+    both engines (no UTF-16 vs code-point divergence)."""
+    if dialect == SPARK:
+        return f"regexp_extract_all(lower({text}), '[a-z]+', 0)"
+    return f"regexp_extract_all(lower({text}), '[a-z]+')"
+
+
+def bpe_spaced_sql(word: str, dialect: str) -> str:
+    """A word as its DOUBLE-space-separated symbol string with double
+    leading/trailing spaces — '  h  e  l  l  o  '.  A merge pair is then
+    the single-space-bounded substring ' l  r ' whose boundary spaces
+    are the INNER space of each neighboring double separator, so
+    replace() consuming its match still leaves one space on each side:
+    consecutive occurrences stay matchable, and the result reproduces
+    classic BPE's left-to-right non-overlapping merge order EXACTLY —
+    including runs ('a a a a' with merge (a,a) -> 'aa aa', which a
+    single-space representation gets wrong because the shared separator
+    is consumed by the first match)."""
+    if dialect == SPARK:
+        return f"concat(' ', regexp_replace({word}, '(.)', ' $1 '), ' ')"
+    return f"concat(' ', regexp_replace({word}, '(.)', ' \\1 ', 'g'), ' ')"
+
+
+def bpe_merge_apply_sql(s: str, left: str, right: str) -> str:
+    """Apply one learned merge to a double-spaced symbol string: replace
+    every non-overlapping ' left  right ' (single boundary spaces,
+    double inner) with ' leftright ' — the double-separator invariant is
+    restored by the spaces the match did NOT consume.  left/right are
+    SQL string expressions (usually quoted literals of [a-z]+ symbols).
+    Identical text on both engines (concat/replace only)."""
+    return (
+        f"replace({s}, concat(' ', {left}, '  ', {right}, ' '), "
+        f"concat(' ', {left}, {right}, ' '))"
+    )
+
+
+def spaced_symbol_count_sql(s: str, dialect: str) -> str:
+    """Symbol count of a double-spaced symbol string '  a  b  ':
+    (space count - 2) / 2 — pure arithmetic, both engines (the division
+    is exact, but integer-DIV'd anyway to keep the type integral)."""
+    n_sp = f"(length({s}) - length(replace({s}, ' ', '')))"
+    return idiv_sql(f"({n_sp} - 2)", "2", dialect)
+
+
 def char_count_sql(text: str, ch: str) -> str:
     """Occurrences of a single character."""
     return f"(length({text}) - length(replace({text}, '{ch}', '')))"

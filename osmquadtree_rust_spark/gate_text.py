@@ -4736,3 +4736,240 @@ SELECT printf('aud%06d', i) AS audio_id,
        zc AS zero_crossings
 FROM agg
 """
+
+
+# ===========================================================================
+# distributed BPE merge learning (operators/bpe.learn_bpe_merges): the
+# tokenizer-training loop as checkpoint-per-round Spark (the pagerank
+# discipline); the oracle unrolls the identical rounds as MATERIALIZED
+# CTE stages (pair explode -> argmax with count DESC, left, right
+# tie-break -> replace()-applied merge).  String-exact: symbols are
+# [a-z]+ so byte order == lexicographic on both engines, and both
+# engines' replace() is left-to-right non-overlapping — classic BPE's
+# merge-application order.
+# ===========================================================================
+
+_BPE_K = 8
+
+
+@_register("bpe_merges")
+def _bpem(spark, sf_dir):
+    from .operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = learn_bpe_merges(docs, _BPE_K)
+    return out.select(
+        F.col("rk").cast("long"),
+        "left",
+        "right",
+        F.col("pair_count").cast("long"),
+    )
+
+
+@_oracle("bpe_merges")
+def _bpem_o():
+    wx = TS.bpe_word_extract_sql("text", TS.DUCKDB)
+    spaced = TS.bpe_spaced_sql("w", TS.DUCKDB)
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT {spaced} AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({wx}) AS w FROM documents) t
+  GROUP BY 1
+)"""
+    ]
+    sel = []
+    for k in range(_BPE_K):
+        ap = TS.bpe_merge_apply_sql("s", "l", "r")
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT sy[i+1] AS l, sy[i+2] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT sy, c, unnest(range(0, len(sy) - 1)) AS i
+        FROM (SELECT list_filter(string_split(s, ' '), x -> len(x) > 0) AS sy,
+                     c
+              FROM w{k}) t0
+        WHERE len(sy) >= 2) t1
+  GROUP BY l, r
+)"""
+        )
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""w{k + 1} AS MATERIALIZED (
+  SELECT {ap} AS s, c FROM w{k} CROSS JOIN b{k}
+)"""
+        )
+        sel.append(
+            f"SELECT CAST({k + 1} AS BIGINT) AS rk, l AS left, r AS right, "
+            f"cnt AS pair_count FROM b{k}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+# ===========================================================================
+# integer-exact bigram surprisal (operators/text.with_bigram_surprisal):
+# the conditional-probability extension of rarity_score — per adjacent
+# word pair, length(bin(c1)) - length(bin(c12)) whole bits of
+# -log2 p(w2|w1); per-doc mean in millionths via true int64 DIV.
+# ===========================================================================
+
+
+@_register("bigram_surprisal")
+def _bgs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = TX.with_bigram_surprisal(docs)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("surprisal_ppm").cast("long")
+    )
+
+
+@_oracle("bigram_surprisal")
+def _bgs_o():
+    return """
+WITH wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS i
+        FROM wsx WHERE len(ws) >= 2) t
+),
+lefts AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+bgc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS MATERIALIZED (
+  SELECT bg.doc_id,
+         CAST((SUM(len(bin(c1)) - len(bin(c12))) * 1000000) // COUNT(*)
+              AS BIGINT) AS surprisal_ppm
+  FROM bg JOIN bgc USING (w1, w2) JOIN lefts USING (w1)
+  GROUP BY bg.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(s.surprisal_ppm, 0) AS surprisal_ppm
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
+# ===========================================================================
+# web_curation_pipeline v3 stage: markup strip -> bigram-surprisal score
+# -> keep-below-cut per-source stats.  Pins the surprisal/strip
+# interaction (scores computed over STRIPPED text — markup tokens would
+# otherwise dominate the bigram tables) with the same conditional-
+# aggregate cut shape as web_curation_pipeline (no filter re-inlining).
+# ===========================================================================
+
+_CSC_PLANT = (
+    "concat('<h1>', substr(text, 1, 30), '</h1> <p>', substr(text, 31), "
+    "'</p>')"
+)
+_CSC_CUT = 4600000
+
+
+@_register("curation_surprisal_cut")
+def _csc(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_CSC_PLANT).alias("text")
+    )
+    step1 = TX.strip_markup(docs)
+    step2 = TX.with_bigram_surprisal(step1, text="text_stripped")
+    keep = F.col("surprisal_ppm") <= _CSC_CUT
+    return (
+        step2.groupBy("source")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, F.col("surprisal_ppm")))
+            .cast("long")
+            .alias("sum_surprisal"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+@_oracle("curation_surprisal_cut")
+def _csc_o():
+    plant = _CSC_PLANT.replace("AS STRING", "AS VARCHAR")
+    stripped = TS.strip_markup_sql("text", TS.DUCKDB)
+    return f"""
+WITH planted AS MATERIALIZED (
+  SELECT doc_id, source, {plant} AS text FROM documents
+),
+strippedx AS MATERIALIZED (
+  SELECT doc_id, source, {stripped} AS ts FROM planted
+),
+wsx AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(ts, ' '), w -> len(w) > 0) AS ws
+  FROM strippedx
+),
+bg AS MATERIALIZED (
+  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS i
+        FROM wsx WHERE len(ws) >= 2) t
+),
+lefts AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+bgc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+scored AS MATERIALIZED (
+  SELECT bg.doc_id,
+         CAST((SUM(len(bin(c1)) - len(bin(c12))) * 1000000) // COUNT(*)
+              AS BIGINT) AS sp
+  FROM bg JOIN bgc USING (w1, w2) JOIN lefts USING (w1)
+  GROUP BY bg.doc_id
+),
+docsp AS MATERIALIZED (
+  SELECT s.source, COALESCE(sc.sp, 0) AS sp
+  FROM strippedx s LEFT JOIN scored sc ON sc.doc_id = s.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE sp <= {_CSC_CUT}) AS BIGINT) AS n_docs,
+       CAST(SUM(sp) FILTER (WHERE sp <= {_CSC_CUT}) AS BIGINT)
+         AS sum_surprisal
+FROM docsp
+GROUP BY source
+HAVING COUNT(*) FILTER (WHERE sp <= {_CSC_CUT}) > 0
+"""
+
+
+# ===========================================================================
+# deterministic shuffle-and-shard assignment (operators/shards.
+# shard_assignments): seeded md5 sort key, global rank via the two-level
+# scan (hash-prefix buckets + driver prefix — never a global window),
+# shard = rank DIV rows_per_shard.  The oracle is the naive global
+# ROW_NUMBER over (hash, id), so the gate pins that the scalable
+# decomposition equals the simple definition.  The materializing writer
+# (write_shards) reuses the checkpointed tile writer and is pinned by
+# tests/test_round7.py's resume test.
+# ===========================================================================
+
+_SHD_ROWS = 64
+_SHD_SEED = "r7shard"
+
+
+@_register("shuffle_shards")
+def _shd(spark, sf_dir):
+    from .operators.shards import shard_assignments
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shard_assignments(docs, _SHD_ROWS, _SHD_SEED)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("shard").cast("long"),
+        F.col("pos").cast("long"),
+    )
+
+
+@_oracle("shuffle_shards")
+def _shd_o():
+    h = TS.md5_prefix_int_sql(
+        f"concat('{_SHD_SEED}', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    return f"""
+WITH h AS MATERIALIZED (SELECT doc_id, {h} AS h FROM documents),
+r AS MATERIALIZED (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rn FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rn // {_SHD_ROWS} AS BIGINT) AS shard,
+       CAST(rn % {_SHD_ROWS} AS BIGINT) AS pos
+FROM r
+"""

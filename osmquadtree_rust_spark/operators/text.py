@@ -939,6 +939,70 @@ def with_rarity_score(
     )
 
 
+_BIGRAM_EXPR = (
+    "transform(sequence(0, size(__ws) - 2), "
+    "i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"
+)
+
+
+def with_bigram_surprisal(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "surprisal_ppm",
+) -> DataFrame:
+    """Integer-exact bigram-surprisal quality signal — the conditional-
+    probability (n-gram LM perplexity-proxy) filter standard in
+    web-corpus curation, as the bit-length extension of
+    with_rarity_score: for each adjacent word pair (w1, w2),
+
+        surprisal(w1, w2) = length(bin(c1)) - length(bin(c12))
+
+    where c1 is the corpus count of bigrams starting with w1 and c12 the
+    corpus count of (w1, w2) — i.e. floor(log2 c1) - floor(log2 c12) ≈
+    -log2 p(w2 | w1) in whole bits, non-negative since c12 <= c1, and
+    computed with NO float log anywhere (the repo's determinism contract
+    excludes cross-engine transcendentals).  The per-document score is
+    the mean in millionths: (sum * 1e6) DIV n_bigrams, true int64 DIV on
+    both engines.  Predictable running text scores low; scrambled or
+    rare-continuation text scores high — cut above a threshold.
+
+    Shape: one explode to bigrams, two aggregate-only scans for the
+    bigram and left-unigram count tables, then shuffle joins back (the
+    tables are corpus-vocabulary-sized — no broadcast assumption) and a
+    per-doc aggregate.  Documents with < 2 words score 0 (no bigrams —
+    same convention as rarity's token-free 0)."""
+    reserved = {out, "__ws", "__b", "__c1", "__c12", "__sp"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    bg = (
+        df.select(F.col(id_col), split_words(text).alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select(F.col(id_col), F.explode(F.expr(_BIGRAM_EXPR)).alias("__b"))
+        .select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    lefts = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(lefts, "w1")
+        .withColumn(
+            "__sp",
+            F.length(F.bin(F.col("__c1"))) - F.length(F.bin(F.col("__c12"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "CAST((sum(__sp) * 1000000) DIV count(*) AS BIGINT)"
+            ).alias(out)
+        )
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long")))
+    )
+
+
 def redact_pii(
     df: DataFrame,
     text: str = "text",

@@ -218,3 +218,254 @@ def test_fp_index_epoch_filter_prunes_directories(spark, tmp_path):
     assert touched, "filter must still read the surviving epochs"
     assert all("epoch=0" in f or "epoch=1" in f for f in touched)
     assert not any("epoch=2" in f for f in touched)
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE merge learning (operators/bpe)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges):
+    import re
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(re.findall("[a-z]+", t.lower()))
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for rk in range(1, n_merges + 1):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rk, l, r, cnt))
+
+        def ap(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return tuple(out)
+
+        from collections import Counter as C2
+
+        nv = C2()
+        for syms, c in vocab.items():
+            nv[ap(syms)] += c
+        vocab = dict(nv)
+    return merges, vocab
+
+
+def test_learn_bpe_merges_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.bpe import learn_bpe_merges
+
+    # seeded randomized nets (CLAUDE.md: highest-yield test form for
+    # driver-side planners): synthetic corpora with skewed letter mixes
+    # so merge ties and repeated-symbol runs (aaa) are exercised
+    for seed, k in ((2, 6), (9, 10), (17, 4)):
+        rng = random.Random(seed)
+        alpha = "abcde"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 7)))
+                for _ in range(rng.randrange(1, 25))
+            )
+            for _ in range(60)
+        ]
+        ref, _ = _py_bpe(texts, k)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = [
+            (r["rk"], r["left"], r["right"], r["pair_count"])
+            for r in learn_bpe_merges(docs, k, "text").orderBy("rk").collect()
+        ]
+        assert got == ref, f"seed={seed}"
+
+
+def test_learn_bpe_merges_early_stop(spark):
+    from osmquadtree_rust_spark.operators.bpe import learn_bpe_merges
+
+    # single-letter words only: one merge is impossible, table is empty
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c a b")], "doc_id long, text string"
+    )
+    assert learn_bpe_merges(docs, 5).count() == 0
+    # 'ab' repeated: round 1 merges (a,b); nothing adjacent remains
+    docs2 = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    got = [tuple(r) for r in learn_bpe_merges(docs2, 5).collect()]
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_apply_bpe_merges_counts(spark):
+    from osmquadtree_rust_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    texts = ["banana bandana", "ban the banana", "an anagram annals", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref_merges, _ = _py_bpe(texts, 5)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, 5).orderBy("rk").collect()
+    ]
+    assert merges == [(l, r) for _, l, r, _ in ref_merges]
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+
+    def count_one(t):
+        import re
+
+        tot = 0
+        for w in re.findall("[a-z]+", t.lower()):
+            syms = list(w)
+            for l, r in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            tot += len(syms)
+        return tot
+
+    assert got == {i: count_one(t) for i, t in enumerate(texts)}
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal (operators/text.with_bigram_surprisal)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_vs_python(spark):
+    import random
+    from collections import Counter
+
+    from osmquadtree_rust_spark.operators.text import with_bigram_surprisal
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 15)))
+        for _ in range(80)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["surprisal_ppm"]
+        for r in with_bigram_surprisal(docs).collect()
+    }
+    bga, la = Counter(), Counter()
+    db = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        bgs = list(zip(ws, ws[1:]))
+        db[i] = bgs
+        bga.update(bgs)
+        la.update(w for w, _ in bgs)
+
+    def bl(x):
+        return len(bin(x)) - 2
+
+    for i in range(len(texts)):
+        bgs = db[i]
+        exp = (
+            (sum(bl(la[a]) - bl(bga[(a, b)]) for a, b in bgs) * 1000000)
+            // len(bgs)
+            if bgs
+            else 0
+        )
+        assert got[i] == exp, i
+
+
+# ---------------------------------------------------------------------------
+# shuffle-and-shard materializer (operators/shards)
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignments_deterministic(spark):
+    from osmquadtree_rust_spark.operators.shards import shard_assignments
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a1 = sorted(map(tuple, shard_assignments(docs, 32, "s1").collect()))
+    a2 = sorted(map(tuple, shard_assignments(docs, 32, "s1").collect()))
+    a3 = sorted(map(tuple, shard_assignments(docs, 32, "s2").collect()))
+    assert a1 == a2
+    assert a1 != a3  # the seed really reshuffles
+    # every shard full except the last; positions tile 0..n-1
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for _, sh, pos in a1:
+        by_shard[sh].append(pos)
+    last = max(by_shard)
+    for sh, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+        assert len(ps) == 32 or sh == last
+
+
+def test_write_shards_resume(spark, tmp_path):
+    import glob
+    import json
+
+    from osmquadtree_rust_spark.operators.shards import (
+        shard_assignments,
+        write_shards,
+    )
+
+    base = str(tmp_path / "shards")
+    docs = spark.range(0, 257).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 7 % 1000).alias("payload"),
+    )
+    # crash after 2 of 4 batches ...
+    write_shards(
+        docs, base, "ep0", rows_per_shard=32, seed="sd", n_batches=4,
+        fail_after_batch=2,
+    )
+    done = len(glob.glob(f"{base}/snapshot=ep0/batch=*/_SUCCESS"))
+    assert 0 < done < 4
+    # ... resume completes the rest and the result equals the assignment
+    write_shards(
+        docs, base, "ep0", rows_per_shard=32, seed="sd", n_batches=4
+    )
+    from osmquadtree_rust_spark.plans.checkpoint import read_snapshot
+
+    got = sorted(
+        (r["doc_id"], r["shard"], r["pos"], r["payload"])
+        for r in read_snapshot(spark, base, "ep0").collect()
+    )
+    asg = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_assignments(docs, 32, "sd").collect()
+    }
+    pay = {r["doc_id"]: r["payload"] for r in docs.collect()}
+    exp = sorted(
+        (i, asg[i][0], asg[i][1], pay[i]) for i in range(257)
+    )
+    assert got == exp
+    # lineage + metrics written; metrics rows sum to the corpus
+    with open(f"{base}/_lineage/snapshot=ep0.json") as fh:
+        recs = json.load(fh)
+    assert {r["batch"] for r in recs} == {0, 1, 2, 3}
+    met = spark.read.parquet(f"{base}/_metrics/snapshot=ep0")
+    assert met.agg(F.sum("rows")).collect()[0][0] == 257
