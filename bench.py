@@ -91,85 +91,13 @@ def main():
     times["tile_broadcast_join"] = round(time.time() - t0, 3)
     shutil.rmtree(ckpt_dir, ignore_errors=True)
 
-    # -- gate queries at data scale
-    bench_queries = [
-        "tpch_q1_pricing",
-        "tpch_q5_join_path",
-        "qt_point_cells",
-        "qt_cell_histogram",
-        "geohash_cells",
-        "s2_cells",
-        "h3_cells",
-        "way_bbox_qt",
-        "node_lca_qt",
-        "snapshot_merge",
-        "filter_bbox_poly",
-        "pip_spatial_join",
-        "id_closure",
-        "windowed_event_counts",
-        "compare_datasets",
-        "minhash_signatures",
-        "simhash64",
-        "simhash_neardup",
-        "embedding_neardup",
-        "ann_dot_topk",
-        # round 3 additions (totals are not comparable to r<=2 runs;
-        # compare per-query or the shared-prefix sum)
-        "ngram_jaccard_neardup",
-        "multimodal_neardup",
-        "corpus_clean_stats",
-        "qt_rollup_pyramid",
-        "geohash_neighbors",
-        "mergechanges_extract",
-        # round 4 additions
-        "session_stats",
-        "heavy_hitter_tokens",
-        "ann_topk_join",
-        "knn_radius_join",
-        "token_cooccurrence",
-        "top_k_per_source",
-        "top_frac_per_source",
-        "interval_coverage",
-        "qt_neighbors",
-        "random_projection",
-        "rp_topk_rescore",
-        "curation_cut_stats",
-        # round 5 additions
-        "decontaminate",
-        "shared_spans",
-        "incremental_neardup",
-        "span_dedup_corpus",
-        "dedup_keep_best",
-        "trim_spans_corpus",
-        "stratified_sample",
-        "decontaminate_report",
-        "rarity_score",
-        "curation_pipeline_v2",
-        "distinct_kmv",
-        # round 6 additions
-        "redact_pii",
-        "line_quality_signals",
-        "strip_markup",
-        "url_host_stats",
-        "weighted_sample",
-        "boilerplate_lines",
-        "image_dedup_keep_best",
-        "compact_fp_index",
-        "web_curation_pipeline",
-        "haversine_radius_join",
-        "temperature_mixture",
-        "knn_great_circle",
-        "track_stats",
-        "geofence_transitions",
-        "interpolate_track",
-        "split_trips",
-        "dwell_episodes",
-        "pack_sequences",
-        "skew_report",
-        "pagerank",
-        "pack_by_source",
-        "time_in_fence",
-    ]
+    # -- gate queries at data scale: the FULL registry (r6 judge task #3
+    #    — untimed gates are invisible to round-over-round regression
+    #    tracking).  Derived from GATE at runtime so new gates are timed
+    #    automatically; sorted for a stable cross-round per-query order.
+    #    (Totals are only comparable on the shared-query subset across
+    #    rounds — the per-round BENCH jsons carry per-query walls.)
+    bench_queries = sorted(n for n, spec in G.GATE.items() if "spark" in spec)
     # BENCH_TILING_ONLY=1 skips the gate-query sweep — used by the
     # scaling harness, whose efficiency metric is the tiling pipeline
     # alone, so each trial costs ~1/3 the wall time and more trials fit

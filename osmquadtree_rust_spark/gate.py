@@ -92,7 +92,11 @@ def _q1_o() -> str:
 # ===========================================================================
 
 def _events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _EVENTS_CAP)
+        .select("event_id")
+    )
     e = synth.synth_geo_exprs("event_id")
     return ev.withColumn("lon", F.expr(e["lon"])).withColumn("lat", F.expr(e["lat"]))
 
@@ -105,7 +109,8 @@ def _events_synth_sql() -> str:
     return (
         f"SELECT event_id, {e['lon']} AS lon, {e['lat']} AS lat, "
         f"{e['minlon']} AS minlon, {e['minlat']} AS minlat, "
-        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat FROM events"
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat FROM events "
+        f"WHERE event_id < {_EVENTS_CAP}"
     )
 
 
@@ -184,7 +189,11 @@ def _qrp_o() -> str:
 
 @_register("qt_footprint_cells")
 def _qfc(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _EVENTS_CAP)
+        .select("event_id")
+    )
     e = synth.synth_geo_exprs("event_id")
     fp = ev
     for c in ("minlon", "minlat", "maxlon", "maxlat"):
@@ -302,9 +311,32 @@ def _ta_o() -> str:
 # 4. way bbox -> cell, node LCA (calcqts semantics over lineitem/part keys)
 # ===========================================================================
 
+# ---------------------------------------------------------------------------
+# Gate-corpus caps (r7 bench hygiene, VERDICT r6 task #3): bench.py now
+# times the FULL registry at sf0.1, so gates whose cost is superlinear in
+# corpus size (pair-quadratic dedup verify, eps-graph percolation, E2E
+# store builds) cap their input at a fixed id prefix.  Every driver
+# table's ids are 0..N-1 and every cap is >= the sf0.01 table size, so
+# the driver's sf0.01 CORRECTNESS corpora are byte-identical to round 6;
+# only the sf0.1 bench walls are bounded.  Caps live in the SHARED corpus
+# helpers (the spark frame and the SQL-text generator change together),
+# so Spark and DuckDB stay consistent by construction.
+# ---------------------------------------------------------------------------
+_EVENTS_CAP = 20000   # events: sf0.01 has 10k rows, sf0.1 100k
+_EDGES_CAP = 24000    # lineitem orderkeys: sf0.01 max 14999, sf0.1 149999
+_ORDERS_CAP = 30000   # orders: sf0.01 max 14999, sf0.1 149999
+_DOCS2_CAP = 1000     # pair-quadratic documents corpora: sf0.01 has 500
+_EMB_CAP = 1000       # doubled embeddings: sf0.01 has 500, sf0.1 2000
+
+
 def _lineitem_edges(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("way_id"), F.col("l_partkey").alias("node_id")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < _EDGES_CAP)
+        .select(
+            F.col("l_orderkey").alias("way_id"),
+            F.col("l_partkey").alias("node_id"),
+        )
     )
     e = synth.synth_geo_exprs("node_id")
     return li.withColumn("lon", F.expr(e["lon"])).withColumn("lat", F.expr(e["lat"]))
@@ -317,7 +349,8 @@ def _edges_sql() -> str:
     e = synth.synth_geo_exprs("node_id")
     return (
         f"SELECT way_id, node_id, {e['lon']} AS lon, {e['lat']} AS lat FROM "
-        f"(SELECT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem) __e"
+        f"(SELECT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem "
+        f"WHERE l_orderkey < {_EDGES_CAP}) __e"
     )
 
 
@@ -375,7 +408,7 @@ def _nlq_o() -> str:
     agg = qsql.qt_common_agg_sql("qt")
     return (
         f"WITH wq AS ({enc}), ed AS (SELECT DISTINCT l_orderkey AS way_id, "
-        f"l_partkey AS node_id FROM lineitem) "
+        f"l_partkey AS node_id FROM lineitem WHERE l_orderkey < {_EDGES_CAP}) "
         f"SELECT CAST(ed.node_id AS BIGINT) AS node_id, CAST({agg} AS BIGINT) AS qt "
         f"FROM ed JOIN wq ON ed.way_id = wq.way_id GROUP BY ed.node_id"
     )
@@ -434,7 +467,7 @@ _ASOF_TILES = range(8)
 
 
 def _asof_snapshots(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < _ORDERS_CAP)
     s = o.select(
         F.expr("CAST((o_orderkey - (o_orderkey % 4)) / 4 AS BIGINT)").alias("id"),
         F.expr("o_orderkey % 4").alias("snap"),
@@ -485,7 +518,7 @@ WITH s AS (
          CASE WHEN o_orderkey % 4 = 0 THEN CAST(0 AS BIGINT)
               ELSE CAST(o_orderkey % 6 AS BIGINT) END AS changetype,
          o_totalprice AS val
-  FROM orders
+  FROM orders WHERE o_orderkey < {_ORDERS_CAP}
 ), cut AS (
   SELECT * FROM s WHERE snap * 100 <= {_ASOF_TS}
 ), r AS (
@@ -648,9 +681,11 @@ def _upd_delta_with() -> str:
     agg = qsql.qt_common_agg_sql("qt")
     return f"""
 WITH groups(cell, d) AS (VALUES {gvals}),
-ed AS MATERIALIZED (SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem),
+ed AS MATERIALIZED (SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id
+      FROM lineitem WHERE l_orderkey < {_EDGES_CAP}),
 n0 AS MATERIALIZED (SELECT node_id AS id, {en['lon']} AS lon, {en['lat']} AS lat
-       FROM (SELECT DISTINCT l_partkey AS node_id FROM lineitem) __n),
+       FROM (SELECT DISTINCT l_partkey AS node_id FROM lineitem
+             WHERE l_orderkey < {_EDGES_CAP}) __n),
 wq0 AS MATERIALIZED ({wq0}),
 nq0 AS MATERIALIZED (SELECT ed.node_id AS id, {agg} AS qt
         FROM ed JOIN wq0 ON ed.way_id = wq0.way_id GROUP BY ed.node_id),
@@ -809,7 +844,11 @@ FROM r WHERE rn = 1
 def _rqf(spark, sf_dir):
     from .operators import calcqts as CQ
 
-    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _ORDERS_CAP)
+        .select(F.col("o_orderkey").alias("k"))
+    )
     e = synth.synth_geo_exprs("k")
     nodes = o.select(
         F.col("k").alias("id"),
@@ -837,7 +876,8 @@ def _rqf(spark, sf_dir):
 def _rqf_o() -> str:
     e = synth.synth_geo_exprs("k")
     pts = qsql.qt_calculate_point_subquery(
-        f"SELECT o_orderkey AS k, {e['lon']} AS lon, {e['lat']} AS lat FROM orders",
+        f"SELECT o_orderkey AS k, {e['lon']} AS lon, {e['lat']} AS lat "
+        f"FROM orders WHERE o_orderkey < {_ORDERS_CAP}",
         "lon",
         "lat",
         "qt",
@@ -861,7 +901,7 @@ def _rqf_o() -> str:
         )
     return f"""
 WITH pts AS ({pts}),
-rels AS (SELECT o_orderkey AS k FROM orders),
+rels AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < {_ORDERS_CAP}),
 s0 AS (
   SELECT r.k AS id, CAST(p.qt AS BIGINT) AS qt FROM rels r JOIN pts p ON p.k = r.k
   WHERE r.k % 5 = 0 AND r.k % 13 != 0
@@ -1603,7 +1643,11 @@ _EMB_DELTA = "(((vec_id * 31 + {i} * 17) % 13) - 6) * 0.002"
 
 
 def _doubled_embeddings(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _EMB_CAP)
+        .select("vec_id", "embedding")
+    )
     orig = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
@@ -1665,9 +1709,10 @@ def _end_o() -> str:
     cos = f"(({dot}) / ({nrm('l')} * {nrm('r')}))"
     return f"""
 WITH demb AS (
-  SELECT vec_id, [{orig_elems}] AS e FROM embeddings
+  SELECT vec_id, [{orig_elems}] AS e FROM embeddings WHERE vec_id < {_EMB_CAP}
   UNION ALL
-  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e FROM embeddings
+  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e
+  FROM embeddings WHERE vec_id < {_EMB_CAP}
 ),
 banded AS ({banded}),
 cand AS (
@@ -1738,9 +1783,10 @@ def _eni8_o() -> str:
     )
     return f"""
 WITH demb AS (
-  SELECT vec_id, [{orig_elems}] AS e FROM embeddings
+  SELECT vec_id, [{orig_elems}] AS e FROM embeddings WHERE vec_id < {_EMB_CAP}
   UNION ALL
-  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e FROM embeddings
+  SELECT vec_id + {_EMB_SHIFT} AS vec_id, [{pert_elems}] AS e
+  FROM embeddings WHERE vec_id < {_EMB_CAP}
 ),
 qemb AS MATERIALIZED (
   SELECT vec_id,
@@ -1889,6 +1935,7 @@ def _erg_o() -> str:
     return f"""
 WITH ids AS (
   SELECT DISTINCT l_orderkey * 100000 + l_partkey AS id FROM lineitem
+  WHERE l_orderkey < {_EDGES_CAP}
 )
 SELECT CAST(id AS BIGINT) AS id,
        CAST(FLOOR(CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS DOUBLE)
@@ -1946,7 +1993,9 @@ def _bij(spark, sf_dir):
     from .operators.spatial_join import bbox_intersection_join
 
     e = synth.synth_geo_exprs("event_id")
-    fp = _t(spark, sf_dir, "events").select(
+    fp = _t(spark, sf_dir, "events").filter(
+        F.col("event_id") < _EVENTS_CAP
+    ).select(
         "event_id",
         F.expr(_GRJ_FOLD % f"({e['minlon']})").alias("minlon"),
         F.expr(_GRJ_FOLD % f"({e['minlat']})").alias("minlat"),
@@ -1977,7 +2026,7 @@ def _bij_o() -> str:
 WITH fp AS MATERIALIZED (
   SELECT event_id, {fl} AS minlon, {fb} AS minlat,
          {fl} + {sx} AS maxlon, {fb} + {sy} AS maxlat
-  FROM events
+  FROM events WHERE event_id < {_EVENTS_CAP}
 )
 SELECT CAST(a.event_id AS BIGINT) AS a, CAST(b.event_id AS BIGINT) AS b,
        CAST((LEAST(a.maxlon, b.maxlon) - GREATEST(a.minlon, b.minlon))
@@ -2618,7 +2667,12 @@ def _dbs(spark, sf_dir):
     from .operators.spatial_join import dbscan_metric
 
     lon_sql, lat_sql = _hrj_pt_sql("spark")
-    pts = _t(spark, sf_dir, "documents").select(
+    # _DOCS2_CAP: the eps-graph percolates at sf0.1 density (CLAUDE.md —
+    # ~190s measured); 2x the sf0.01 point count keeps the bench wall
+    # bounded while the driver's sf0.01 corpus is unchanged
+    pts = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DOCS2_CAP
+    ).select(
         F.col("doc_id").alias("pid"),
         F.expr(lon_sql).alias("flon"),
         F.expr(lat_sql).alias("flat"),
@@ -2645,7 +2699,7 @@ def _dbs_o() -> str:
     return f"""
 WITH RECURSIVE pts AS MATERIALIZED (
   SELECT doc_id AS pid, {lon_sql} AS flon, {lat_sql} AS flat
-  FROM documents
+  FROM documents WHERE doc_id < {_DOCS2_CAP}
 ),
 cand AS MATERIALIZED (
   SELECT a.pid AS a, b.pid AS b,

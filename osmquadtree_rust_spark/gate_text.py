@@ -14,7 +14,24 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .functions import text_sql as TS
-from .gate import GATE, _oracle, _register, _t
+from .gate import (  # noqa: F401  (caps shared with gate.py helpers)
+    GATE,
+    _DOCS2_CAP,
+    _ORDERS_CAP,
+    _oracle,
+    _register,
+    _t,
+)
+
+# r7 bench-hygiene corpus caps for the pair-quadratic text gates (see
+# gate.py's cap block: ids are 0..N-1 and every cap >= the sf0.01 table
+# size, so sf0.01 driver corpora are unchanged; only sf0.1 bench walls
+# shrink).  Mirrored verbatim in each gate's oracle.
+_NDC_CAP = 2000    # neardup_dedup_corpus
+_WND_DOC_CAP = 2000  # winnow_neardup
+_SPAN_DOC_CAP = 2400  # trim_spans_corpus / dedup_keep_best (with % 4)
+_BM25_CAP = 2000   # bm25_topk corpus + queries
+_MM_CAP = 2500     # multimodal corpus (multimodal_neardup, cross_modal_audit)
 from .operators import dedup as D
 from .operators import similarity as SIM
 from .operators import text as TX
@@ -407,7 +424,11 @@ _DUP_SHIFT = 100000
 
 
 def _doubled_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DOCS2_CAP)
+        .select("doc_id", "text")
+    )
     dups = docs.select(
         (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), F.col("text")
     )
@@ -451,8 +472,9 @@ def _mld_o():
     )
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < {_DOCS2_CAP}
   UNION ALL SELECT doc_id + {_DUP_SHIFT}, text FROM documents
+  WHERE doc_id < {_DOCS2_CAP}
 ),
 words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
 whm AS (SELECT doc_id, {wh} AS wh FROM words WHERE length(w) > 0),
@@ -716,7 +738,11 @@ _MM_CAPTION_SQL = (
 
 
 def _mm_corpus(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _MM_CAP)
+        .select("doc_id", "text")
+    )
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
     base = docs.select(
         F.col("doc_id").alias("image_id"),
@@ -754,9 +780,10 @@ def _mmn_o():
     return f"""
 WITH corpus AS MATERIALIZED (
   SELECT doc_id AS id, {ph0} AS phash, text AS caption FROM documents
+  WHERE doc_id < {_MM_CAP}
   UNION ALL
   SELECT doc_id + {_MM_SHIFT}, xor({ph0}, {_MM_MASK_SQL}), {cap}
-  FROM documents
+  FROM documents WHERE doc_id < {_MM_CAP}
 ),
 himg AS MATERIALIZED (
   SELECT l.id AS a, r.id AS b,
@@ -1189,8 +1216,9 @@ def _shn_o():
     )
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < {_DOCS2_CAP}
   UNION ALL SELECT doc_id + {_DUP_SHIFT}, text FROM documents
+  WHERE doc_id < {_DOCS2_CAP}
 ),
 words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs),
 wh0 AS (SELECT doc_id, {wh_expr} AS wh FROM words WHERE length(w) > 0),
@@ -1431,7 +1459,7 @@ def _osc_xml(sf_dir: str) -> str:
         int(r[0])
         for r in con.execute(
             f"SELECT o_orderkey FROM read_parquet('{sf_dir}/orders.parquet') "
-            f"ORDER BY o_orderkey"
+            f"WHERE o_orderkey < {_ORDERS_CAP} ORDER BY o_orderkey"
         ).fetchall()
     ]
     secs = {"create": [], "modify": [], "delete": []}
@@ -1468,7 +1496,7 @@ def _osc(spark, sf_dir):
 @_oracle("osc_parse")
 def _osc_o():
     # changetype mapping: create=5, modify=4, delete=1 (operators/merge.py)
-    return """
+    return f"""
 WITH s AS (
   SELECT CAST((o_orderkey - (o_orderkey % 2)) / 2 AS BIGINT) AS id,
          CAST(o_orderkey % 7 AS BIGINT) AS version,
@@ -1476,7 +1504,7 @@ WITH s AS (
            AS changetype,
          CAST((o_orderkey * 7919) % 3600000000 - 1800000000 AS BIGINT) AS lon,
          CAST((o_orderkey * 104729) % 1800000000 - 900000000 AS BIGINT) AS lat
-  FROM orders
+  FROM orders WHERE o_orderkey < {_ORDERS_CAP}
 ), r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY version DESC) AS rn FROM s
 )
@@ -1508,8 +1536,9 @@ def _dcc_o():
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 verts AS (
-  SELECT doc_id FROM documents
+  SELECT doc_id FROM documents WHERE doc_id < {_DOCS2_CAP}
   UNION ALL SELECT doc_id + {_DUP_SHIFT} FROM documents
+  WHERE doc_id < {_DOCS2_CAP}
 ),
 edges AS (
   SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
@@ -2212,7 +2241,13 @@ GROUP BY r.source
 
 @_register("neardup_dedup_corpus")
 def _ndc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # _DOCS2_CAP (not a private cap): the oracle composes _shn_o(), whose
+    # pair corpus is _doubled_docs-capped — both sides must agree
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DOCS2_CAP)
+        .select("doc_id", "source", "text")
+    )
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
@@ -2237,9 +2272,10 @@ def _ndc_o():
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 docs AS (
-  SELECT doc_id, source, text FROM documents
+  SELECT doc_id, source, text FROM documents WHERE doc_id < {_DOCS2_CAP}
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT}, source, text FROM documents
+  WHERE doc_id < {_DOCS2_CAP}
 ),
 edges AS (
   SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
@@ -2322,7 +2358,11 @@ _WND_T = 300000
 
 @_register("winnow_neardup")
 def _wnd(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WND_DOC_CAP)
+        .select("doc_id", "text")
+    )
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2342,9 +2382,10 @@ def _wnd(spark, sf_dir):
 
 
 @_oracle("winnow_neardup")
-def _wnd_o(where: str = ""):
-    # `where` restricts the source documents (used by the dedup_keep_best
-    # oracle, whose Spark side runs on the doc_id % 2 == 0 half)
+def _wnd_o(where: str = f"WHERE doc_id < {_WND_DOC_CAP}"):
+    # `where` restricts the source documents; the default mirrors the
+    # winnow_neardup gate's own cap, and the dedup_keep_best oracle
+    # passes its % 4 + span-cap clause instead
     shingle = f"array_to_string(ws[i+1:i+{_WIN_N}], ' ')"
     shh = TS.md5_prefix_int_sql(shingle, TS.DUCKDB)
     return f"""
@@ -2903,7 +2944,7 @@ def _sdc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
-    ).filter(F.col("doc_id") % 4 == 0)
+    ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2931,7 +2972,7 @@ def _sdc_o():
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 4 = 0 AND doc_id < {_SPAN_DOC_CAP}
 ),
 docs AS MATERIALIZED (
   SELECT doc_id, text FROM base
@@ -3006,7 +3047,7 @@ FROM surv
 def _dkb(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
-    ).filter(F.col("doc_id") % 4 == 0)
+    ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -3031,16 +3072,19 @@ def _dkb(spark, sf_dir):
 
 @_oracle("dedup_keep_best")
 def _dkb_o():
-    pairs_sql = _wnd_o("WHERE doc_id % 4 = 0")
+    pairs_sql = _wnd_o(
+        f"WHERE doc_id % 4 = 0 AND doc_id < {_SPAN_DOC_CAP}"
+    )
     q = TS.quality_score_sql("text")
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 docs AS (
-  SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id < {_SPAN_DOC_CAP}
   UNION ALL
   SELECT doc_id + {_DUP_SHIFT}, source,
          concat(substr(text, 1, 40), ' zz ', substr(text, 41))
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 4 = 0 AND doc_id < {_SPAN_DOC_CAP}
 ),
 edges AS (
   SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
@@ -3084,7 +3128,7 @@ def _tsc(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
-    ).filter(F.col("doc_id") % 4 == 0)
+    ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -3111,7 +3155,7 @@ def _tsc_o():
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id, concat(text, ' {_SSP_FOOTER}') AS text
-  FROM documents WHERE doc_id % 4 = 0
+  FROM documents WHERE doc_id % 4 = 0 AND doc_id < {_SPAN_DOC_CAP}
 ),
 docs AS MATERIALIZED (
   SELECT doc_id, text FROM base
@@ -4284,7 +4328,11 @@ _BM25_K = 5
 def _bm25(spark, sf_dir):
     from .operators.retrieval import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BM25_CAP)
+        .select("doc_id", "text")
+    )
     qs = docs.filter(F.expr("doc_id % 50 = 7")).select(
         F.col("doc_id").alias("qid"),
         F.expr("substr(text, 1, 60)").alias("qtext"),
@@ -4304,6 +4352,7 @@ def _bm25_o():
     return f"""
 WITH w AS MATERIALIZED (
   SELECT doc_id, unnest({words.format(src='text')}) AS w FROM documents
+  WHERE doc_id < {_BM25_CAP}
 ),
 tf AS MATERIALIZED (
   SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w
@@ -4316,7 +4365,7 @@ st AS MATERIALIZED (
 ),
 qw AS MATERIALIZED (
   SELECT doc_id AS qid, unnest({words.format(src="substr(text, 1, 60)")}) AS w
-  FROM documents WHERE doc_id % 50 = 7
+  FROM documents WHERE doc_id % 50 = 7 AND doc_id < {_BM25_CAP}
 ),
 q AS MATERIALIZED (SELECT DISTINCT qid, w FROM qw),
 dfw AS MATERIALIZED (

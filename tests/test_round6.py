@@ -1822,16 +1822,14 @@ def test_pagerank_reliable_mode(spark, tmp_path):
     assert len(gens) == 1
 
 
-def test_bench_queries_subset_of_registry():
-    """Every bench.py query name must resolve in the gate registry — a
-    typo here would crash the driver's per-round BENCH run."""
-    import re
-
+def test_bench_queries_cover_registry():
+    """bench.py times the FULL registry (r7): the list is derived from
+    GATE at runtime, so assert the derivation expression is present and
+    every registered gate has a spark side (what the derivation runs)."""
     from osmquadtree_rust_spark import gate, gate_text  # noqa: F401
 
     src = open("bench.py").read()
-    block = src.split("bench_queries = [", 1)[1].split("]", 1)[0]
-    names = re.findall(r'"([a-z0-9_]+)"', block)
-    assert len(names) >= 70
-    missing = [n for n in names if n not in gate.GATE]
-    assert not missing, missing
+    assert 'sorted(n for n, spec in G.GATE.items() if "spark" in spec)' in src
+    assert len(gate.GATE) >= 130
+    missing_spark = [n for n, s in gate.GATE.items() if "spark" not in s]
+    assert not missing_spark, missing_spark
