@@ -325,8 +325,12 @@ def _ta_o() -> str:
 _EVENTS_CAP = 20000   # events: sf0.01 has 10k rows, sf0.1 100k
 _EDGES_CAP = 24000    # lineitem orderkeys: sf0.01 max 14999, sf0.1 149999
 _ORDERS_CAP = 30000   # orders: sf0.01 max 14999, sf0.1 149999
-_DOCS2_CAP = 1000     # pair-quadratic documents corpora: sf0.01 has 500
-_EMB_CAP = 1000       # doubled embeddings: sf0.01 has 500, sf0.1 2000
+_DOCS2_CAP = 600      # pair-quadratic documents corpora: sf0.01 has 500
+#                       (ids 0..499, so the cap is a no-op there); the
+#                       templated corpus makes pair cost quadratic in
+#                       dup-group size, so 600-vs-1000 is ~0.36x pairs
+_EMB_CAP = 500        # doubled embeddings: exactly the sf0.01 table
+#                       (ids 0..499) — sf0.1 adds nothing but wall time
 
 
 def _lineitem_edges(spark, sf_dir):

@@ -5022,3 +5022,59 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(rn % {_SHD_ROWS} AS BIGINT) AS pos
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (operators/text.sample_to_token_budget):
+# per-source "give me B_s tokens" selection in seeded shuffle order — the
+# step between mixture weights and sequence packing.  The oracle is the
+# NAIVE per-source window form (the two-level scan must be bit-identical
+# to it); src0 gets an explicit tight budget, src1 budget 0 (keeps
+# nothing), everything else the default — all three budget paths bind at
+# sf0.01 and above.
+# ---------------------------------------------------------------------------
+
+_TBM_SEED = "bt7"
+_TBM_BUDGETS = {"src0": 150, "src1": 0}
+_TBM_DEFAULT = 400
+
+
+@_register("token_budget_mixture")
+def _tbm(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = TX.sample_to_token_budget(
+        docs, _TBM_BUDGETS, seed=_TBM_SEED, default_budget=_TBM_DEFAULT
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "source",
+        F.col("n_tokens").cast("long"),
+    )
+
+
+@_oracle("token_budget_mixture")
+def _tbm_o():
+    tokc = TS.bpe_token_count_sql("text", TS.DUCKDB)
+    h = TS.md5_prefix_int_sql(
+        f"concat('{_TBM_SEED}', ':', CAST(doc_id AS VARCHAR))", TS.DUCKDB
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {b}" for s, b in _TBM_BUDGETS.items()
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, source, CAST({tokc} AS BIGINT) AS tok, {h} AS h
+  FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id, source, tok,
+         CAST(SUM(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - tok AS pre
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(tok AS BIGINT) AS n_tokens
+FROM c
+WHERE pre < CASE source {cases} ELSE {_TBM_DEFAULT} END
+"""

@@ -760,6 +760,7 @@ def knn_great_circle(
     id_col: str = "id",
     max_abs_lat_fixed: int | None = None,
     chars: int | None = None,
+    sink: str | None = None,
 ) -> DataFrame:
     """For EVERY point, its k nearest neighbors by GREAT-CIRCLE distance
     among points within `d_meters` — the metric twin of
@@ -774,7 +775,17 @@ def knn_great_circle(
     trap), then the salted skew-safe top_k_per_group.  Cache lifecycle
     as knn_within_radius: the points projection is persisted across the
     join's two consumers, the k-bounded result localCheckpointed, the
-    cache released before return."""
+    cache released before return.
+
+    The default localCheckpoint holds the full N*k result on executor
+    storage — fine at gate scale, wrong at planet scale.  Pass `sink`
+    (a parquet path) to write the result straight to storage instead:
+    the write drives the job (the projection cache is still shared and
+    released), nothing result-sized stays pinned, and the returned
+    frame is a plain scan of the sink.  A lazy-return escape hatch was
+    rejected: releasing the caches under a lazy result recomputes the
+    whole candidate join at first use, and keeping them leaks persisted
+    RDDs the caller can't see."""
     pairs, proj = _haversine_pairs_impl(
         points, d_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
         ring=1, cache=True,
@@ -796,7 +807,11 @@ def knn_great_circle(
     ranked = top_k_per_group(
         sym, group="a", order="hav_ppq", k=k, id_col="b", ascending=True
     )
-    res = ranked.localCheckpoint(eager=True)
+    if sink is None:
+        res = ranked.localCheckpoint(eager=True)
+    else:
+        ranked.write.mode("overwrite").parquet(sink)
+        res = points.sparkSession.read.parquet(sink)
     if proj is not None:
         proj.unpersist()
     return res
@@ -811,6 +826,7 @@ def dbscan_metric(
     id_col: str = "id",
     max_abs_lat_fixed: int | None = None,
     chars: int | None = None,
+    sink: str | None = None,
 ) -> DataFrame:
     """Deterministic metric DBSCAN over fixed-point lon/lat points.
 
@@ -837,8 +853,11 @@ def dbscan_metric(
     components run min-label propagation with per-round checkpoint
     lineage truncation (operators/dedup.connected_components).  The
     output (one row per point) is localCheckpointed so callers never
-    re-drive the pair join; at planet scale write it straight to a
-    sink.
+    re-drive the pair join.  At planet scale pass `sink` (a parquet
+    path): the labels are written straight to storage — the write
+    drives the job, every intermediate cache is released, and the
+    returned frame is a plain scan of the sink (see knn_great_circle's
+    docstring for why a lazy-return hatch is the wrong shape).
     """
     if min_pts < 1:
         raise ValueError(f"min_pts={min_pts} must be >= 1")
@@ -919,6 +938,11 @@ def dbscan_metric(
             F.lit("noise").alias("role"),
             F.lit(None).cast("long").alias("comp"),
         )
-    res = cls.unionByName(iso_cls).localCheckpoint(eager=True)
+    labelled = cls.unionByName(iso_cls)
+    if sink is None:
+        res = labelled.localCheckpoint(eager=True)
+    else:
+        labelled.write.mode("overwrite").parquet(sink)
+        res = points.sparkSession.read.parquet(sink)
     sym.unpersist()
     return res

@@ -1315,3 +1315,125 @@ def temperature_sample_by_source(
         .filter(F.expr(f"({h}) % 1000000 < __rppm"))
         .drop("__rppm")
     )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    source: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "b0",
+    text: str = "text",
+    tokens_col: str | None = None,
+    default_budget: int | None = None,
+    bucket_bits: int = 8,
+    out: str = "n_tokens",
+) -> DataFrame:
+    """Per-source token-budget sampling — the step between mixture-weight
+    computation (temperature_sample_by_source gives RATES) and sequence
+    packing (pack_sequences wants the CHOSEN docs): "give me B_s tokens
+    of source s", the way real training mixes are specified.
+
+    Documents of each source are taken in the seeded shuffle order
+    (ascending (md5_60bit(seed:id), id) — the shard_assignments key, so
+    the 'first B tokens' are a uniform random-looking but fully
+    deterministic sample) until the source's budget is reached: a doc is
+    kept iff the tokens of strictly-earlier docs of its source total
+    LESS than the budget, so the boundary-crossing doc IS included (the
+    sample has >= B_s tokens when the source can supply them; the
+    overhang is what pack_sequences' final partial sequence absorbs).
+    budget <= 0 keeps nothing from that source.  Zero-token docs cost
+    nothing and are kept while the budget is open.  Nested: raising one
+    source's budget only ADDS docs of that source (same order, same
+    prefix sums) — the property quota/limit sampling needs for
+    mixture-ablation reruns.
+
+    `budgets` maps source value -> token budget; sources absent from the
+    map use `default_budget`, and if that is None an unknown source
+    raises (the per-source totals are on the driver anyway, so the check
+    is free).  Token counts come from `tokens_col` (precomputed BIGINT)
+    or the cross-engine BPE-ish subword count over `text`.
+
+    Scale shape: the per-source running total is NOT a per-source window
+    (one task per source — the realistic mixture is a handful of
+    enormous sources; the pack_sequences grouped-path lesson).  It is
+    the two-level distributed scan keyed by (source, hash-prefix
+    bucket): the hash's own top `bucket_bits` bits bucket uniformly by
+    construction, the within-bucket cumsum is an ordinary
+    hash-partitioned window, and the driver prefix is sources *
+    2^bucket_bits rows of metadata, broadcast back.  One aggregate-only
+    scan + one window + one broadcast join; no window ever partitions on
+    the source alone.  Returns the kept rows of `df` with `out` (the
+    token count) appended."""
+    if "'" in str(seed) or "\\" in str(seed):
+        raise ValueError(f"seed {seed!r} must not contain quotes/backslashes")
+    if not (1 <= bucket_bits <= 30):
+        raise ValueError(f"bucket_bits={bucket_bits} out of range")
+    reserved = {"__h", "__bkt", "__tok", "__pre", "__off", "__bud"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    from ..functions.text_sql import bpe_token_count_sql
+
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else F.expr(bpe_token_count_sql(text, TS.SPARK)).cast("long")
+    )
+    h_sql = TS.md5_prefix_int_sql(
+        f"concat('{seed}', ':', CAST({id_col} AS STRING))", TS.SPARK
+    )
+    d = df.withColumn("__tok", tok).withColumn(
+        "__h", F.expr(h_sql)
+    ).withColumn("__bkt", F.expr(f"__h DIV {1 << (60 - bucket_bits)}L"))
+
+    totals = (
+        d.groupBy(source, "__bkt").agg(F.sum("__tok").alias("__t")).collect()
+    )
+    totals.sort(
+        key=lambda r: ((r[source] is None, r[source]), r["__bkt"])
+    )
+    offs, run, cur = [], 0, object()
+    for r in totals:
+        if r[source] != cur:
+            cur, run = r[source], 0
+            if cur in budgets:
+                bud = budgets[cur]
+            elif default_budget is not None:
+                bud = default_budget
+            else:
+                raise ValueError(
+                    f"source {cur!r} has no budget and no default_budget"
+                )
+        offs.append((cur, int(r["__bkt"]), int(run), int(bud)))
+        run += int(r["__t"])
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    sch = StructType([d.schema[source]]).add(
+        StructField("__bkt", LongType(), False)
+    ).add(StructField("__off", LongType(), False)).add(
+        StructField("__bud", LongType(), False)
+    )
+    odf = df.sparkSession.createDataFrame(offs, sch)
+    odf = odf.withColumnRenamed(source, "__osrc").withColumnRenamed(
+        "__bkt", "__obkt"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(source, "__bkt")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # eqNullSafe: a NULL source is a valid mixture bucket (keyed as the
+    # None entry of `budgets`); a plain equi-join would drop its rows
+    cond = (F.col("__bkt") == F.col("__obkt")) & F.col(source).eqNullSafe(
+        F.col("__osrc")
+    )
+    return (
+        d.withColumn("__pre", F.sum("__tok").over(w) - F.col("__tok"))
+        .join(F.broadcast(odf), cond)
+        .filter(F.col("__pre") + F.col("__off") < F.col("__bud"))
+        .select(*df.columns, F.col("__tok").alias(out))
+    )

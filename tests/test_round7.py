@@ -469,3 +469,137 @@ def test_write_shards_resume(spark, tmp_path):
     assert {r["batch"] for r in recs} == {0, 1, 2, 3}
     met = spark.read.parquet(f"{base}/_metrics/snapshot=ep0")
     assert met.agg(F.sum("rows")).collect()[0][0] == 257
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture sampling (operators/text.sample_to_token_budget)
+# ---------------------------------------------------------------------------
+
+
+def _py_token_budget(rows, budgets, default, seed):
+    """Naive reference over (src, id, tok): per-source seeded order,
+    keep while the exclusive prefix is under the source's budget."""
+    import hashlib
+    from collections import defaultdict
+
+    def h(i):
+        return int(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    by_src = defaultdict(list)
+    for s, i, t in rows:
+        by_src[s].append((h(i), i, t))
+    kept = []
+    for s, docs in by_src.items():
+        bud = budgets.get(s, default)
+        pre = 0
+        for _, i, t in sorted(docs):
+            if pre < bud:
+                kept.append((s, i, t))
+            pre += t
+    return sorted(kept, key=lambda x: ((x[0] is None, x[0]), x[1]))
+
+
+def test_sample_to_token_budget_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.text import sample_to_token_budget
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", "c", None]), i, rng.randrange(0, 40))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+    budgets = {"a": 90, "b": 0, None: 55}
+    out = sample_to_token_budget(
+        df, budgets, tokens_col="tok", default_budget=130, seed="tb",
+        bucket_bits=2,
+    )
+    got = sorted(
+        ((r["source"], r["doc_id"], r["n_tokens"]) for r in out.collect()),
+        key=lambda x: ((x[0] is None, x[0]), x[1]),
+    )
+    assert got == _py_token_budget(rows, budgets, 130, "tb")
+    # no window partitions on the source alone (hot-source pathology
+    # structurally absent) — every spec carries the hash bucket
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__bkt" in sp for sp in specs)
+
+
+def test_sample_to_token_budget_nested(spark):
+    # raising one source's budget only ADDS rows of that source
+    from osmquadtree_rust_spark.operators.text import sample_to_token_budget
+
+    rows = [("a", i, (i % 9) + 1) for i in range(80)] + [
+        ("b", i, 5) for i in range(80, 140)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tok long")
+
+    def kept(ba):
+        return {
+            (r["source"], r["doc_id"])
+            for r in sample_to_token_budget(
+                df, {"a": ba, "b": 60}, tokens_col="tok", seed="n1"
+            ).collect()
+        }
+
+    k1, k2 = kept(50), kept(200)
+    assert k1 < k2
+    assert {s for s, _ in (k2 - k1)} == {"a"}
+
+
+def test_sample_to_token_budget_unknown_source_raises(spark):
+    from osmquadtree_rust_spark.operators.text import sample_to_token_budget
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("zzz", 1, 5)], "source string, doc_id long, tok long"
+    )
+    with pytest.raises(ValueError, match="no budget"):
+        sample_to_token_budget(df, {"a": 10}, tokens_col="tok")
+
+
+# ---------------------------------------------------------------------------
+# sink escape hatch: knn_great_circle / dbscan_metric write straight to
+# parquet instead of pinning a result-sized localCheckpoint
+# ---------------------------------------------------------------------------
+
+
+def _pts_grid(spark, n=40):
+    # points ~100-200m apart on a small grid near the equator
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 8 * 15000 + 100000000).alias("lon"),
+        (F.col("id") / 8).cast("long").alias("lat_row"),
+    ).select(
+        "id", "lon", (F.col("lat_row") * 12000 + 50000000).alias("lat")
+    )
+
+
+def test_knn_great_circle_sink_equals_checkpoint(spark, tmp_path):
+    from osmquadtree_rust_spark.operators.spatial_join import knn_great_circle
+
+    pts = _pts_grid(spark)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    a = knn_great_circle(pts, 400.0, k=2)
+    b = knn_great_circle(pts, 400.0, k=2, sink=str(tmp_path / "knn"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # the sink variant pins nothing result-sized: at most the checkpoint
+    # blocks of the non-sink run remain
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+    import glob
+
+    assert glob.glob(str(tmp_path / "knn" / "*.parquet"))
+
+
+def test_dbscan_metric_sink_equals_checkpoint(spark, tmp_path):
+    from osmquadtree_rust_spark.operators.spatial_join import dbscan_metric
+
+    pts = _pts_grid(spark)
+    a = dbscan_metric(pts, 200.0, 2)
+    b = dbscan_metric(pts, 200.0, 2, sink=str(tmp_path / "dbs"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
