@@ -634,24 +634,27 @@ def connected_components(
         jump = labels.select(
             F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
         )
+        # the changed flag is computed IN the label projection and counted
+        # from the checkpointed blocks — a separate old-vs-new label join
+        # per round would double the per-round job count (measured on the
+        # CC-bound gates: dbscan/dup_components walls are round-overhead-
+        # dominated at gate scale, and at 100 TB it is one less shuffle
+        # per round)
+        nxt = F.least(
+            F.col("comp"),
+            F.coalesce(F.col("nbr_comp"), F.col("comp")),
+            F.coalesce(F.col("__jcomp"), F.col("comp")),
+        )
         new_labels, new_path = _ckpt(
             labels.join(nbr, "id", "left")
             .join(jump, F.col("comp") == F.col("__jid"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("comp"),
-                    F.coalesce(F.col("nbr_comp"), F.col("comp")),
-                    F.coalesce(F.col("__jcomp"), F.col("comp")),
-                ).alias("comp"),
+                nxt.alias("comp"),
+                (nxt != F.col("comp")).alias("__chg"),
             )
         )
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__chg")).count()
         # the old generation is dead only now (the changed count read it)
         _drop(labels, labels_path)
         labels, labels_path = new_labels, new_path
