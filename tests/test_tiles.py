@@ -115,6 +115,54 @@ def test_groups_match_independent_oracle():
         assert got == exp, f"seed={seed}: {len(got)} vs {len(exp)} groups"
 
 
+def test_vectorized_groups_match_walk_port_seeded_net():
+    """find_tree_groups (vectorized sweeps + empty-relaxation jumps) must
+    equal find_tree_groups_walk (the step-for-step reference port) on a
+    seeded net of histogram shapes, targets, and absmin regimes —
+    including absmin > target-50, where the relaxation window first moves
+    UP (max(absmin, mintarget-50))."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(8):
+        seed = rng.randint(0, 10**6)
+        r = np.random.RandomState(seed)
+        n = int(r.randint(500, 6000))
+        lon = r.randint(-1700000000, 1700000000, n)
+        lat = r.randint(-850000000, 850000000, n)
+        size = r.choice([100, 100000, 5000000, 80000000], n)
+        cells = Q.qt_round(Q.calculate(lon, lat, lon + size, lat + size), 17)
+        vals, counts = np.unique(cells[cells >= 0], return_counts=True)
+        target = int(r.choice([120, 300, 400, 1000, 4000]))
+        absmin = int(r.choice([target // 2, target // 4, 5, target - 40]))
+        ta = T.build_tree_from_histogram(vals, counts)
+        tb = T.build_tree_from_histogram(vals, counts)
+        got = sorted(T.find_tree_groups(ta, target, absmin).leaves())
+        exp = sorted(T.find_tree_groups_walk(tb, target, absmin).leaves())
+        assert got == exp, f"seed={seed} target={target} absmin={absmin}"
+
+
+def test_vectorized_divergence_guard_matches_walk():
+    """A leaf-only histogram (no weighted interior cells near the target
+    scale) must raise the divergence guard in BOTH implementations, at
+    the same sweep budget semantics."""
+    import pytest
+
+    # a confined grid of DISTINCT level-17 point cells: every weighted
+    # item is a depth-17 leaf with weight 1 << absmin, no shallow
+    # weighted cells (unlike _hist, where extreme lon/lat produce
+    # depth-0..2 cells that anchor a group immediately)
+    lon = np.arange(2000, dtype=np.int64) * 40000 + 100000000
+    lat = np.full(2000, 100000000, dtype=np.int64)
+    cells = Q.qt_round(Q.calculate_point(lon, lat), 17)
+    vals, counts = np.unique(cells, return_counts=True)
+    assert (vals & 31).min() == 17 and counts.sum() > 300
+    for fn in (T.find_tree_groups, T.find_tree_groups_walk):
+        tree = T.build_tree_from_histogram(vals.tolist(), counts.tolist())
+        with pytest.raises(RuntimeError, match="diverging"):
+            fn(tree, 300, 150, max_sweeps=40)
+
+
 def test_routing_matches_independent_oracle():
     import oracle_tiles as OT
 
