@@ -136,7 +136,8 @@ def with_point_qt(
     buffer: float = qtn.QT_BUFFER,
 ) -> DataFrame:
     udf = make_calculate_point_udf(maxlevel, buffer)
-    return df.withColumn(out, udf(F.col(lon).cast("long"), F.col(lat).cast("long")))
+    # int32 transport — see with_bbox_qt
+    return df.withColumn(out, udf(F.col(lon).cast("int"), F.col(lat).cast("int")))
 
 
 def with_bbox_qt(
@@ -150,12 +151,17 @@ def with_bbox_qt(
     buffer: float = qtn.QT_BUFFER,
 ) -> DataFrame:
     udf = make_calculate_udf(maxlevel, buffer)
+    # int32 transport: reference coordinates are i32 nanodegrees
+    # (quadtree.rs Bbox), so the cast is lossless for every valid input
+    # (ANSI mode raises loudly on anything out of range) and halves the
+    # Arrow bytes shipped into the Python worker — the encode is
+    # memory-bandwidth-bound at data scale, not CPU-bound
     return df.withColumn(
         out,
         udf(
-            F.col(minlon).cast("long"),
-            F.col(minlat).cast("long"),
-            F.col(maxlon).cast("long"),
-            F.col(maxlat).cast("long"),
+            F.col(minlon).cast("int"),
+            F.col(minlat).cast("int"),
+            F.col(maxlon).cast("int"),
+            F.col(maxlat).cast("int"),
         ),
     )
