@@ -110,23 +110,61 @@ def apply_bpe_merges(
     text: str = "text",
     id_col: str = "doc_id",
     out: str = "n_bpe_tokens",
+    merges_per_stage: int = 256,
 ) -> DataFrame:
-    """Per-document token count under a learned merge table: words are
-    re-extracted, each spaced word gets ALL merges applied in learned
-    order (one projection of chained replace() calls — K merges is K
-    string functions, JVM codegen, no Python), and symbols are counted
-    by arithmetic.  `merges` is [(left, right), ...] in merge order
-    (pass [(r.left, r.right) for r in learn_bpe_merges(...).collect()]).
+    """Per-document token count under a learned merge table.
+
+    Scale shape: the K-merge replace() chain is applied to the DISTINCT
+    word table (vocabulary-sized), never per word occurrence — the
+    corpus-scale passes are two map-side-combinable aggregates
+    ((doc, word) -> k and the distinct) plus one equi-join of per-doc
+    word counts against the vocab token-count map (AQE picks broadcast
+    when the vocab fits).  A 100 TB corpus therefore pays corpus + V*K
+    string work, not corpus*K.  The chain itself is staged every
+    `merges_per_stage` merges with an eager localCheckpoint (vocab-sized)
+    so whole-stage codegen never sees an unboundedly deep expression at
+    real merge counts (the janino-blow-up discipline of qt_common_agg).
+
+    `merges` is [(left, right), ...] in merge order (pass
+    [(r.left, r.right) for r in learn_bpe_merges(...).collect()]).
     Documents with no [a-z]+ words count 0."""
+    if merges_per_stage < 1:
+        raise ValueError(f"merges_per_stage={merges_per_stage} must be >= 1")
     wx = TS.bpe_word_extract_sql(text, TS.SPARK)
-    s = TS.bpe_spaced_sql("__w", TS.SPARK)
-    for l, r in merges:
-        s = TS.bpe_merge_apply_sql(s, f"'{l}'", f"'{r}'")
-    n = TS.spaced_symbol_count_sql(s, TS.SPARK)
-    per_word = docs.select(
-        F.col(id_col), F.explode(F.expr(wx)).alias("__w")
-    ).select(id_col, F.expr(n).cast("long").alias("__n"))
-    counts = per_word.groupBy(id_col).agg(F.sum("__n").alias(out))
-    return docs.join(counts, id_col, "left").withColumn(
+    doc_word = (
+        docs.select(F.col(id_col), F.explode(F.expr(wx)).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count("*").alias("__k"))
+    )
+    vocab = doc_word.select("__w").distinct().withColumn(
+        "__s", F.expr(TS.bpe_spaced_sql("__w", TS.SPARK))
+    )
+    checkpoints = []
+    for i in range(0, len(merges), int(merges_per_stage)):
+        s = "__s"
+        for l, r in merges[i : i + int(merges_per_stage)]:
+            s = TS.bpe_merge_apply_sql(s, f"'{l}'", f"'{r}'")
+        vocab = vocab.withColumn("__s", F.expr(s))
+        if i + int(merges_per_stage) < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+            checkpoints.append(vocab)
+    tokmap = vocab.select(
+        "__w",
+        F.expr(TS.spaced_symbol_count_sql("__s", TS.SPARK))
+        .cast("long")
+        .alias("__n"),
+    )
+    counts = (
+        doc_word.join(tokmap, "__w")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__k") * F.col("__n")).alias(out))
+    )
+    res = docs.join(counts, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(0).cast("long"))
     )
+    # intermediate stage checkpoints are only needed while building the
+    # final tokmap lineage; the LAST stage (uncheckpointed) still refers
+    # to the previous one, so release all but the latest
+    for c in checkpoints[:-1]:
+        c.unpersist()
+    return res

@@ -36,16 +36,28 @@ def shard_assignments(
     rows_per_shard: int,
     seed: str,
     id_col: str = "doc_id",
-    bucket_bits: int = 8,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """(id_col, shard, pos): the seeded-shuffle shard assignment.
     shard = global_rank DIV rows_per_shard, pos = rank within the shard,
     rank = position in ascending (md5(seed:id), id) order — every shard
     holds exactly rows_per_shard rows except the last.  id_col must be
     unique (ties under duplicate ids would be nondeterministic) and is
-    hashed via its string cast, so any castable type works."""
+    hashed via its string cast, so any castable type works.
+
+    bucket_bits=None (default) sizes the bucket count to the input: a
+    FIXED bucket count means bucket size grows with N (the within-bucket
+    window is one task per bucket — at 10^12 rows, 2^8 buckets would be
+    the single-task hot-group pathology), so bits are chosen from one
+    aggregate-only count() targeting ~2^22 rows per bucket, clamped to
+    [8, 30].  The assignment itself is bucket-invariant (two-level rank
+    == global rank for any split), so the choice never changes results —
+    the seeded-net test pins that across bit settings."""
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard={rows_per_shard} must be >= 1")
+    if bucket_bits is None:
+        n = df.count()
+        bucket_bits = max(8, min(30, int(max(n // (1 << 22), 1)).bit_length()))
     if not (1 <= bucket_bits <= 30):
         raise ValueError(f"bucket_bits={bucket_bits} out of range")
     sseed = str(seed).replace("'", "''")
@@ -84,7 +96,7 @@ def write_shards(
     rows_per_shard: int,
     seed: str,
     id_col: str = "doc_id",
-    bucket_bits: int = 8,
+    bucket_bits: int | None = None,
     n_batches: int = 8,
     fail_after_batch: int | None = None,
 ) -> list[dict]:

@@ -1326,7 +1326,7 @@ def sample_to_token_budget(
     text: str = "text",
     tokens_col: str | None = None,
     default_budget: int | None = None,
-    bucket_bits: int = 8,
+    bucket_bits: int | None = None,
     out: str = "n_tokens",
 ) -> DataFrame:
     """Per-source token-budget sampling — the step between mixture-weight
@@ -1363,10 +1363,17 @@ def sample_to_token_budget(
     hash-partitioned window, and the driver prefix is sources *
     2^bucket_bits rows of metadata, broadcast back.  One aggregate-only
     scan + one window + one broadcast join; no window ever partitions on
-    the source alone.  Returns the kept rows of `df` with `out` (the
-    token count) appended."""
+    the source alone.  bucket_bits=None sizes the bucket count to the
+    input from one count() (fixed bucket count would mean bucket size —
+    one window task — grows with N; see shards.shard_assignments), and
+    the result is bucket-invariant so the choice never changes output.
+    Returns the kept rows of `df` with `out` (the token count)
+    appended."""
     if "'" in str(seed) or "\\" in str(seed):
         raise ValueError(f"seed {seed!r} must not contain quotes/backslashes")
+    if bucket_bits is None:
+        n = df.count()
+        bucket_bits = max(8, min(30, int(max(n // (1 << 22), 1)).bit_length()))
     if not (1 <= bucket_bits <= 30):
         raise ValueError(f"bucket_bits={bucket_bits} out of range")
     reserved = {"__h", "__bkt", "__tok", "__pre", "__off", "__bud"} & set(

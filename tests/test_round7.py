@@ -603,3 +603,76 @@ def test_dbscan_metric_sink_equals_checkpoint(spark, tmp_path):
     a = dbscan_metric(pts, 200.0, 2)
     b = dbscan_metric(pts, 200.0, 2, sink=str(tmp_path / "dbs"))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# scale-shape hardening: adaptive bucket bits + staged BPE apply
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignments_bucket_bits_invariant(spark):
+    """The two-level rank equals the global rank for ANY bucket split, so
+    bucket_bits (including the adaptive default) must never change the
+    assignment."""
+    from osmquadtree_rust_spark.operators.shards import shard_assignments
+
+    docs = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    base = sorted(map(tuple, shard_assignments(docs, 48, "sx").collect()))
+    for bits in (1, 3, 8, 14):
+        got = sorted(
+            map(
+                tuple,
+                shard_assignments(docs, 48, "sx", bucket_bits=bits).collect(),
+            )
+        )
+        assert got == base, f"bucket_bits={bits} changed the assignment"
+
+
+def test_sample_to_token_budget_bucket_bits_invariant(spark):
+    from osmquadtree_rust_spark.operators.text import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "ab " * (i % 7 + 1), "s%d" % (i % 3)) for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    budgets = {"s0": 50, "s1": 999999, "s2": 0}
+    base = sorted(
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, budgets).collect()
+    )
+    for bits in (1, 4, 9):
+        got = sorted(
+            r["doc_id"]
+            for r in sample_to_token_budget(
+                docs, budgets, bucket_bits=bits
+            ).collect()
+        )
+        assert got == base, f"bucket_bits={bits} changed the sample"
+
+
+def test_apply_bpe_merges_staged_equals_unstaged(spark):
+    """merges_per_stage must be a pure execution knob: forcing multiple
+    vocab-checkpoint stages cannot change any count."""
+    from osmquadtree_rust_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    texts = ["banana bandana band", "ban the banana anagram", "annals banal"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, 6).orderBy("rk").collect()
+    ]
+    assert len(merges) >= 4
+    one = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    staged = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in apply_bpe_merges(docs, merges, merges_per_stage=2).collect()
+    }
+    assert one == staged
