@@ -3237,3 +3237,76 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(SUM(CASE WHEN inf THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
 FROM stepped GROUP BY user_id
 """
+
+
+# ===========================================================================
+# trajectory similarity join (operators/trajectory.track_hausdorff):
+# symmetric discrete Hausdorff in integer-mm chords between bbox-
+# overlapping tracks.  Candidates are integer bbox compares; distances
+# are the shared sqrt-only chord (chord_mm_sql == _chord_mm_udf); the
+# min/max cascade is pure integer aggregation — bit-identical engines.
+# The gate decimates to every-4th event and every-10th entity so the
+# |A|·|B| point-pair frame stays bounded at bench scale.
+# ===========================================================================
+
+_TH_STEP = 4
+_TH_USER_MOD = 10
+
+
+@_register("track_hausdorff")
+def _thd(spark, sf_dir):
+    from .operators.trajectory import track_hausdorff
+
+    pts = _traj_events(spark, sf_dir).filter(
+        F.col("user_id") % _TH_USER_MOD == 0
+    )
+    out = track_hausdorff(pts, step=_TH_STEP)
+    return out.select(
+        F.col("user_a").cast("long"),
+        F.col("user_b").cast("long"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("hausdorff_mm").cast("long"),
+    )
+
+
+@_oracle("track_hausdorff")
+def _thd_o() -> str:
+    from .operators.trajectory import chord_mm_sql
+
+    mm = chord_mm_sql("p.lon", "p.lat", "q.lon", "q.lat")
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id, user_id, lon, lat FROM ({_traj_synth_sql()}) t
+  WHERE user_id % {_TH_USER_MOD} = 0 AND event_id % {_TH_STEP} = 0
+),
+bbox AS MATERIALIZED (
+  SELECT user_id, MIN(lon) AS minx, MAX(lon) AS maxx,
+         MIN(lat) AS miny, MAX(lat) AS maxy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY user_id
+),
+cand AS MATERIALIZED (
+  SELECT a.user_id AS ua, b.user_id AS ub, a.n AS na, b.n AS nb
+  FROM bbox a JOIN bbox b
+    ON a.user_id < b.user_id AND a.minx <= b.maxx AND b.minx <= a.maxx
+   AND a.miny <= b.maxy AND b.miny <= a.maxy
+),
+d AS MATERIALIZED (
+  SELECT c.ua, c.ub, c.na, c.nb, p.event_id AS ea, q.event_id AS eb,
+         {mm} AS mm
+  FROM cand c JOIN pts p ON p.user_id = c.ua JOIN pts q ON q.user_id = c.ub
+),
+s AS MATERIALIZED (
+  SELECT ua, ub, na, nb, 0 AS dir, ea AS pt, mm FROM d
+  UNION ALL
+  SELECT ua, ub, na, nb, 1 AS dir, eb AS pt, mm FROM d
+),
+m1 AS MATERIALIZED (
+  SELECT ua, ub, na, nb, dir, pt, MIN(mm) AS mn FROM s
+  GROUP BY ua, ub, na, nb, dir, pt
+)
+SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
+       na AS n_a, nb AS n_b, CAST(MAX(mn) AS BIGINT) AS hausdorff_mm
+FROM m1 GROUP BY ua, ub, na, nb
+"""

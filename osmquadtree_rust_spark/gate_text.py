@@ -5078,3 +5078,184 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
 FROM c
 WHERE pre < CASE source {cases} ELSE {_TBM_DEFAULT} END
 """
+
+
+# ---------------------------------------------------------------------------
+# pairwise cross-source overlap from mergeable KMV sketches
+# (operators/sketch.kmv_set_ops): union/intersection/Jaccard estimates
+# between every two sources over their word-bigram shingle sets — the
+# sketch-level overlap audit that never joins the sources themselves.
+# Values are bigrams (~hundreds distinct per source) so the k=64
+# estimator actually estimates; the intersection/Jaccard arithmetic is
+# integer multiply + DIV and the union estimate is the identical
+# mul/div/floor as distinct_kmv — bit-exact both engines.
+# ---------------------------------------------------------------------------
+
+_KSO_K = 64
+_KSO_SALT = "kmv-v1"
+
+
+@_register("kmv_source_overlap")
+def _kso(spark, sf_dir):
+    from .operators.sketch import kmv_set_ops
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    ws = "filter(split(text, ' '), w -> length(w) > 0)"
+    bigrams = docs.select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({ws}) - 2), "
+                f"i -> concat({ws}[i], ':', {ws}[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    out = kmv_set_ops(bigrams, "bg", "source", k=_KSO_K, salt=_KSO_SALT)
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("union_est").cast("long"),
+        F.col("inter_est").cast("long"),
+        F.col("jaccard_permille").cast("long"),
+        "union_exact",
+        F.col("sketch_k").cast("long"),
+    )
+
+
+@_oracle("kmv_source_overlap")
+def _kso_o():
+    h = TS.md5_prefix_int_sql(
+        f"concat('{_KSO_SALT}', ':', CAST(bg AS VARCHAR))", TS.DUCKDB
+    )
+    scale = repr(float((_KSO_K - 1) * (1 << 60)))
+    return f"""
+WITH wsx AS MATERIALIZED (
+  SELECT source, list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+  FROM documents
+),
+bgs AS MATERIALIZED (
+  SELECT source, ws[i+1] || ':' || ws[i+2] AS bg
+  FROM (SELECT source, ws, unnest(range(0, len(ws) - 1)) AS i
+        FROM wsx WHERE len(ws) >= 2) t
+),
+hashed AS MATERIALIZED (
+  SELECT DISTINCT source, {h} AS h FROM bgs
+),
+ranked AS MATERIALIZED (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+  FROM hashed
+),
+bottom AS MATERIALIZED (
+  SELECT source, h FROM ranked WHERE rk <= {_KSO_K}
+),
+gs AS MATERIALIZED (SELECT DISTINCT source FROM bottom),
+gp AS MATERIALIZED (
+  SELECT a.source AS ga, b.source AS gb
+  FROM gs a JOIN gs b ON a.source < b.source
+),
+memb AS MATERIALIZED (
+  SELECT gp.ga, gp.gb, bo.h FROM gp JOIN bottom bo ON bo.source = gp.ga
+  UNION ALL
+  SELECT gp.ga, gp.gb, bo.h FROM gp JOIN bottom bo ON bo.source = gp.gb
+),
+u AS MATERIALIZED (
+  SELECT ga, gb, h, COUNT(*) = 2 AS inboth FROM memb GROUP BY ga, gb, h
+),
+r2 AS MATERIALIZED (
+  SELECT ga, gb, h, inboth,
+         ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h ASC) AS rk
+  FROM u
+),
+st AS MATERIALIZED (
+  SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS seen, MAX(h) AS kth,
+         CAST(SUM(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS nboth
+  FROM r2 WHERE rk <= {_KSO_K} GROUP BY ga, gb
+),
+est AS MATERIALIZED (
+  SELECT ga, gb, seen, nboth,
+         CASE WHEN seen < {_KSO_K} THEN seen
+              ELSE CAST(FLOOR({scale} / CAST(kth AS DOUBLE)) AS BIGINT)
+         END AS union_est
+  FROM st
+)
+SELECT ga AS src_a, gb AS src_b, union_est,
+       CAST((nboth * union_est) // seen AS BIGINT) AS inter_est,
+       CAST((nboth * 1000) // seen AS BIGINT) AS jaccard_permille,
+       seen < {_KSO_K} AS union_exact,
+       CAST({_KSO_K} AS BIGINT) AS sketch_k
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer ENCODE path (operators/bpe.encode_bpe_ids): documents ->
+# token-id sequences under a FIXED merge table (learning is gated by
+# bpe_merges; a constant table keeps the oracle's chain unrolled, not
+# re-learned).  Ids are the lexicographic numbering of the final symbol
+# strings — engine-independent for [a-z]+ symbols.  The gate checks the
+# order-invariant per-doc aggregates (count + id sum); sequence ORDER is
+# pinned by the pure-python net in tests/test_round7.py.
+# ---------------------------------------------------------------------------
+
+_ENC_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("q", "u"), ("e", "r"),
+]
+
+
+@_register("bpe_encode_ids")
+def _enc(spark, sf_dir):
+    from .operators.bpe import encode_bpe_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = encode_bpe_ids(docs, _ENC_MERGES)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.size("bpe_ids").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(bpe_ids, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("id_sum"),
+    )
+
+
+@_oracle("bpe_encode_ids")
+def _enc_o():
+    wx = TS.bpe_word_extract_sql("text", TS.DUCKDB)
+    spaced = TS.bpe_spaced_sql("w", TS.DUCKDB)
+    chain = "s"
+    for l, r in _ENC_MERGES:
+        chain = TS.bpe_merge_apply_sql(chain, f"'{l}'", f"'{r}'")
+    return f"""
+WITH dw AS MATERIALIZED (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest({wx}) AS w FROM documents) t
+),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT w, {spaced} AS s FROM dw
+),
+vz AS MATERIALIZED (
+  SELECT w, {chain} AS s FROM v0
+),
+vsym AS MATERIALIZED (
+  SELECT w, unnest(list_filter(string_split(s, ' '), x -> len(x) > 0)) AS sym
+  FROM vz
+),
+ids AS MATERIALIZED (
+  SELECT sym, ROW_NUMBER() OVER (ORDER BY sym ASC) - 1 AS id
+  FROM (SELECT DISTINCT sym FROM vsym) t
+),
+wsum AS MATERIALIZED (
+  SELECT vsym.w, CAST(COUNT(*) AS BIGINT) AS ntok,
+         CAST(SUM(ids.id) AS BIGINT) AS idsum
+  FROM vsym JOIN ids USING (sym) GROUP BY vsym.w
+),
+agg AS MATERIALIZED (
+  SELECT dw.doc_id, CAST(SUM(ws.ntok) AS BIGINT) AS n_tokens,
+         CAST(SUM(ws.idsum) AS BIGINT) AS id_sum
+  FROM dw JOIN wsum ws USING (w) GROUP BY dw.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.id_sum, 0) AS id_sum
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

@@ -104,6 +104,32 @@ def learn_bpe_merges(
     )
 
 
+def _vocab_final_spaced(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    merges_per_stage: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Apply the K-merge replace() chain to a DISTINCT-word frame
+    (column __w), staged every `merges_per_stage` merges with eager
+    vocab-sized localCheckpoints so whole-stage codegen never sees an
+    unboundedly deep expression.  Returns (frame with final spaced __s,
+    the intermediate checkpoints — release all but the last once the
+    lineage is driven)."""
+    vocab = words.withColumn(
+        "__s", F.expr(TS.bpe_spaced_sql("__w", TS.SPARK))
+    )
+    checkpoints: list[DataFrame] = []
+    for i in range(0, len(merges), int(merges_per_stage)):
+        s = "__s"
+        for l, r in merges[i : i + int(merges_per_stage)]:
+            s = TS.bpe_merge_apply_sql(s, f"'{l}'", f"'{r}'")
+        vocab = vocab.withColumn("__s", F.expr(s))
+        if i + int(merges_per_stage) < len(merges):
+            vocab = vocab.localCheckpoint(eager=True)
+            checkpoints.append(vocab)
+    return vocab, checkpoints
+
+
 def apply_bpe_merges(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -136,18 +162,9 @@ def apply_bpe_merges(
         .groupBy(id_col, "__w")
         .agg(F.count("*").alias("__k"))
     )
-    vocab = doc_word.select("__w").distinct().withColumn(
-        "__s", F.expr(TS.bpe_spaced_sql("__w", TS.SPARK))
+    vocab, checkpoints = _vocab_final_spaced(
+        doc_word.select("__w").distinct(), merges, merges_per_stage
     )
-    checkpoints = []
-    for i in range(0, len(merges), int(merges_per_stage)):
-        s = "__s"
-        for l, r in merges[i : i + int(merges_per_stage)]:
-            s = TS.bpe_merge_apply_sql(s, f"'{l}'", f"'{r}'")
-        vocab = vocab.withColumn("__s", F.expr(s))
-        if i + int(merges_per_stage) < len(merges):
-            vocab = vocab.localCheckpoint(eager=True)
-            checkpoints.append(vocab)
     tokmap = vocab.select(
         "__w",
         F.expr(TS.spaced_symbol_count_sql("__s", TS.SPARK))
@@ -165,6 +182,88 @@ def apply_bpe_merges(
     # intermediate stage checkpoints are only needed while building the
     # final tokmap lineage; the LAST stage (uncheckpointed) still refers
     # to the previous one, so release all but the latest
+    for c in checkpoints[:-1]:
+        c.unpersist()
+    return res
+
+
+def encode_bpe_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bpe_ids",
+    merges_per_stage: int = 256,
+) -> DataFrame:
+    """The ENCODE half of the tokenizer: per-document token-id sequences
+    under a learned merge table (learn_bpe_merges learns it; this turns
+    the corpus into the id streams a trainer consumes).
+
+    Id assignment: the final symbol strings across the corpus
+    vocabulary, sorted lexicographically, numbered 0..V-1 — dense,
+    deterministic, and engine-independent (symbols are [a-z]+ so byte
+    order == lexicographic on both engines).  Documents with no [a-z]+
+    words get an empty array.
+
+    Scale shape: the merge chain runs on the DISTINCT word table
+    (vocabulary-sized, staged replace() chain as apply_bpe_merges —
+    corpus + V·K cost, never corpus·K); per-word id arrays are built
+    vocab-side (posexplode symbols -> id join -> one array_sort per
+    word) and the corpus-scale passes are one posexplode of word
+    occurrences, one equi-join against the word->ids map (AQE
+    broadcasts it when the vocab fits) and one per-doc aggregate whose
+    array_sort/flatten runs on each doc's own tokens.  The symbol-id
+    numbering is ONE global sort of the distinct final symbols —
+    vocab-alphabet-sized (≤ V·max_word_len strings), the same
+    metadata-scale sort the merge table itself is."""
+    if merges_per_stage < 1:
+        raise ValueError(f"merges_per_stage={merges_per_stage} must be >= 1")
+    from pyspark.sql import Window
+
+    wx = TS.bpe_word_extract_sql(text, TS.SPARK)
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(wx)).alias("__pos", "__w"),
+    )
+    vocab, checkpoints = _vocab_final_spaced(
+        occ.select("__w").distinct(), merges, merges_per_stage
+    )
+    symbols = "filter(split(__s, ' '), x -> length(x) > 0)"
+    vocab_syms = vocab.select(
+        "__w", F.posexplode(F.expr(symbols)).alias("__sp", "__sym")
+    )
+    sym_ids = (
+        vocab_syms.select("__sym")
+        .distinct()
+        .withColumn(
+            "__id",
+            F.row_number().over(Window.orderBy("__sym")).cast("long") - 1,
+        )
+    )
+    word_ids = (
+        vocab_syms.join(sym_ids, "__sym")
+        .groupBy("__w")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__sp, __id))), "
+                "x -> x.__id)"
+            ).alias("__wids")
+        )
+    )
+    enc = (
+        occ.join(word_ids, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(__pos, __wids))), "
+                "x -> x.__wids))"
+            ).alias(out)
+        )
+    )
+    res = docs.join(enc, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.expr("CAST(array() AS array<bigint>)"))
+    )
     for c in checkpoints[:-1]:
         c.unpersist()
     return res

@@ -259,3 +259,116 @@ def approx_distinct_kmv(
         *gcols, "distinct_est", "is_exact",
         F.lit(int(k)).cast("long").alias("sketch_k"),
     )
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    col: str,
+    group: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """Pairwise set-operation estimates between every two groups from
+    mergeable bottom-k (KMV) sketches — the cross-source overlap audit a
+    multi-source training mixture needs ("how much of source B's
+    vocabulary / URL set / shingle set is already in source A?") without
+    ever joining the sources themselves.
+
+    For each unordered group pair (a < b), over the DISTINCT values of
+    `col` per group:
+
+      union_est        |A ∪ B| — the KMV estimate from the merged
+                       sketch (bottom-k of a union == bottom-k of the
+                       two bottom-ks, the mergeability that makes this
+                       exact over the sketches, not an approximation of
+                       them); EXACT when the union has < k distinct
+                       values (union_exact true).
+      inter_est        |A ∩ B| — the standard KMV intersection
+                       estimator: among the union sketch's rows, the
+                       fraction present in BOTH sides, scaled by
+                       union_est.  A union-sketch row h with h ∈ A is
+                       always in A's own bottom-k (fewer than k union
+                       values precede it, so fewer than k A-values do),
+                       so membership is decidable from the sketches.
+      jaccard_permille 1000·|A∩B|/|A∪B| estimate, integer DIV.
+
+    Every estimate is a pure function of the shared salted md5-prefix
+    hash: both engines compute bit-identical results (the float step is
+    the same mul/div/floor as approx_distinct_kmv; intersection and
+    Jaccard are integer multiply + DIV only — inter_est = (both·union_est)
+    DIV seen is exact whenever union_exact, since then union_est == seen).
+
+    Scale shape: the only corpus-scale passes are the distinct and the
+    salted skew-safe bottom-k per group (as approx_distinct_kmv).
+    Everything pairwise runs on the G·k sketch rows: the pair fan-out is
+    G²·k/2 (50 sources × k=256 → 320k rows), and the per-pair rank
+    window partitions on the pair key with ≤ 2k rows per partition —
+    metadata-scale throughout, never data-scale."""
+    from .text import top_k_per_group
+
+    if k < 2:
+        raise ValueError(f"k={k} must be >= 2")
+    if "'" in salt or "\\" in salt:
+        raise ValueError(f"salt {salt!r} must not contain quotes/backslashes")
+    h = TS.md5_prefix_int_sql(
+        f"concat('{salt}', ':', CAST({col} AS STRING))", TS.SPARK
+    )
+    hashes = df.select(group, F.expr(h).alias("__kmvh")).distinct()
+    bottom = top_k_per_group(
+        hashes, group=group, order="__kmvh", k=k, id_col="__kmvh",
+        out="__kmvrk", ascending=True,
+    ).select(group, "__kmvh")
+    # sketch rows are G*k — persist so the group list + pair fan-out
+    # don't re-drive the corpus-scale bottom-k (Spark re-evaluates
+    # shared subplans per consumer)
+    bottom = bottom.localCheckpoint(eager=True)
+    groups = bottom.select(F.col(group).alias("__g")).distinct()
+    gp = (
+        groups.select(F.col("__g").alias("__ga"))
+        .join(
+            groups.select(F.col("__g").alias("__gb")),
+            F.col("__ga") < F.col("__gb"),
+        )
+    )
+    sides = gp.select(
+        "__ga", "__gb",
+        F.explode(F.array(F.col("__ga"), F.col("__gb"))).alias("__g"),
+    )
+    memb = sides.join(bottom, sides["__g"] == bottom[group]).select(
+        "__ga", "__gb", "__kmvh"
+    )
+    per_hash = memb.groupBy("__ga", "__gb", "__kmvh").agg(
+        (F.count("*") == 2).alias("__both")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__ga", "__gb").orderBy("__kmvh")
+    top = per_hash.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    stats = top.groupBy("__ga", "__gb").agg(
+        F.count("*").alias("__seen"),
+        F.max("__kmvh").alias("__kth"),
+        F.sum(F.col("__both").cast("long")).alias("__nboth"),
+    )
+    union_est = F.when(
+        F.col("__seen") < k, F.col("__seen").cast("long")
+    ).otherwise(
+        F.floor(
+            F.lit(float((k - 1) * (1 << 60)))
+            / F.col("__kth").cast("double")
+        ).cast("long")
+    )
+    return (
+        stats.withColumn("union_est", union_est)
+        .withColumn("union_exact", F.col("__seen") < k)
+        .select(
+            F.col("__ga").alias("src_a"),
+            F.col("__gb").alias("src_b"),
+            "union_est",
+            F.expr("(__nboth * union_est) DIV __seen").alias("inter_est"),
+            F.expr("(__nboth * 1000L) DIV __seen").alias("jaccard_permille"),
+            "union_exact",
+            F.lit(int(k)).cast("long").alias("sketch_k"),
+        )
+    )

@@ -531,3 +531,112 @@ def time_in_fence(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("__in").cast("long")).alias("n_inside"),
     )
+
+
+def track_hausdorff(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    seq_col: str = "event_id",
+    step: int = 1,
+) -> DataFrame:
+    """Symmetric discrete Hausdorff distance between every pair of
+    entity tracks whose bounding boxes intersect — the trajectory
+    similarity join (map-matching / duplicate-route detection shape).
+
+    For candidate pair (A, B): H = max(h(A,B), h(B,A)) with
+    h(A,B) = max over a∈A of min over b∈B of d(a,b), d the integer-mm
+    great-circle chord (module float discipline: sqrt-only, exact
+    cross-engine).  Pairs whose fixed-point lon/lat bounding boxes do
+    not overlap are NOT emitted (tracks that never share territory are
+    not similarity candidates — the deterministic candidate contract,
+    integer compares only).  `step` decimates each track to events with
+    seq_col % step == 0 first: the per-pair cost is |A|·|B|, and
+    decimation is the standard control for it (discrete Hausdorff on a
+    decimated track differs from the full track by at most the maximum
+    skipped-segment length).  Entities whose events are all decimated
+    away drop out entirely.
+
+    Returns (user_a, user_b, n_a, n_b, hausdorff_mm) with
+    user_a < user_b and n_* the decimated point counts.
+
+    Scale shape: the bbox candidate join is entity-count-sized (one
+    map-side-combinable aggregate per entity, then an inequality join
+    on boxes — never all point pairs corpus-wide); the distance frame
+    is bounded by Σ_pairs |A|·|B|, bounded by step².  Both directed
+    maxima come from ONE explode of that frame (a union-with-swap would
+    re-evaluate the candidate join per branch, the module-wide
+    union-recompute trap) followed by two map-side-combinable
+    aggregates; n_a/n_b are carried THROUGH the aggregation keys so the
+    candidate frame is consumed exactly once."""
+    if step < 1:
+        raise ValueError(f"step={step} must be >= 1")
+    pts = events.select(id_col, seq_col, lon, lat)
+    if step > 1:
+        pts = pts.filter(F.col(seq_col) % step == 0)
+    bbox = pts.groupBy(id_col).agg(
+        F.min(lon).alias("__minx"),
+        F.max(lon).alias("__maxx"),
+        F.min(lat).alias("__miny"),
+        F.max(lat).alias("__maxy"),
+        F.count("*").alias("__n"),
+    )
+    a = bbox.select(
+        F.col(id_col).alias("__ua"),
+        F.col("__minx").alias("__aminx"), F.col("__maxx").alias("__amaxx"),
+        F.col("__miny").alias("__aminy"), F.col("__maxy").alias("__amaxy"),
+        F.col("__n").alias("n_a"),
+    )
+    b = bbox.select(
+        F.col(id_col).alias("__ub"),
+        F.col("__minx").alias("__bminx"), F.col("__maxx").alias("__bmaxx"),
+        F.col("__miny").alias("__bminy"), F.col("__maxy").alias("__bmaxy"),
+        F.col("__n").alias("n_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("__ua") < F.col("__ub"))
+        & (F.col("__aminx") <= F.col("__bmaxx"))
+        & (F.col("__bminx") <= F.col("__amaxx"))
+        & (F.col("__aminy") <= F.col("__bmaxy"))
+        & (F.col("__bminy") <= F.col("__amaxy")),
+    ).select("__ua", "__ub", "n_a", "n_b")
+    pa = pts.select(
+        F.col(id_col).alias("__pa"), F.col(seq_col).alias("__ea"),
+        F.col(lon).alias("__alon"), F.col(lat).alias("__alat"),
+    )
+    pb = pts.select(
+        F.col(id_col).alias("__pb"), F.col(seq_col).alias("__eb"),
+        F.col(lon).alias("__blon"), F.col(lat).alias("__blat"),
+    )
+    d = (
+        cand.join(pa, F.col("__pa") == F.col("__ua"))
+        .join(pb, F.col("__pb") == F.col("__ub"))
+        .select(
+            "__ua", "__ub", "n_a", "n_b", "__ea", "__eb",
+            _chord_mm_udf(
+                F.col("__alon"), F.col("__alat"),
+                F.col("__blon"), F.col("__blat"),
+            ).alias("__mm"),
+        )
+    )
+    s = d.select(
+        "__ua", "__ub", "n_a", "n_b", "__mm",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("dir"), F.col("__ea").alias("pt")),
+                F.struct(F.lit(1).alias("dir"), F.col("__eb").alias("pt")),
+            )
+        ).alias("__s"),
+    )
+    mins = s.groupBy(
+        "__ua", "__ub", "n_a", "n_b", "__s.dir", "__s.pt"
+    ).agg(F.min("__mm").alias("__mn"))
+    return mins.groupBy("__ua", "__ub", "n_a", "n_b").agg(
+        F.max("__mn").alias("hausdorff_mm")
+    ).select(
+        F.col("__ua").alias("user_a"),
+        F.col("__ub").alias("user_b"),
+        "n_a", "n_b", "hausdorff_mm",
+    )

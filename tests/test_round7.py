@@ -676,3 +676,263 @@ def test_apply_bpe_merges_staged_equals_unstaged(spark):
         for r in apply_bpe_merges(docs, merges, merges_per_stage=2).collect()
     }
     assert one == staged
+
+
+# ---------------------------------------------------------------------------
+# encode_bpe_ids: ordered token-id sequences vs a pure-python encoder
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe_encode(texts, merges):
+    """Ordered per-text token ids: apply the merge list to each distinct
+    word (left-to-right non-overlapping, merge order), number the final
+    symbols lexicographically from 0."""
+    import re
+
+    def ap(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    words = set()
+    for t in texts:
+        words.update(re.findall("[a-z]+", t.lower()))
+    enc, all_syms = {}, set()
+    for w in words:
+        syms = list(w)
+        for l, r in merges:
+            syms = ap(syms, l, r)
+        enc[w] = syms
+        all_syms.update(syms)
+    ids = {s: i for i, s in enumerate(sorted(all_syms))}
+    return [
+        [ids[s] for w in re.findall("[a-z]+", t.lower()) for s in enc[w]]
+        for t in texts
+    ]
+
+
+def test_encode_bpe_ids_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.bpe import encode_bpe_ids
+
+    for seed, k, stage in ((3, 5, 256), (11, 8, 2), (23, 4, 3)):
+        rng = random.Random(seed)
+        alpha = "abcd"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 6)))
+                for _ in range(rng.randrange(0, 15))
+            )
+            for _ in range(40)
+        ]
+        mg, _ = _py_bpe(texts, k)
+        merges = [(l, r) for _, l, r, _ in mg]
+        # sanity: learned merges agree between engines (pinned elsewhere);
+        # here they just provide a realistic merge table
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        ref = _py_bpe_encode(texts, merges)
+        got = {
+            r["doc_id"]: list(r["bpe_ids"])
+            for r in encode_bpe_ids(
+                docs, merges, merges_per_stage=stage
+            ).collect()
+        }
+        for i, seq in enumerate(ref):
+            assert got[i] == seq, f"seed={seed} doc={i}"
+        assert len(got) == len(texts)
+
+
+def test_encode_bpe_ids_empty_and_no_merges(spark):
+    from osmquadtree_rust_spark.operators.bpe import encode_bpe_ids
+
+    docs = spark.createDataFrame(
+        [(0, "ab ba"), (1, "123 !!"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["bpe_ids"])
+        for r in encode_bpe_ids(docs, []).collect()
+    }
+    # no merges: symbols are single letters a,b -> ids 0,1
+    assert got[0] == [0, 1, 1, 0]
+    assert got[1] == [] and got[2] == []
+
+
+# ---------------------------------------------------------------------------
+# track_hausdorff: bbox-candidate similarity join vs pure-python
+# ---------------------------------------------------------------------------
+
+
+def test_track_hausdorff_vs_python(spark):
+    import itertools
+    import random
+
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.operators.trajectory import (
+        CHORD_MM_LIT,
+        track_hausdorff,
+    )
+
+    def chord(a, b):
+        hav = GEO.hav_np(
+            np.array([a[1]], np.int64), np.array([a[2]], np.int64),
+            np.array([b[1]], np.int64), np.array([b[2]], np.int64),
+        )
+        return int(np.floor(np.sqrt(hav) * float(CHORD_MM_LIT))[0])
+
+    # three well-separated cluster centres: pairs across clusters have
+    # disjoint bboxes and MUST be absent from the output
+    centers = [(0, 0), (12_0000000, 12_0000000), (-90_0000000, 40_0000000)]
+    for seed, step in ((1, 1), (7, 2), (13, 3)):
+        rng = random.Random(seed)
+        rows, upts, eid = [], {}, 0
+        for u in range(9):
+            cx, cy = centers[u % 3]
+            pts = []
+            for _ in range(rng.randrange(1, 12)):
+                lon = cx + rng.randrange(-2000000, 2000000)
+                lat = cy + rng.randrange(-2000000, 2000000)
+                rows.append((u, eid, lon, lat))
+                pts.append((eid, lon, lat))
+                eid += 1
+            upts[u] = pts
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, lon long, lat long"
+        )
+        got = {
+            (r["user_a"], r["user_b"]): (
+                r["n_a"], r["n_b"], r["hausdorff_mm"]
+            )
+            for r in track_hausdorff(df, step=step).collect()
+        }
+        dp = {
+            u: [p for p in pts if p[0] % step == 0]
+            for u, pts in upts.items()
+        }
+        dp = {u: p for u, p in dp.items() if p}
+        ref = {}
+        for a, b in itertools.combinations(sorted(dp), 2):
+            A, B = dp[a], dp[b]
+            bba = (
+                min(p[1] for p in A), max(p[1] for p in A),
+                min(p[2] for p in A), max(p[2] for p in A),
+            )
+            bbb = (
+                min(p[1] for p in B), max(p[1] for p in B),
+                min(p[2] for p in B), max(p[2] for p in B),
+            )
+            if not (
+                bba[0] <= bbb[1] and bbb[0] <= bba[1]
+                and bba[2] <= bbb[3] and bbb[2] <= bba[3]
+            ):
+                continue
+            h_ab = max(min(chord(x, y) for y in B) for x in A)
+            h_ba = max(min(chord(y, x) for x in A) for y in B)
+            ref[(a, b)] = (len(A), len(B), max(h_ab, h_ba))
+        assert got == ref, f"seed={seed} step={step}"
+
+
+def test_track_hausdorff_step_validates(spark):
+    from osmquadtree_rust_spark.operators.trajectory import track_hausdorff
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0)], "user_id long, event_id long, lon long, lat long"
+    )
+    with pytest.raises(ValueError):
+        track_hausdorff(df, step=0)
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops: pairwise sketch set-operations vs pure-python
+# ---------------------------------------------------------------------------
+
+
+def _py_kmv_hash(salt, v):
+    import hashlib
+
+    return int(
+        hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16
+    )
+
+
+def test_kmv_set_ops_exact_small_sets(spark):
+    from osmquadtree_rust_spark.operators.sketch import kmv_set_ops
+
+    A = {f"v{i}" for i in range(10)}
+    B = set(list(A)[:4]) | {f"w{i}" for i in range(6)}
+    C = {f"x{i}" for i in range(3)}
+    rows = [("a", v) for v in A] + [("b", v) for v in B] + [("c", v) for v in C]
+    rows += rows[:5]  # duplicates must not matter (distinct first)
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["src_a"], r["src_b"]): r.asDict()
+        for r in kmv_set_ops(df, "v", "g", k=64).collect()
+    }
+    for ga, gb, SA, SB in (("a", "b", A, B), ("a", "c", A, C), ("b", "c", B, C)):
+        r = got[(ga, gb)]
+        assert r["union_exact"] is True
+        assert r["union_est"] == len(SA | SB)
+        assert r["inter_est"] == len(SA & SB)
+        assert r["jaccard_permille"] == (
+            1000 * len(SA & SB) // len(SA | SB)
+        )
+
+
+def test_kmv_set_ops_estimator_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.sketch import kmv_set_ops
+
+    k, salt = 32, "kmv-v1"
+    rng = random.Random(5)
+    pool = [f"item{i}" for i in range(4000)]
+    groups = {
+        "g0": set(rng.sample(pool, 900)),
+        "g1": set(rng.sample(pool, 700)),
+        "g2": set(rng.sample(pool, 60)),
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        (r["src_a"], r["src_b"]): r.asDict()
+        for r in kmv_set_ops(df, "v", "g", k=k, salt=salt).collect()
+    }
+    import itertools
+
+    for ga, gb in itertools.combinations(sorted(groups), 2):
+        SA, SB = groups[ga], groups[gb]
+        bka = sorted(_py_kmv_hash(salt, v) for v in SA)[:k]
+        bkb = sorted(_py_kmv_hash(salt, v) for v in SB)[:k]
+        union_bk = sorted(set(bka) | set(bkb))[:k]
+        seen = len(union_bk)
+        if seen < k:
+            union_est = seen
+            exact = True
+        else:
+            import math
+
+            union_est = math.floor(
+                float((k - 1) * (1 << 60)) / float(union_bk[-1])
+            )
+            exact = False
+        nboth = sum(1 for h in union_bk if h in set(bka) and h in set(bkb))
+        r = got[(ga, gb)]
+        assert r["union_est"] == union_est, (ga, gb)
+        assert r["union_exact"] is exact
+        assert r["inter_est"] == (nboth * union_est) // seen
+        assert r["jaccard_permille"] == (nboth * 1000) // seen
+        # the estimator should be in the right ballpark of the truth
+        if not exact:
+            true_u = len(SA | SB)
+            assert abs(union_est - true_u) < true_u  # sanity envelope
