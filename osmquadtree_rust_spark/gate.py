@@ -3310,3 +3310,263 @@ SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
        na AS n_a, nb AS n_b, CAST(MAX(mn) AS BIGINT) AS hausdorff_mm
 FROM m1 GROUP BY ua, ub, na, nb
 """
+
+
+# ===========================================================================
+# segment crossings (operators/trajectory.segment_crossings): proper
+# segment-intersection counts between different entities' tracks.  The
+# standard synthetic positions hash on event_id (planet hops — no local
+# structure to cross), so this gate derives Lissajous-style walks: each
+# user orbits a neighborhood centre (user_id % 16, centres >= 73e6
+# fixed-point units apart) along two integer triangle waves with
+# user-hashed phases, advanced by the user's event RANK (row_number
+# over (ts, event_id) — event_id gaps between a user's consecutive
+# events grow with the corpus's user count, so an event_id-driven wave
+# would balloon segment extents at higher sf; the rank step is a
+# constant 150 wave units = 6000 fixed-point extent at every sf).
+# Pure non-negative integer % / ABS / mul, dialect-identical.  The
+# oracle is the NAIVE pair join (equi-keyed on the neighborhood —
+# sound because centres are >= 73e6 units apart while wave amplitude
+# is <= 3e5, so cross-neighborhood bboxes can never overlap),
+# independently verifying the grid-covering candidates' recall.
+# ===========================================================================
+
+_XING_SPAN = 100_000       # max per-axis segment extent (fixed-point)
+_XING_NB = 16
+_XING_PLON, _XING_PLAT = 7500, 6100   # triangle-wave half-periods
+_XING_SLOPE = 40
+_XING_STEP = 150           # wave units per event rank
+
+
+def _xing_pos_exprs(rank: str, uid: str) -> dict[str, str]:
+    """lon/lat fixed-point expressions for the crossing-walk synthetic
+    track (dialect-neutral integer SQL, shared by both engines);
+    `rank` is the 0-based per-user event rank."""
+    e = f"(CAST({rank} AS BIGINT) * {_XING_STEP})"
+    u = f"CAST({uid} AS BIGINT)"
+    nb = f"({u} % {_XING_NB})"
+    lon0 = f"((({nb} * 2654435761) % 3200000000) - 1600000000)"
+    lat0 = f"((({nb} * 2246822519) % 1500000000) - 750000000)"
+    phx = f"(({u} * 2654435761) % {2 * _XING_PLON})"
+    phy = f"(({u} * 2246822519) % {2 * _XING_PLAT})"
+
+    def tri(k: str, p: int) -> str:
+        return f"ABS((({k}) % {2 * p}) - {p})"
+
+    lon = f"({lon0} + {tri(f'{e} + {phx}', _XING_PLON)} * {_XING_SLOPE})"
+    lat = f"({lat0} + {tri(f'{e} + {phy}', _XING_PLAT)} * {_XING_SLOPE})"
+    return {"lon": lon, "lat": lat}
+
+
+@_register("segment_crossings")
+def _sxg(spark, sf_dir):
+    from .operators.trajectory import segment_crossings
+
+    from pyspark.sql import Window
+
+    pos = _xing_pos_exprs("__rn", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _EVENTS_CAP)
+        .select("event_id", "user_id", "ts")
+        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(pos["lon"]).alias("lon"),
+            F.expr(pos["lat"]).alias("lat"),
+        )
+    )
+    out = segment_crossings(pts, max_span_fixed=_XING_SPAN)
+    return out.select(
+        F.col("user_a").cast("long"),
+        F.col("user_b").cast("long"),
+        F.col("crossings").cast("long"),
+    )
+
+
+@_oracle("segment_crossings")
+def _sxg_o() -> str:
+    from .operators.trajectory import segment_cross_sql
+
+    pos = _xing_pos_exprs("__rn", "user_id")
+    xs = segment_cross_sql(
+        "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
+    )
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS __rn
+  FROM events WHERE event_id < {_EVENTS_CAP}
+),
+pts AS MATERIALIZED (
+  SELECT event_id, user_id, ts, {pos["lon"]} AS lon, {pos["lat"]} AS lat
+  FROM ranked
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, lon, lat,
+         LAG(lon) OVER w AS px, LAG(lat) OVER w AS py
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS MATERIALIZED (
+  SELECT user_id, (user_id % {_XING_NB}) AS nb,
+         px AS x1, py AS y1, lon AS x2, lat AS y2,
+         LEAST(px, lon) AS mnx, GREATEST(px, lon) AS mxx,
+         LEAST(py, lat) AS mny, GREATEST(py, lat) AS mxy
+  FROM lagged
+  WHERE px IS NOT NULL
+    AND ABS(lon - px) <= {_XING_SPAN} AND ABS(lat - py) <= {_XING_SPAN}
+),
+x AS MATERIALIZED (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM seg a JOIN seg b
+    ON a.nb = b.nb AND a.user_id < b.user_id
+   AND a.mnx <= b.mxx AND b.mnx <= a.mxx
+   AND a.mny <= b.mxy AND b.mny <= a.mxy
+   AND {xs}
+)
+SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS crossings
+FROM x GROUP BY ua, ub
+"""
+
+
+# ===========================================================================
+# track cell lengths (operators/trajectory.track_cell_lengths): exact
+# length-weighted rasterization — per depth-8 grid cell, total integer-mm
+# chord length of all intra-trip segments inside the cell.  Input is the
+# same rank-driven Lissajous walk as segment_crossings.  The oracle is an
+# INDEPENDENT window-function formulation (unnested crossings + cumulative
+# axis counts + LEAD), sharing only the tiny expression generators
+# (grid_threshold_sql boundary, chord_mm_sql, geohash_xy_sql) — pinning
+# the array-domain prefix scan against a relational implementation.
+# ===========================================================================
+
+_TCL_CHARS = 8
+
+
+@_register("track_cell_lengths")
+def _tcl(spark, sf_dir):
+    from pyspark.sql import Window
+    from .operators.trajectory import track_cell_lengths
+
+    pos = _xing_pos_exprs("__rn", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _EVENTS_CAP)
+        .select("event_id", "user_id", "ts")
+        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(pos["lon"]).alias("lon"),
+            F.expr(pos["lat"]).alias("lat"),
+        )
+    )
+    out = track_cell_lengths(
+        pts, max_span_fixed=_XING_SPAN, chars=_TCL_CHARS
+    )
+    return out.select(
+        F.col("cell_x").cast("long"),
+        F.col("cell_y").cast("long"),
+        F.col("total_mm").cast("long"),
+    )
+
+
+@_oracle("track_cell_lengths")
+def _tcl_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB, idiv_sql
+    from .operators.trajectory import chord_mm_sql, grid_threshold_sql
+
+    pos = _xing_pos_exprs("__rn", "user_id")
+    cx1, cy1 = GH.geohash_xy_sql("x1", "y1", _TCL_CHARS, DUCKDB)
+    cx2, cy2 = GH.geohash_xy_sql("x2", "y2", _TCL_CHARS, DUCKDB)
+    mm = chord_mm_sql("px", "py", "lon", "lat")
+    thrx = grid_threshold_sql("t.k", "lon", _TCL_CHARS, DUCKDB)
+    thry = grid_threshold_sql("t.k", "lat", _TCL_CHARS, DUCKDB)
+    clx = idiv_sql("t.mm * (t.sx * (({t}) - t.u1))".format(t=thrx),
+                   "GREATEST(t.adu, 1)", DUCKDB)
+    cly = idiv_sql("t.mm * (t.sy * (({t}) - t.v1))".format(t=thry),
+                   "GREATEST(t.adv, 1)", DUCKDB)
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS __rn
+  FROM events WHERE event_id < {_EVENTS_CAP}
+),
+pts AS MATERIALIZED (
+  SELECT event_id, user_id, ts, {pos["lon"]} AS lon, {pos["lat"]} AS lat
+  FROM ranked
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, lon, lat,
+         LAG(lon) OVER w AS px, LAG(lat) OVER w AS py
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg0 AS MATERIALIZED (
+  SELECT event_id AS sid, px AS x1, py AS y1, lon AS x2, lat AS y2,
+         {mm} AS mm
+  FROM lagged
+  WHERE px IS NOT NULL
+    AND ABS(lon - px) <= {_XING_SPAN} AND ABS(lat - py) <= {_XING_SPAN}
+),
+seg AS MATERIALIZED (
+  SELECT sid, mm,
+         x1 + 1800000000 AS u1, y1 + 900000000 AS v1,
+         ABS(x2 - x1) AS adu, ABS(y2 - y1) AS adv,
+         CASE WHEN x2 >= x1 THEN 1 ELSE -1 END AS sx,
+         CASE WHEN y2 >= y1 THEN 1 ELSE -1 END AS sy,
+         {cx1} AS cx1, {cy1} AS cy1, {cx2} AS cx2, {cy2} AS cy2
+  FROM seg0
+),
+allc AS MATERIALIZED (
+  SELECT t.sid, t.mm, t.cx1, t.cy1, t.sx, t.sy,
+         (t.sx * (({thrx}) - t.u1)) * GREATEST(t.adv, 1) AS key, 1 AS axr,
+         {clx} AS cl
+  FROM (SELECT s.*,
+               unnest(range(LEAST(s.cx1, s.cx2) + 1,
+                            GREATEST(s.cx1, s.cx2) + 1)) AS k
+        FROM seg s) t
+  UNION ALL
+  SELECT t.sid, t.mm, t.cx1, t.cy1, t.sx, t.sy,
+         (t.sy * (({thry}) - t.v1)) * GREATEST(t.adu, 1) AS key, 2 AS axr,
+         {cly} AS cl
+  FROM (SELECT s.*,
+               unnest(range(LEAST(s.cy1, s.cy2) + 1,
+                            GREATEST(s.cy1, s.cy2) + 1)) AS k
+        FROM seg s) t
+),
+sortedc AS MATERIALIZED (
+  SELECT sid, mm, cx1, cy1, sx, sy, cl,
+         CAST(SUM(CASE WHEN axr = 1 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS cumx,
+         CAST(SUM(CASE WHEN axr = 2 THEN 1 ELSE 0 END) OVER w AS BIGINT)
+           AS cumy,
+         LEAD(cl) OVER w AS nxt,
+         ROW_NUMBER() OVER w AS rn
+  FROM allc
+  WINDOW w AS (PARTITION BY sid ORDER BY key, axr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spans AS MATERIALIZED (
+  SELECT s.cx1 AS cx, s.cy1 AS cy, COALESCE(f.cl, s.mm) AS mm
+  FROM seg s LEFT JOIN (SELECT sid, cl FROM sortedc WHERE rn = 1) f
+    USING (sid)
+  UNION ALL
+  SELECT cx1 + sx * cumx AS cx, cy1 + sy * cumy AS cy,
+         COALESCE(nxt, mm) - cl AS mm
+  FROM sortedc
+)
+SELECT CAST(cx AS BIGINT) AS cell_x, CAST(cy AS BIGINT) AS cell_y,
+       CAST(SUM(mm) AS BIGINT) AS total_mm
+FROM spans WHERE mm > 0 GROUP BY cx, cy
+"""

@@ -5100,13 +5100,20 @@ def _kso(spark, sf_dir):
     from .operators.sketch import kmv_set_ops
 
     docs = _t(spark, sf_dir, "documents").select("source", "text")
-    ws = "filter(split(text, ' '), w -> length(w) > 0)"
-    bigrams = docs.select(
+    # stage the split ONCE per row: inlining filter(split(...)) into the
+    # transform lambda re-splits the text per element (~4s -> ~0.4s at
+    # sf0.1; CollapseProject keeps the stage, gate_text convention shared
+    # with bpe.py/text.py's __sy/__ws staging)
+    wsdf = docs.select(
+        "source",
+        F.expr("filter(split(text, ' '), w -> length(w) > 0)").alias("__ws"),
+    )
+    bigrams = wsdf.select(
         "source",
         F.explode(
             F.expr(
-                f"transform(sequence(0, size({ws}) - 2), "
-                f"i -> concat({ws}[i], ':', {ws}[i+1]))"
+                "transform(sequence(0, size(__ws) - 2), "
+                "i -> concat(__ws[i], ':', __ws[i+1]))"
             )
         ).alias("bg"),
     )

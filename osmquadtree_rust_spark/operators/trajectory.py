@@ -640,3 +640,351 @@ def track_hausdorff(
         F.col("__ub").alias("user_b"),
         "n_a", "n_b", "hausdorff_mm",
     )
+
+
+def _bounded_segments(
+    events: DataFrame,
+    lon: str,
+    lat: str,
+    id_col: str,
+    ts_col: str,
+    seq_col: str,
+    max_span_fixed: int,
+) -> DataFrame:
+    """Consecutive-point segments per entity with per-axis extent
+    bounded by `max_span_fixed` (over-bound segments are teleports /
+    trip boundaries, not movement).  Shared by segment_crossings and
+    track_cell_lengths: one (ts_col, seq_col)-ordered window lag,
+    then a pure integer extent filter.  Returns
+    (__uid, __seq, __x1, __y1, __x2, __y2)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    return (
+        events.select(id_col, ts_col, seq_col, lon, lat)
+        .withColumn("__px", F.lag(lon).over(w))
+        .withColumn("__py", F.lag(lat).over(w))
+        .filter(F.col("__px").isNotNull())
+        .select(
+            F.col(id_col).alias("__uid"),
+            F.col(seq_col).alias("__seq"),
+            F.col("__px").cast("long").alias("__x1"),
+            F.col("__py").cast("long").alias("__y1"),
+            F.col(lon).cast("long").alias("__x2"),
+            F.col(lat).cast("long").alias("__y2"),
+        )
+        .filter(
+            (F.abs(F.col("__x2") - F.col("__x1")) <= int(max_span_fixed))
+            & (F.abs(F.col("__y2") - F.col("__y1")) <= int(max_span_fixed))
+        )
+    )
+
+
+def segment_cross_sql(
+    ax1: str, ay1: str, ax2: str, ay2: str,
+    bx1: str, by1: str, bx2: str, by2: str,
+) -> str:
+    """Proper-crossing predicate for two integer segments as
+    dialect-neutral SQL text (shared with the DuckDB oracle).
+
+    Classic orientation test: segments (a1,a2) and (b1,b2) properly
+    cross iff b1/b2 lie strictly on opposite sides of line(a1,a2) AND
+    a1/a2 strictly on opposite sides of line(b1,b2).  Endpoint touches
+    and collinear overlaps are NOT crossings (both engines agree — the
+    test is pure int64 compares, no floats, no sign() dialect drift:
+    opposite-sidedness is written as two <0/>0 conjunctions, never as a
+    d_i*d_j < 0 product, whose magnitude could overflow int64).
+
+    Overflow bound: every cross term is (dx)*(dy) of coordinate
+    differences between endpoints of the two segments; callers must
+    bound per-axis segment extent by S (segment_crossings filters on
+    it), and only evaluate pairs whose coverings share a grid cell, so
+    |diff| <= 2S + cell_span <= 3S and |term| <= 9S^2, |d_i| <= 18S^2 —
+    inside int64 for S <= 500_000_000 (validated by the caller)."""
+
+    def cross(ox: str, oy: str, px: str, py: str, qx: str, qy: str) -> str:
+        return (
+            f"(({px} - {ox}) * ({qy} - {oy}) - "
+            f"({py} - {oy}) * ({qx} - {ox}))"
+        )
+
+    d1 = cross(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = cross(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = cross(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = cross(bx1, by1, bx2, by2, ax2, ay2)
+
+    def opp(u: str, v: str) -> str:
+        return f"((({u}) < 0 AND ({v}) > 0) OR (({u}) > 0 AND ({v}) < 0))"
+
+    return f"({opp(d1, d2)} AND {opp(d3, d4)})"
+
+
+def segment_crossings(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_span_fixed: int = 200_000,
+    chars: int | None = None,
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Track-crossing join: count proper segment intersections between
+    every pair of DIFFERENT entities' tracks.
+
+    The trajectory twin of spatial_join.bbox_intersection_join (the
+    route-interaction / conflict-detection shape: how often do two
+    entities' paths cut across each other).  Consecutive-point segments
+    per entity come from one (ts_col, seq_col)-ordered window lag;
+    segments whose per-axis fixed-point extent exceeds `max_span_fixed`
+    are trip boundaries (teleports), not movement, and are dropped —
+    the same integer bound both engines share, and the bound that makes
+    the exact crossing test overflow-free (segment_cross_sql).
+
+    Candidates come from the depth-`chars` geohash-grid covering of
+    each segment's bbox (chars=None derives the finest depth from
+    max_span_fixed via auto_bbox_chars); pairs equi-join on the cell
+    and each surviving pair is emitted from exactly ONE cell — the cell
+    holding the two bboxes' intersection lower-left corner (the
+    reference-point dedup, same as bbox_intersection_join) — so no
+    distinct shuffle.  Recall-complete: two crossing segments have
+    intersecting bboxes, whose reference point lies in both coverings.
+
+    Returns (user_a, user_b, crossings) with user_a < user_b, one row
+    per entity pair with >= 1 proper crossing.
+
+    Scale shape: one entity-keyed window (data-sized shuffle), a
+    covering explode bounded by max_cells_per_axis^2 per segment (and
+    by ~(extent/cell_span + 1)^2 in practice — auto depth keeps typical
+    segments at a handful of cells), a cell-local equi-join (AQE skew
+    handling covers hot cells; lower `chars` if a cell's segment count
+    goes quadratic), and a partial-aggregating count on the pair key.
+    No all-pairs stage anywhere; everything JVM-side integer SQL."""
+    from .spatial_join import auto_bbox_chars
+
+    from ..functions import geohash as GH
+
+    S = int(max_span_fixed)
+    if S <= 0 or S > 500_000_000:
+        raise ValueError(
+            f"max_span_fixed={max_span_fixed} out of (0, 5e8] — the "
+            f"int64 overflow bound of the exact crossing test"
+        )
+    if chars is None:
+        chars = auto_bbox_chars(S, max_cells_per_axis)
+
+    seg = (
+        _bounded_segments(events, lon, lat, id_col, ts_col, seq_col, S)
+        .withColumn("__mnx", F.least("__x1", "__x2"))
+        .withColumn("__mny", F.least("__y1", "__y2"))
+        .withColumn("__mxx", F.greatest("__x1", "__x2"))
+        .withColumn("__mxy", F.greatest("__y1", "__y2"))
+    )
+
+    x0s, y0s = GH.geohash_xy_sql("__mnx", "__mny", chars, "spark")
+    x1s, y1s = GH.geohash_xy_sql("__mxx", "__mxy", chars, "spark")
+    # extent <= S plus auto depth keeps coverings under the cap; the
+    # raise guards explicit-chars callers (a silent clamp breaks recall)
+    mca = int(max_cells_per_axis)
+
+    def guarded(lo: str, hi: str, axis: str) -> str:
+        return (
+            f"CASE WHEN ({hi}) - ({lo}) < {mca} THEN ({hi}) "
+            f"ELSE CAST(raise_error('segment covering exceeds {mca} "
+            f"cells on {axis}; lower chars or max_span_fixed') "
+            f"AS BIGINT) END"
+        )
+
+    carry = ["__uid", "__x1", "__y1", "__x2", "__y2",
+             "__mnx", "__mny", "__mxx", "__mxy"]
+    base = seg.select(
+        *carry,
+        F.expr(x0s).alias("__cx0"),
+        F.expr(y0s).alias("__cy0"),
+        F.expr(guarded(x0s, x1s, "lon")).alias("__cx1"),
+        F.expr(guarded(y0s, y1s, "lat")).alias("__cy1"),
+    )
+    cells = base.select(
+        *carry,
+        F.explode(F.expr("sequence(__cx0, __cx1)")).alias("__cx"),
+        "__cy0",
+        "__cy1",
+    ).select(
+        *carry,
+        "__cx",
+        F.explode(F.expr("sequence(__cy0, __cy1)")).alias("__cy"),
+    )
+    a = cells.select(
+        *[F.col(c).alias("a" + c.lstrip("_")) for c in carry], "__cx", "__cy"
+    )
+    b = cells.select(
+        *[F.col(c).alias("b" + c.lstrip("_")) for c in carry], "__cx", "__cy"
+    )
+    rx, ry = GH.geohash_xy_sql(
+        "GREATEST(amnx, bmnx)", "GREATEST(amny, bmny)", chars, "spark"
+    )
+    pairs = (
+        a.join(b, ["__cx", "__cy"])
+        .filter(F.col("auid") < F.col("buid"))
+        .filter(
+            (F.col("amnx") <= F.col("bmxx"))
+            & (F.col("bmnx") <= F.col("amxx"))
+            & (F.col("amny") <= F.col("bmxy"))
+            & (F.col("bmny") <= F.col("amxy"))
+        )
+        .filter((F.col("__cx") == F.expr(rx)) & (F.col("__cy") == F.expr(ry)))
+        .filter(
+            F.expr(
+                segment_cross_sql(
+                    "ax1", "ay1", "ax2", "ay2", "bx1", "by1", "bx2", "by2"
+                )
+            )
+        )
+    )
+    return (
+        pairs.groupBy("auid", "buid")
+        .agg(F.count("*").alias("crossings"))
+        .select(
+            F.col("auid").alias("user_a"),
+            F.col("buid").alias("user_b"),
+            "crossings",
+        )
+    )
+
+
+def grid_threshold_sql(k: str, axis: str, chars: int, dialect: str) -> str:
+    """Smallest fixed-point u-coordinate (lon+1.8e9 / lat+9e8) whose
+    depth-`chars` geohash grid index is >= `k` — the exact integer cell
+    boundary the length splitter cuts at: ceil(k*D / 2^bits), D the
+    axis's u-range.  Shared text-generator so both engines cut at the
+    same integer thresholds (pure BIGINT mul/add/DIV)."""
+    from ..functions.geohash import _bits_for
+    from ..functions.text_sql import idiv_sql
+
+    lon_bits, lat_bits = _bits_for(chars)
+    d = 3600000000 if axis == "lon" else 1800000000
+    tw = 1 << (lon_bits if axis == "lon" else lat_bits)
+    return idiv_sql(f"({k}) * {d} + {tw - 1}", str(tw), dialect)
+
+
+def track_cell_lengths(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_span_fixed: int = 200_000,
+    chars: int = 8,
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Exact length-weighted rasterization of tracks: per depth-`chars`
+    geohash grid cell, the total great-circle chord length (integer mm)
+    of all intra-trip track segments inside the cell — the vector ->
+    raster density surface (movement heatmaps, road-usage rasters) as
+    one projection plus one aggregate.
+
+    Splitting is EXACT integer arithmetic: a segment's u-space cell
+    boundaries are integers (grid_threshold_sql), each crossing's
+    parameter is the rational (thr - u1)/du, and per-cell lengths use
+    the telescoping floor cum_i = (chord_mm * num_i) DIV den — so the
+    cells of one segment sum to exactly its chord_mm (no float split,
+    no drift; both engines agree bit-for-bit).  Crossings from the two
+    axes merge by cross-multiplied comparison keys num_x*|dv| vs
+    num_y*|du| (exact rational order, int64-safe: num <= extent <= S,
+    key <= S^2, and chord_mm*num < 2^63 for S <= 5e8).  Corner-exact
+    hits tie-break x-before-y deterministically; zero-length spans are
+    dropped.
+
+    Segments whose per-axis extent exceeds `max_span_fixed` are trip
+    boundaries (teleports) and are dropped, as in segment_crossings;
+    a segment spanning more than `max_cells_per_axis` cells raises
+    inside the projection (a silent clamp would silently lose length).
+
+    Returns (cell_x, cell_y, total_mm) — cell indices are the
+    de-interleaved depth-`chars` grid coordinates (geohash_xy_sql).
+
+    Scale shape: one entity-keyed window (the segment lag), then a
+    PURE PROJECTION per segment — crossings are built, sorted, and
+    prefix-scanned inside array expressions (transform/array_sort/
+    slice; the O(n^2) in-array prefix scan is bounded by
+    (2*max_cells_per_axis)^2 elements ~ 16k ops worst-case, ~9
+    typical) — and one partial-aggregating hash aggregate on the cell
+    key.  No join, no per-segment shuffle, no Python in the split path
+    (the chord itself is the module's Arrow pandas_udf)."""
+    S = int(max_span_fixed)
+    if S <= 0 or S > 500_000_000:
+        raise ValueError(
+            f"max_span_fixed={max_span_fixed} out of (0, 5e8] — the "
+            f"int64 bound of chord_mm * num in the telescoping floor"
+        )
+    mca = int(max_cells_per_axis)
+
+    from ..functions import geohash as GH
+    from ..functions.text_sql import SPARK, idiv_sql
+
+    cx1s, cy1s = GH.geohash_xy_sql("__x1", "__y1", chars, "spark")
+    cx2s, cy2s = GH.geohash_xy_sql("__x2", "__y2", chars, "spark")
+
+    seg = (
+        _bounded_segments(events, lon, lat, id_col, ts_col, seq_col, S)
+        .withColumn("__mm", _chord_mm_udf(
+            F.col("__x1"), F.col("__y1"), F.col("__x2"), F.col("__y2")
+        ))
+        .withColumn("__u1", F.col("__x1") + F.lit(1800000000))
+        .withColumn("__v1", F.col("__y1") + F.lit(900000000))
+        .withColumn("__adu", F.abs(F.col("__x2") - F.col("__x1")))
+        .withColumn("__adv", F.abs(F.col("__y2") - F.col("__y1")))
+        .withColumn("__sx", F.when(F.col("__x2") >= F.col("__x1"), F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+        .withColumn("__sy", F.when(F.col("__y2") >= F.col("__y1"), F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+        .withColumn("__cx1", F.expr(cx1s))
+        .withColumn("__cy1", F.expr(cy1s))
+        .withColumn("__cx2", F.expr(cx2s))
+        .withColumn("__cy2", F.expr(cy2s))
+    )
+
+    def _axis_arr(c1: str, c2: str, uu: str, sgn: str, den: str,
+                  oth: str, axis: str, axr: int) -> str:
+        thr = grid_threshold_sql("k", axis, chars, SPARK)
+        num = f"({sgn} * (({thr}) - {uu}))"
+        cl = idiv_sql(f"__mm * {num}", f"GREATEST({den}, 1)", SPARK)
+        lo, hi = f"LEAST({c1}, {c2})", f"GREATEST({c1}, {c2})"
+        return (
+            f"CASE WHEN {hi} - {lo} >= {mca} THEN "
+            f"CAST(raise_error('segment covers more than {mca} cells on "
+            f"{axis}; lower chars or max_span_fixed') AS "
+            f"ARRAY<STRUCT<key BIGINT, axr INT, cl BIGINT>>) "
+            f"WHEN {hi} > {lo} THEN "
+            f"transform(sequence({lo} + 1, {hi}), "
+            f"k -> named_struct("
+            f"'key', {num} * GREATEST({oth}, 1), "
+            f"'axr', {axr}, "
+            f"'cl', {cl})) "
+            f"ELSE array() END"
+        )
+
+    xarr = _axis_arr("__cx1", "__cx2", "__u1", "__sx", "__adu", "__adv",
+                     "lon", 1)
+    yarr = _axis_arr("__cy1", "__cy2", "__v1", "__sy", "__adv", "__adu",
+                     "lat", 2)
+
+    spans = (
+        "filter(transform(sequence(0, size(__arr)), i -> named_struct("
+        "'cx', __cx1 + __sx * CAST(size(filter(slice(__arr, 1, i), "
+        "e -> e.axr = 1)) AS BIGINT), "
+        "'cy', __cy1 + __sy * CAST(size(filter(slice(__arr, 1, i), "
+        "e -> e.axr = 2)) AS BIGINT), "
+        "'mm', IF(i < size(__arr), element_at(__arr, i + 1).cl, __mm) - "
+        "IF(i > 0, element_at(__arr, i).cl, 0L))), "
+        "s -> s.mm > 0)"
+    )
+
+    out = (
+        seg.withColumn("__arr", F.expr(f"array_sort(concat({xarr}, {yarr}))"))
+        .select(F.explode(F.expr(spans)).alias("__s"))
+        .groupBy(
+            F.col("__s.cx").alias("cell_x"),
+            F.col("__s.cy").alias("cell_y"),
+        )
+        .agg(F.sum("__s.mm").alias("total_mm"))
+    )
+    return out

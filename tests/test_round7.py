@@ -936,3 +936,293 @@ def test_kmv_set_ops_estimator_vs_python(spark):
         if not exact:
             true_u = len(SA | SB)
             assert abs(union_est - true_u) < true_u  # sanity envelope
+
+
+# ---------------------------------------------------------------------------
+# segment_crossings: grid-covering crossing join vs pure-python brute force
+# ---------------------------------------------------------------------------
+
+
+def _xing_ref(rows, span):
+    """Brute-force proper-crossing counts.  rows: (uid, ts, eid, lon, lat)."""
+    import collections
+
+    by_u = collections.defaultdict(list)
+    for u, ts, e, x, y in rows:
+        by_u[u].append((ts, e, x, y))
+    segs = []
+    for u, pts in by_u.items():
+        pts.sort()
+        for i in range(1, len(pts)):
+            x1, y1 = pts[i - 1][2], pts[i - 1][3]
+            x2, y2 = pts[i][2], pts[i][3]
+            if abs(x2 - x1) <= span and abs(y2 - y1) <= span:
+                segs.append((u, x1, y1, x2, y2))
+
+    def cr(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    ref = collections.Counter()
+    for i in range(len(segs)):
+        for j in range(i + 1, len(segs)):
+            a, b = segs[i], segs[j]
+            if a[0] == b[0]:
+                continue
+            d1 = cr(a[1], a[2], a[3], a[4], b[1], b[2])
+            d2 = cr(a[1], a[2], a[3], a[4], b[3], b[4])
+            d3 = cr(b[1], b[2], b[3], b[4], a[1], a[2])
+            d4 = cr(b[1], b[2], b[3], b[4], a[3], a[4])
+            if ((d1 < 0 < d2) or (d2 < 0 < d1)) and (
+                (d3 < 0 < d4) or (d4 < 0 < d3)
+            ):
+                ref[tuple(sorted((a[0], b[0])))] += 1
+    return dict(ref)
+
+
+def test_segment_crossings_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.trajectory import segment_crossings
+
+    for seed, users, npts, span in (
+        (1, 5, 25, 100_000),
+        (2, 8, 15, 60_000),
+        (3, 3, 60, 100_000),
+        (4, 10, 10, 150_000),
+        (5, 6, 30, 80_000),
+        (6, 4, 45, 120_000),
+    ):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(users):
+            x = rng.randrange(-500_000, 500_000)
+            y = rng.randrange(-500_000, 500_000)
+            ts = rng.randrange(0, 5)
+            for _ in range(rng.randrange(2, npts + 1)):
+                # steps sometimes exceed span (teleports must be dropped);
+                # occasional zero-length and tied-ts segments
+                if rng.random() < 0.1:
+                    dx = dy = 0
+                else:
+                    dx = rng.randrange(-int(span * 1.5), int(span * 1.5))
+                    dy = rng.randrange(-int(span * 1.5), int(span * 1.5))
+                x, y = x + dx, y + dy
+                ts += rng.randrange(0, 3)
+                rows.append((u, ts, eid, x, y))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, lon long, lat long"
+        )
+        got = {
+            (r["user_a"], r["user_b"]): r["crossings"]
+            for r in segment_crossings(
+                df, ts_col="ts", max_span_fixed=span
+            ).collect()
+        }
+        assert got == _xing_ref(rows, span), f"seed={seed}"
+
+
+def test_segment_crossings_planted_geometry(spark):
+    from osmquadtree_rust_spark.operators.trajectory import segment_crossings
+
+    # user 0: one horizontal segment (0,0)->(100,0).  Cases against it:
+    #   user 1 crosses it properly           -> counted
+    #   user 2 endpoint-touches it (T-touch) -> NOT counted
+    #   user 3 collinear overlap             -> NOT counted
+    #   user 4 parallel above                -> NOT counted
+    #   user 5 crosses twice (zigzag)        -> counted twice
+    # ... plus the proper crossings among the probes themselves:
+    #   (1,3) at (50,0); (1,4) at (50,5); (2,4) at (70,5); (3,5) once
+    #   (u5's first leg touches u3's endpoint (20,0) — collinear touch,
+    #   not counted; its second leg crosses at (45,0)); (2,3)/(0,2) are
+    #   endpoint touches at (70,0); (4,5) endpoint-touches at (30,5)
+    rows = [
+        (0, 0, 0, 0, 0), (0, 1, 1, 100, 0),
+        (1, 0, 2, 50, -10), (1, 1, 3, 50, 10),
+        (2, 0, 4, 70, 0), (2, 1, 5, 70, 30),
+        (3, 0, 6, 20, 0), (3, 1, 7, 80, 0),
+        (4, 0, 8, 0, 5), (4, 1, 9, 100, 5),
+        (5, 0, 10, 10, -5), (5, 1, 11, 30, 5), (5, 2, 12, 60, -5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, lon long, lat long"
+    )
+    got = {
+        (r["user_a"], r["user_b"]): r["crossings"]
+        for r in segment_crossings(df, ts_col="ts", max_span_fixed=1000).collect()
+    }
+    assert got == {
+        (0, 1): 1, (0, 5): 2, (1, 5): 1,
+        (1, 3): 1, (1, 4): 1, (2, 4): 1, (3, 5): 1,
+    }
+
+
+def test_segment_crossings_guards(spark):
+    from osmquadtree_rust_spark.operators.trajectory import segment_crossings
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0, 0)], "user_id long, ts long, event_id long, lon long, lat long"
+    )
+    with pytest.raises(ValueError, match="max_span_fixed"):
+        segment_crossings(df, ts_col="ts", max_span_fixed=0)
+    with pytest.raises(ValueError, match="max_span_fixed"):
+        segment_crossings(df, ts_col="ts", max_span_fixed=600_000_000)
+    # explicit too-fine chars: the in-projection covering guard raises
+    wide = spark.createDataFrame(
+        [(0, 0, 0, 0, 0), (0, 1, 1, 90_000_000, 0), (1, 0, 2, 1, 1),
+         (1, 1, 3, 90_000_001, 1)],
+        "user_id long, ts long, event_id long, lon long, lat long",
+    )
+    out = segment_crossings(
+        wide, ts_col="ts", max_span_fixed=100_000_000, chars=12
+    )
+    with pytest.raises(Exception, match="covering exceeds"):
+        out.collect()
+
+
+def test_segment_crossings_empty(spark):
+    from osmquadtree_rust_spark.operators.trajectory import segment_crossings
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts long, event_id long, lon long, lat long"
+    )
+    out = segment_crossings(df, ts_col="ts")
+    assert out.columns == ["user_a", "user_b", "crossings"]
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# track_cell_lengths: exact length-weighted rasterization vs pure python
+# ---------------------------------------------------------------------------
+
+
+def _tcl_ref(rows, span, chars):
+    """Brute-force splitter implementing the definitional semantics:
+    integer u-space thresholds, rational crossing fractions, telescoping
+    floor cumsums.  rows: (uid, ts, eid, lon, lat)."""
+    import collections
+
+    import numpy as np
+
+    from osmquadtree_rust_spark.functions import geodesic as GEO
+    from osmquadtree_rust_spark.functions.geohash import _bits_for
+    from osmquadtree_rust_spark.operators.trajectory import CHORD_MM_LIT
+
+    lon_bits, lat_bits = _bits_for(chars)
+
+    def cell(u, d, b):
+        return min((u << b) // d, (1 << b) - 1)
+
+    def thr(k, d, b):
+        return (k * d + (1 << b) - 1) >> b
+
+    def chord(x1, y1, x2, y2):
+        hav = GEO.hav_np(
+            np.array([x1], np.int64), np.array([y1], np.int64),
+            np.array([x2], np.int64), np.array([y2], np.int64),
+        )
+        return int(np.floor(np.sqrt(hav) * float(CHORD_MM_LIT))[0])
+
+    by_u = collections.defaultdict(list)
+    for u, ts, e, x, y in rows:
+        by_u[u].append((ts, e, x, y))
+    out = collections.Counter()
+    for u, pts in by_u.items():
+        pts.sort()
+        for i in range(1, len(pts)):
+            x1, y1 = pts[i - 1][2], pts[i - 1][3]
+            x2, y2 = pts[i][2], pts[i][3]
+            if abs(x2 - x1) > span or abs(y2 - y1) > span:
+                continue
+            mm = chord(x1, y1, x2, y2)
+            u1, v1 = x1 + 1800000000, y1 + 900000000
+            u2, v2 = x2 + 1800000000, y2 + 900000000
+            cx1 = cell(u1, 3600000000, lon_bits)
+            cy1 = cell(v1, 1800000000, lat_bits)
+            cx2 = cell(u2, 3600000000, lon_bits)
+            cy2 = cell(v2, 1800000000, lat_bits)
+            adu, adv = abs(u2 - u1), abs(v2 - v1)
+            sx = 1 if u2 >= u1 else -1
+            sy = 1 if v2 >= v1 else -1
+            cr = []
+            for k in range(min(cx1, cx2) + 1, max(cx1, cx2) + 1):
+                num = sx * (thr(k, 3600000000, lon_bits) - u1)
+                cr.append((num * max(adv, 1), 1, mm * num // max(adu, 1)))
+            for k in range(min(cy1, cy2) + 1, max(cy1, cy2) + 1):
+                num = sy * (thr(k, 1800000000, lat_bits) - v1)
+                cr.append((num * max(adu, 1), 2, mm * num // max(adv, 1)))
+            cr.sort()
+            n = len(cr)
+            for j in range(n + 1):
+                cx = cx1 + sx * sum(1 for e2 in cr[:j] if e2[1] == 1)
+                cy = cy1 + sy * sum(1 for e2 in cr[:j] if e2[1] == 2)
+                ln = (cr[j][2] if j < n else mm) - (cr[j - 1][2] if j > 0 else 0)
+                if ln > 0:
+                    out[(cx, cy)] += ln
+    return dict(out)
+
+
+def test_track_cell_lengths_vs_python(spark):
+    import random
+
+    from osmquadtree_rust_spark.operators.trajectory import track_cell_lengths
+
+    # spans sized so extent/cell_span stays under max_cells_per_axis=64
+    # (lat cell span: chars 7 -> 13733, 8 -> 1716, 9 -> 429 units)
+    for seed, users, npts, span, chars in (
+        (1, 6, 25, 100_000, 8),
+        (2, 4, 40, 25_000, 9),
+        (3, 8, 12, 700_000, 7),
+        (4, 3, 60, 100_000, 8),
+        (5, 5, 30, 80_000, 8),
+    ):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(users):
+            x = rng.randrange(-170_0000000, 170_0000000)
+            y = rng.randrange(-80_0000000, 80_0000000)
+            ts = 0
+            for _ in range(rng.randrange(2, npts + 1)):
+                x += rng.randrange(-int(span * 1.5), int(span * 1.5))
+                y += rng.randrange(-int(span * 1.5), int(span * 1.5))
+                ts += rng.randrange(0, 3)
+                rows.append((u, ts, eid, x, y))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, lon long, lat long"
+        )
+        got = {
+            (r["cell_x"], r["cell_y"]): r["total_mm"]
+            for r in track_cell_lengths(
+                df, ts_col="ts", max_span_fixed=span, chars=chars
+            ).collect()
+        }
+        ref = _tcl_ref(rows, span, chars)
+        assert got == ref, f"seed={seed}"
+        # telescoping invariant: per-cell totals sum to the exact sum of
+        # kept-segment chords (no length created or lost by splitting)
+        assert sum(got.values()) == sum(ref.values())
+
+
+def test_track_cell_lengths_guards_and_empty(spark):
+    from osmquadtree_rust_spark.operators.trajectory import track_cell_lengths
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts long, event_id long, lon long, lat long"
+    )
+    out = track_cell_lengths(df, ts_col="ts")
+    assert out.columns == ["cell_x", "cell_y", "total_mm"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="max_span_fixed"):
+        track_cell_lengths(df, ts_col="ts", max_span_fixed=600_000_000)
+    # a segment spanning more than max_cells_per_axis cells raises
+    # inside the projection instead of silently clamping
+    wide = spark.createDataFrame(
+        [(0, 0, 0, 0, 0), (0, 1, 1, 400_000_000, 0)],
+        "user_id long, ts long, event_id long, lon long, lat long",
+    )
+    bad = track_cell_lengths(
+        wide, ts_col="ts", max_span_fixed=500_000_000, chars=8
+    )
+    with pytest.raises(Exception, match="covers more than"):
+        bad.collect()
