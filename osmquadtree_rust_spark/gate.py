@@ -3362,24 +3362,7 @@ def _xing_pos_exprs(rank: str, uid: str) -> dict[str, str]:
 def _sxg(spark, sf_dir):
     from .operators.trajectory import segment_crossings
 
-    from pyspark.sql import Window
-
-    pos = _xing_pos_exprs("__rn", "user_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pts = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") < _EVENTS_CAP)
-        .select("event_id", "user_id", "ts")
-        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.expr(pos["lon"]).alias("lon"),
-            F.expr(pos["lat"]).alias("lat"),
-        )
-    )
-    out = segment_crossings(pts, max_span_fixed=_XING_SPAN)
+    out = segment_crossings(_xing_pts(spark, sf_dir), max_span_fixed=_XING_SPAN)
     return out.select(
         F.col("user_a").cast("long"),
         F.col("user_b").cast("long"),
@@ -3391,21 +3374,11 @@ def _sxg(spark, sf_dir):
 def _sxg_o() -> str:
     from .operators.trajectory import segment_cross_sql
 
-    pos = _xing_pos_exprs("__rn", "user_id")
     xs = segment_cross_sql(
         "a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1", "b.x2", "b.y2"
     )
     return f"""
-WITH ranked AS MATERIALIZED (
-  SELECT event_id, user_id, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-           AS __rn
-  FROM events WHERE event_id < {_EVENTS_CAP}
-),
-pts AS MATERIALIZED (
-  SELECT event_id, user_id, ts, {pos["lon"]} AS lon, {pos["lat"]} AS lat
-  FROM ranked
-),
+WITH {_xing_pts_sql()},
 lagged AS MATERIALIZED (
   SELECT user_id, lon, lat,
          LAG(lon) OVER w AS px, LAG(lat) OVER w AS py
@@ -3451,26 +3424,10 @@ _TCL_CHARS = 8
 
 @_register("track_cell_lengths")
 def _tcl(spark, sf_dir):
-    from pyspark.sql import Window
     from .operators.trajectory import track_cell_lengths
 
-    pos = _xing_pos_exprs("__rn", "user_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    pts = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id") < _EVENTS_CAP)
-        .select("event_id", "user_id", "ts")
-        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.expr(pos["lon"]).alias("lon"),
-            F.expr(pos["lat"]).alias("lat"),
-        )
-    )
     out = track_cell_lengths(
-        pts, max_span_fixed=_XING_SPAN, chars=_TCL_CHARS
+        _xing_pts(spark, sf_dir), max_span_fixed=_XING_SPAN, chars=_TCL_CHARS
     )
     return out.select(
         F.col("cell_x").cast("long"),
@@ -3485,7 +3442,6 @@ def _tcl_o() -> str:
     from .functions.text_sql import DUCKDB, idiv_sql
     from .operators.trajectory import chord_mm_sql, grid_threshold_sql
 
-    pos = _xing_pos_exprs("__rn", "user_id")
     cx1, cy1 = GH.geohash_xy_sql("x1", "y1", _TCL_CHARS, DUCKDB)
     cx2, cy2 = GH.geohash_xy_sql("x2", "y2", _TCL_CHARS, DUCKDB)
     mm = chord_mm_sql("px", "py", "lon", "lat")
@@ -3496,16 +3452,7 @@ def _tcl_o() -> str:
     cly = idiv_sql("t.mm * (t.sy * (({t}) - t.v1))".format(t=thry),
                    "GREATEST(t.adv, 1)", DUCKDB)
     return f"""
-WITH ranked AS MATERIALIZED (
-  SELECT event_id, user_id, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
-           AS __rn
-  FROM events WHERE event_id < {_EVENTS_CAP}
-),
-pts AS MATERIALIZED (
-  SELECT event_id, user_id, ts, {pos["lon"]} AS lon, {pos["lat"]} AS lat
-  FROM ranked
-),
+WITH {_xing_pts_sql()},
 lagged AS MATERIALIZED (
   SELECT user_id, event_id, lon, lat,
          LAG(lon) OVER w AS px, LAG(lat) OVER w AS py
@@ -3569,4 +3516,174 @@ spans AS MATERIALIZED (
 SELECT CAST(cx AS BIGINT) AS cell_x, CAST(cy AS BIGINT) AS cell_y,
        CAST(SUM(mm) AS BIGINT) AS total_mm
 FROM spans WHERE mm > 0 GROUP BY cx, cy
+"""
+
+
+# ===========================================================================
+# turn stats + OD matrix (operators/trajectory.turn_stats / od_matrix)
+# over the same rank-driven Lissajous walk: turn classification is exact
+# integer cross/dot sign arithmetic (turn_class_sql, shared text); the
+# OD matrix reuses the split_trips gap rule and the depth-6 grid.
+# ===========================================================================
+
+_ODM_GAP_US = 12 * 3600 * 1_000_000
+_ODM_CHARS = 6
+
+
+def _xing_pts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pos = _xing_pos_exprs("__rn", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < _EVENTS_CAP)
+        .select("event_id", "user_id", "ts")
+        .withColumn("__rn", F.row_number().over(w) - F.lit(1))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.expr(pos["lon"]).alias("lon"),
+            F.expr(pos["lat"]).alias("lat"),
+        )
+    )
+
+
+_XING_PTS_SQL = """
+ranked AS MATERIALIZED (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS __rn
+  FROM events WHERE event_id < {cap}
+),
+pts AS MATERIALIZED (
+  SELECT event_id, user_id, ts, {lon} AS lon, {lat} AS lat
+  FROM ranked
+)"""
+
+
+def _xing_pts_sql() -> str:
+    pos = _xing_pos_exprs("__rn", "user_id")
+    return _XING_PTS_SQL.format(cap=_EVENTS_CAP, lon=pos["lon"], lat=pos["lat"])
+
+
+@_register("turn_stats")
+def _tns(spark, sf_dir):
+    from .operators.trajectory import turn_stats
+
+    out = turn_stats(_xing_pts(spark, sf_dir), max_span_fixed=_XING_SPAN)
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_left").cast("long"),
+        F.col("n_right").cast("long"),
+        F.col("n_straight").cast("long"),
+        F.col("n_uturn").cast("long"),
+        F.col("n_turns").cast("long"),
+    )
+
+
+@_oracle("turn_stats")
+def _tns_o() -> str:
+    from .operators.trajectory import turn_class_sql
+
+    tc = turn_class_sql(
+        "bxx - axx", "byy - ayy", "lon - bxx", "lat - byy"
+    )
+    return f"""
+WITH {_xing_pts_sql()},
+lag2 AS MATERIALIZED (
+  SELECT user_id, lon, lat,
+         LAG(lon, 1) OVER w AS bxx, LAG(lat, 1) OVER w AS byy,
+         LAG(lon, 2) OVER w AS axx, LAG(lat, 2) OVER w AS ayy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+turns AS MATERIALIZED (
+  SELECT user_id, {tc} AS turn
+  FROM lag2
+  WHERE axx IS NOT NULL
+    AND ABS(bxx - axx) <= {_XING_SPAN} AND ABS(byy - ayy) <= {_XING_SPAN}
+    AND ABS(lon - bxx) <= {_XING_SPAN} AND ABS(lat - byy) <= {_XING_SPAN}
+    AND NOT (bxx - axx = 0 AND byy - ayy = 0)
+    AND NOT (lon - bxx = 0 AND lat - byy = 0)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(CASE WHEN turn = 'left' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left,
+       CAST(SUM(CASE WHEN turn = 'right' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right,
+       CAST(SUM(CASE WHEN turn = 'straight' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straight,
+       CAST(SUM(CASE WHEN turn = 'uturn' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uturn,
+       CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM turns GROUP BY user_id
+"""
+
+
+@_register("od_matrix")
+def _odm(spark, sf_dir):
+    from .operators.trajectory import od_matrix
+
+    out = od_matrix(
+        _xing_pts(spark, sf_dir), max_gap_us=_ODM_GAP_US, chars=_ODM_CHARS
+    )
+    return out.select(
+        F.col("o_x").cast("long"),
+        F.col("o_y").cast("long"),
+        F.col("d_x").cast("long"),
+        F.col("d_y").cast("long"),
+        F.col("n_trips").cast("long"),
+    )
+
+
+@_oracle("od_matrix")
+def _odm_o() -> str:
+    from .functions import geohash as GH
+
+    xs, ys = GH.geohash_xy_sql("lon", "lat", _ODM_CHARS, "duckdb")
+    return f"""
+WITH {_xing_pts_sql()},
+pp AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lon, lat, epoch_us(ts) AS tus FROM pts
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lon, lat, tus, LAG(tus) OVER w AS ptus
+  FROM pp
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+tripped AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lon, lat, tus,
+         CAST(SUM(CASE WHEN ptus IS NULL OR tus - ptus > {_ODM_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - 1 AS trip
+  FROM lagged
+),
+ends AS MATERIALIZED (
+  SELECT user_id, trip, lon, lat,
+         ROW_NUMBER() OVER (PARTITION BY user_id, trip
+                            ORDER BY tus, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, trip
+                            ORDER BY tus DESC, event_id DESC) AS rnd
+  FROM tripped
+),
+cells AS MATERIALIZED (
+  SELECT user_id, trip, rn, rnd, {xs} AS cx, {ys} AS cy
+  FROM ends WHERE rn = 1 OR rnd = 1
+),
+od AS MATERIALIZED (
+  SELECT user_id, trip,
+         MIN(CASE WHEN rn = 1 THEN cx END) AS o_x,
+         MIN(CASE WHEN rn = 1 THEN cy END) AS o_y,
+         MIN(CASE WHEN rnd = 1 THEN cx END) AS d_x,
+         MIN(CASE WHEN rnd = 1 THEN cy END) AS d_y
+  FROM cells GROUP BY user_id, trip
+)
+SELECT CAST(o_x AS BIGINT) AS o_x, CAST(o_y AS BIGINT) AS o_y,
+       CAST(d_x AS BIGINT) AS d_x, CAST(d_y AS BIGINT) AS d_y,
+       CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM od GROUP BY o_x, o_y, d_x, d_y
 """

@@ -988,3 +988,167 @@ def track_cell_lengths(
         .agg(F.sum("__s.mm").alias("total_mm"))
     )
     return out
+
+
+def turn_class_sql(
+    dx1: str, dy1: str, dx2: str, dy2: str
+) -> str:
+    """Turn classification of two consecutive direction vectors as
+    dialect-neutral SQL: 'left' / 'right' by the sign of the planar
+    cross product, 'straight' / 'uturn' for collinear pairs by the dot
+    sign (planar = equirectangular fixed-point, the same convention as
+    segment_cross_sql; exact int64 for per-axis extents <= 5e8: |cross|,
+    |dot| <= 2*S^2 < 2^63).  Callers must exclude zero-length vectors —
+    a zero vector has no direction (this returns 'uturn' for dot 0 with
+    cross 0, which a zero vector would hit)."""
+    cross = f"(({dx1}) * ({dy2}) - ({dy1}) * ({dx2}))"
+    dot = f"(({dx1}) * ({dx2}) + ({dy1}) * ({dy2}))"
+    return (
+        f"CASE WHEN {cross} > 0 THEN 'left' "
+        f"WHEN {cross} < 0 THEN 'right' "
+        f"WHEN {dot} > 0 THEN 'straight' ELSE 'uturn' END"
+    )
+
+
+def turn_stats(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_span_fixed: int = 200_000,
+) -> DataFrame:
+    """Per-entity turn-behavior profile: counts of left / right /
+    straight / u-turn direction changes over consecutive intra-trip
+    segment pairs (movement-pattern features: vehicles vs pedestrians
+    vs grid-snapped GPS artifacts).
+
+    A turn is evaluated at each interior point B of three consecutive
+    events A, B, C (per entity, (ts_col, seq_col) order) where BOTH
+    legs are intra-trip (per-axis extent <= max_span_fixed) and BOTH
+    are non-zero vectors (a stationary ping has no direction and
+    contributes no turn).  Classification is exact integer sign
+    arithmetic (turn_class_sql).
+
+    Returns (id_col, n_left, n_right, n_straight, n_uturn, n_turns).
+
+    Scale shape: one entity-keyed window (two lags), a pure projection,
+    and one partial-aggregating count on the entity key — the
+    track_stats shuffle shape exactly."""
+    S = int(max_span_fixed)
+    if S <= 0 or S > 500_000_000:
+        raise ValueError(
+            f"max_span_fixed={max_span_fixed} out of (0, 5e8] — the "
+            f"int64 bound of the cross/dot turn classification"
+        )
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    lagged = (
+        events.select(id_col, ts_col, seq_col, lon, lat)
+        .withColumn("__bx", F.lag(lon, 1).over(w))
+        .withColumn("__by", F.lag(lat, 1).over(w))
+        .withColumn("__ax", F.lag(lon, 2).over(w))
+        .withColumn("__ay", F.lag(lat, 2).over(w))
+        .filter(F.col("__ax").isNotNull())
+        .select(
+            F.col(id_col),
+            (F.col("__bx") - F.col("__ax")).cast("long").alias("__dx1"),
+            (F.col("__by") - F.col("__ay")).cast("long").alias("__dy1"),
+            (F.col(lon) - F.col("__bx")).cast("long").alias("__dx2"),
+            (F.col(lat) - F.col("__by")).cast("long").alias("__dy2"),
+        )
+        .filter(
+            (F.abs("__dx1") <= S) & (F.abs("__dy1") <= S)
+            & (F.abs("__dx2") <= S) & (F.abs("__dy2") <= S)
+            & ((F.col("__dx1") != 0) | (F.col("__dy1") != 0))
+            & ((F.col("__dx2") != 0) | (F.col("__dy2") != 0))
+        )
+        .withColumn(
+            "__turn",
+            F.expr(turn_class_sql("__dx1", "__dy1", "__dx2", "__dy2")),
+        )
+    )
+    return lagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__turn") == "left", 1).otherwise(0)).alias("n_left"),
+        F.sum(F.when(F.col("__turn") == "right", 1).otherwise(0)).alias("n_right"),
+        F.sum(F.when(F.col("__turn") == "straight", 1).otherwise(0)).alias(
+            "n_straight"
+        ),
+        F.sum(F.when(F.col("__turn") == "uturn", 1).otherwise(0)).alias("n_uturn"),
+        F.count("*").alias("n_turns"),
+    )
+
+
+def od_matrix(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_gap_us: int = 6 * 3600 * 1_000_000,
+    chars: int = 6,
+) -> DataFrame:
+    """Origin-destination flow matrix: split each entity's stream into
+    trips (a silence longer than `max_gap_us` starts a new trip — the
+    split_trips rule), map each trip's first and last positions to
+    depth-`chars` grid cells, and count trips per (origin, destination)
+    cell pair — the aggregate movement-demand surface (transport
+    planning's OD matrix) over the same grid as track_cell_lengths.
+
+    Single-point trips count too (origin == destination cell): a trip
+    is demand evidence regardless of recorded movement.
+
+    Returns (o_x, o_y, d_x, d_y, n_trips).
+
+    Scale shape: one entity-keyed window computes the trip counter
+    (running sum of gap flags) and the per-(entity, trip) first/last
+    rank in the same pass; endpoints filter BEFORE the final aggregate,
+    so the OD count groups on cell pairs only — two window passes over
+    the entity shuffle and one partial-aggregating count, no joins."""
+    from ..functions import geohash as GH
+
+    if int(max_gap_us) <= 0:
+        raise ValueError(f"max_gap_us={max_gap_us} must be positive")
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    tripped = (
+        events.select(id_col, ts_col, seq_col, lon, lat)
+        .withColumn("__tus", PARSE.epoch_micros(events, ts_col))
+        .withColumn("__ptus", F.lag("__tus").over(w))
+        .withColumn(
+            "__trip",
+            F.sum(
+                F.when(
+                    F.col("__ptus").isNull()
+                    | (F.col("__tus") - F.col("__ptus") > int(max_gap_us)),
+                    1,
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.lit(1),
+        )
+    )
+    tw = Window.partitionBy(id_col, "__trip").orderBy(ts_col, seq_col)
+    ends = (
+        tripped.withColumn("__rn", F.row_number().over(tw))
+        .withColumn(
+            "__rnd",
+            F.row_number().over(
+                Window.partitionBy(id_col, "__trip").orderBy(
+                    F.col(ts_col).desc(), F.col(seq_col).desc()
+                )
+            ),
+        )
+        .filter((F.col("__rn") == 1) | (F.col("__rnd") == 1))
+        .withColumn("__cx", F.expr(xs))
+        .withColumn("__cy", F.expr(ys))
+    )
+    od = ends.groupBy(id_col, "__trip").agg(
+        F.min(F.when(F.col("__rn") == 1, F.col("__cx"))).alias("o_x"),
+        F.min(F.when(F.col("__rn") == 1, F.col("__cy"))).alias("o_y"),
+        F.min(F.when(F.col("__rnd") == 1, F.col("__cx"))).alias("d_x"),
+        F.min(F.when(F.col("__rnd") == 1, F.col("__cy"))).alias("d_y"),
+    )
+    return od.groupBy("o_x", "o_y", "d_x", "d_y").agg(
+        F.count("*").alias("n_trips")
+    )

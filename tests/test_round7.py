@@ -1226,3 +1226,150 @@ def test_track_cell_lengths_guards_and_empty(spark):
     )
     with pytest.raises(Exception, match="covers more than"):
         bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# turn_stats / od_matrix vs pure python
+# ---------------------------------------------------------------------------
+
+
+def test_turn_stats_vs_python(spark):
+    import collections
+    import random
+
+    from osmquadtree_rust_spark.operators.trajectory import turn_stats
+
+    for seed in (1, 2, 3, 4):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        S = 50_000
+        for u in range(7):
+            x = rng.randrange(-1_000_000, 1_000_000)
+            y = rng.randrange(-1_000_000, 1_000_000)
+            ts = 0
+            for _ in range(rng.randrange(3, 30)):
+                # mix of moves, stationary pings, axis-aligned runs
+                # (straight), reversals (u-turn), and teleports
+                r = rng.random()
+                if r < 0.15:
+                    dx = dy = 0
+                elif r < 0.3:
+                    dx, dy = rng.choice(((10_000, 0), (0, 10_000))) 
+                elif r < 0.4:
+                    dx, dy = -S * 2, 0
+                else:
+                    dx = rng.randrange(-S, S)
+                    dy = rng.randrange(-S, S)
+                x, y = x + dx, y + dy
+                ts += rng.randrange(0, 3)
+                rows.append((u, ts, eid, x, y))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, lon long, lat long"
+        )
+        got = {
+            r["user_id"]: (r["n_left"], r["n_right"], r["n_straight"],
+                           r["n_uturn"], r["n_turns"])
+            for r in turn_stats(df, ts_col="ts", max_span_fixed=S).collect()
+        }
+        by_u = collections.defaultdict(list)
+        for u, ts, e, x, y in rows:
+            by_u[u].append((ts, e, x, y))
+        ref = {}
+        for u, pts in by_u.items():
+            pts.sort()
+            c = collections.Counter()
+            for i in range(2, len(pts)):
+                ax, ay = pts[i - 2][2], pts[i - 2][3]
+                bx, by = pts[i - 1][2], pts[i - 1][3]
+                cx, cy = pts[i][2], pts[i][3]
+                d1, e1 = bx - ax, by - ay
+                d2, e2 = cx - bx, cy - by
+                if max(abs(d1), abs(e1), abs(d2), abs(e2)) > S:
+                    continue
+                if (d1 == 0 and e1 == 0) or (d2 == 0 and e2 == 0):
+                    continue
+                cr = d1 * e2 - e1 * d2
+                dot = d1 * d2 + e1 * e2
+                c[
+                    "left" if cr > 0 else "right" if cr < 0
+                    else "straight" if dot > 0 else "uturn"
+                ] += 1
+            if c:
+                ref[u] = (c["left"], c["right"], c["straight"], c["uturn"],
+                          sum(c.values()))
+        assert got == ref, f"seed={seed}"
+
+
+def test_od_matrix_vs_python(spark):
+    import collections
+    import random
+
+    from osmquadtree_rust_spark.functions.geohash import _bits_for
+    from osmquadtree_rust_spark.operators.trajectory import od_matrix
+
+    chars = 6
+    lon_bits, lat_bits = _bits_for(chars)
+
+    def cell(x, y):
+        u, v = x + 1800000000, y + 900000000
+        return (
+            min((u << lon_bits) // 3600000000, (1 << lon_bits) - 1),
+            min((v << lat_bits) // 1800000000, (1 << lat_bits) - 1),
+        )
+
+    gap = 1000
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(6):
+            ts = 0
+            for _ in range(rng.randrange(1, 40)):
+                # ts in plain micros (integral epoch_micros passthrough);
+                # occasional long silences split trips
+                ts += rng.choice((1, 2, 5, gap + 1, gap * 3))
+                x = rng.randrange(-1_800_000_000, 1_800_000_000)
+                y = rng.randrange(-900_000_000, 900_000_000)
+                rows.append((u, ts, eid, x, y))
+                eid += 1
+        df = spark.createDataFrame(
+            rows, "user_id long, ts long, event_id long, lon long, lat long"
+        )
+        got = {
+            (r["o_x"], r["o_y"], r["d_x"], r["d_y"]): r["n_trips"]
+            for r in od_matrix(
+                df, ts_col="ts", max_gap_us=gap, chars=chars
+            ).collect()
+        }
+        by_u = collections.defaultdict(list)
+        for u, ts, e, x, y in rows:
+            by_u[u].append((ts, e, x, y))
+        ref = collections.Counter()
+        for u, pts in by_u.items():
+            pts.sort()
+            trips, prev = [], None
+            for p in pts:
+                if prev is None or p[0] - prev > gap:
+                    trips.append([])
+                trips[-1].append(p)
+                prev = p[0]
+            for t in trips:
+                o = cell(t[0][2], t[0][3])
+                d = cell(t[-1][2], t[-1][3])
+                ref[o + d] += 1
+        assert got == dict(ref), f"seed={seed}"
+
+
+def test_od_matrix_single_point_trips(spark):
+    from osmquadtree_rust_spark.operators.trajectory import od_matrix
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 100, 200), (0, 10_000_000, 1, 100, 200)],
+        "user_id long, ts long, event_id long, lon long, lat long",
+    )
+    rows = od_matrix(df, ts_col="ts", max_gap_us=1000, chars=6).collect()
+    # two single-point trips at the same position -> one OD cell pair,
+    # origin == destination, n_trips 2
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["o_x"], r["o_y"]) == (r["d_x"], r["d_y"]) and r["n_trips"] == 2
