@@ -5266,3 +5266,167 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(a.id_sum, 0) AS id_sum
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
+
+
+# ===========================================================================
+# raster pyramid (operators/raster.raster_pyramid): one level up the tile
+# pyramid — each parent raster is the mosaic of its children's DECODED
+# 0..255 luminance grids, 2x2-box-summed into the child's quadrant.  The
+# gate output (tile, n_children, sum_lum, max_lum) is derived relationally:
+# child pixel counts (the raster_tiles cov machinery) -> the SAME integer
+# display scaling grid_to_png applies (cnt*255 // per-tile max) -> parent
+# pixel = SUM over the 2x2 block (cx//2 + qx*32, cy//2 + qy*32).  Parent /
+# quadrant placement comes from the INDEPENDENT scalar oracle
+# (tests/oracle_qt.py qt_round + as_bbox centre comparison), not the
+# engine's bit math.  The gate therefore pins the real PNG encode ->
+# decode -> downsample -> re-encode path end to end; parent PNG bytes are
+# additionally pixel-verified in tests/test_raster.py.
+# ===========================================================================
+
+_RP_N = 20000
+_RP_TARGET = 800
+_RP_SIZE = 64
+
+
+def _rp_pipeline(spark):
+    from .functions import qt_spark as qs
+    from .operators import raster as RA
+    from .plans import pipeline as P
+
+    base = spark.range(_RP_N).select(F.col("id"))
+    fp = P.with_synth_footprint(base, "id")
+    with_qt = qs.with_bbox_qt(fp, "minlon", "minlat", "maxlon", "maxlat", "qt")
+    assigned, _ = P.assign_tiles(
+        with_qt, "qt", None, target=_RP_TARGET, persist=False
+    )
+    return RA.materialize_raster_tiles(
+        assigned.select("tile", "minlon", "minlat", "maxlon", "maxlat"),
+        size=_RP_SIZE,
+    )
+
+
+@_register("raster_pyramid")
+def _rp(spark, sf_dir):
+    from .operators import raster as RA
+
+    pyr = RA.raster_pyramid(_rp_pipeline(spark))
+    return pyr.select(
+        F.col("tile").cast("long"),
+        F.col("n_children").cast("long"),
+        F.col("sum_lum").cast("long"),
+        F.col("max_lum").cast("long"),
+    )
+
+
+@_oracle("raster_pyramid")
+def _rp_o():
+    import os
+    import sys
+
+    from .functions import qt_sql as qsql
+    from .gate import _oracle_route_sql, _oracle_synth_groups
+    from .sources import synth
+
+    tests_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    )
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
+    import oracle_qt as OQ
+
+    e = synth.synth_geo_exprs("id")
+    base = (
+        f"SELECT id, {e['minlon']} AS minlon, {e['minlat']} AS minlat, "
+        f"{e['maxlon']} AS maxlon, {e['maxlat']} AS maxlat "
+        f"FROM range({_RP_N}) t(id)"
+    )
+    enc = qsql.qt_calculate_subquery(
+        base,
+        "minlon",
+        "minlat",
+        "maxlon",
+        "maxlat",
+        "qt",
+        ("id", "minlon", "minlat", "maxlon", "maxlat"),
+    )
+    gcells, gvals = _oracle_synth_groups(_RP_N, _RP_TARGET)
+    tiles = sorted({0, *(int(c) for c in gcells)})
+    tb_rows = []
+    for t in tiles:
+        mnl, mnt, mxl, mxt = (int(v) for v in OQ.as_bbox(t, 0.05))
+        sx = _RP_SIZE / max(mxl - mnl, 1)
+        sy = _RP_SIZE / max(mxt - mnt, 1)
+        tb_rows.append(
+            f"({t}, {mnl}, {mnt}, {mxl}, {mxt}, "
+            f"CAST({sx!r} AS DOUBLE), CAST({sy!r} AS DOUBLE))"
+        )
+    tbvals = ", ".join(tb_rows)
+    # parent + quadrant per child tile, via the independent scalar oracle:
+    # parent = qt_round(depth-1); quadrant from unbuffered bbox centres
+    pq_rows = []
+    for t in tiles:
+        d = OQ.depth(t)
+        if d == 0:
+            continue
+        p = OQ.qt_round(t, d - 1)
+        cb = [float(v) for v in OQ.as_bbox(t, 0.0)]
+        pb = [float(v) for v in OQ.as_bbox(p, 0.0)]
+        qx = 1 if (cb[0] + cb[2]) / 2 > (pb[0] + pb[2]) / 2 else 0
+        qy = 0 if (cb[1] + cb[3]) / 2 > (pb[1] + pb[3]) / 2 else 1
+        pq_rows.append(f"({t}, {p}, {qx}, {qy})")
+    pqvals = ", ".join(pq_rows)
+    hi = _RP_SIZE - 1
+    half = _RP_SIZE // 2
+
+    def _px(v: str) -> str:
+        return f"GREATEST(LEAST(CAST(TRUNC({v}) AS BIGINT), {hi}), 0)"
+
+    return f"""
+WITH enc AS ({enc}),
+groups(cell, d) AS (VALUES {gvals}),
+assigned AS (
+  SELECT q.id, q.minlon, q.minlat, q.maxlon, q.maxlat,
+         {_oracle_route_sql('q.qt')} AS tile
+  FROM enc q),
+tb(tile, tminlon, tminlat, tmaxlon, tmaxlat, sx, sy) AS (VALUES {tbvals}),
+pq(tile, parent, qx, qy) AS (VALUES {pqvals}),
+px AS MATERIALIZED (
+  SELECT a.tile,
+         {_px("CAST(a.minlon - tb.tminlon AS DOUBLE) * tb.sx")} AS x0,
+         {_px("CAST(a.maxlon - tb.tminlon AS DOUBLE) * tb.sx")} AS x1,
+         {_px("CAST(tb.tmaxlat - a.maxlat AS DOUBLE) * tb.sy")} AS y0,
+         {_px("CAST(tb.tmaxlat - a.minlat AS DOUBLE) * tb.sy")} AS y1
+  FROM assigned a JOIN tb ON a.tile = tb.tile
+  WHERE a.tile IN (SELECT tile FROM pq)),
+cells AS MATERIALIZED (
+  SELECT t.tile, gx.range AS cx, gy.range AS cy
+  FROM (SELECT DISTINCT tile FROM px) t, range({_RP_SIZE}) gx,
+       range({_RP_SIZE}) gy),
+cov AS MATERIALIZED (
+  SELECT c.tile, c.cx, c.cy, COUNT(*) AS cnt
+  FROM cells c JOIN px p
+    ON p.tile = c.tile AND c.cx BETWEEN p.x0 AND p.x1
+   AND c.cy BETWEEN p.y0 AND p.y1
+  GROUP BY c.tile, c.cx, c.cy),
+mx AS MATERIALIZED (
+  SELECT tile, MAX(cnt) AS mx FROM cov GROUP BY tile),
+lum AS MATERIALIZED (
+  SELECT c.tile, c.cx, c.cy, (c.cnt * 255) // m.mx AS lum
+  FROM cov c JOIN mx m ON c.tile = m.tile),
+pgrid AS MATERIALIZED (
+  SELECT pq.parent, (l.cx // 2) + pq.qx * {half} AS gx,
+         (l.cy // 2) + pq.qy * {half} AS gy,
+         CAST(SUM(l.lum) AS BIGINT) AS v
+  FROM lum l JOIN pq ON l.tile = pq.tile
+  GROUP BY pq.parent, gx, gy),
+nch AS MATERIALIZED (
+  SELECT pq.parent, CAST(COUNT(*) AS BIGINT) AS n_children
+  FROM (SELECT DISTINCT tile FROM px) a JOIN pq ON a.tile = pq.tile
+  GROUP BY pq.parent)
+SELECT CAST(n.parent AS BIGINT) AS tile, n.n_children,
+       CAST(g.sum_lum AS BIGINT) AS sum_lum,
+       CAST(g.max_lum AS BIGINT) AS max_lum
+FROM nch n JOIN (
+  SELECT parent, SUM(v) AS sum_lum, MAX(v) AS max_lum
+  FROM pgrid GROUP BY parent) g ON n.parent = g.parent
+"""

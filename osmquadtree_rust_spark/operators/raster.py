@@ -145,3 +145,93 @@ def raster_to_points(rasters: DataFrame, threshold: int = 1) -> DataFrame:
                 yield pd.concat(outs)
 
     return rasters.mapInPandas(vectorize, VECTOR_SCHEMA)
+
+
+PYRAMID_SCHEMA = StructType(
+    [
+        StructField("tile", LongType()),
+        StructField("png", BinaryType()),
+        StructField("size", IntegerType()),
+        StructField("n_children", LongType()),
+        StructField("sum_lum", LongType()),
+        StructField("max_lum", LongType()),
+    ]
+)
+
+
+_PQ_SCHEMA = StructType(
+    [StructField("parent", LongType()), StructField("q", IntegerType())]
+)
+
+
+@F.pandas_udf(_PQ_SCHEMA)
+def _parent_quad_udf(tile: pd.Series) -> pd.DataFrame:
+    """Parent cell + child quadrant digit for mixed-depth tiles
+    (vectorized per-row level — qt_round takes a scalar level).
+    Quadrant numbering per quadtree.rs:509-519: bit0 = east, bit1 =
+    south (Mercator y), matching render_tile's north-up pixel rows."""
+    t = tile.to_numpy(np.int64)
+    d = t & 31
+    s = 65 - 2 * d  # 63 - 2*(d-1)
+    parent = ((t >> s) << s) + (d - 1)
+    # the level-i path digit sits at bit 63-2i; the child's own digit is
+    # the deepest one (i = depth)
+    q = (t >> (63 - 2 * d)) & 3
+    return pd.DataFrame({"parent": parent, "q": q.astype(np.int32)})
+
+
+def raster_pyramid(rasters: DataFrame) -> DataFrame:
+    """One pyramid level up: mosaic each parent tile's raster from its
+    children's rasters (standard slippy-map tile pyramid semantics —
+    each child PNG decodes to its stored 0..255 luminance grid, is
+    2x2-box-summed to half size, and lands in the parent's quadrant;
+    the parent is NOT re-rendered from footprints, so buffered-extent
+    overlap between siblings is inherent to the source tiles and
+    preserved as-is).  Root tiles (depth 0) have no parent and are
+    dropped.  Callers loop for multiple levels.
+
+    Returns (tile, png, size, n_children, sum_lum, max_lum): the
+    parent PNG at the same pixel size as the children, plus the
+    mosaic's exact integer luminance total and peak (over the SUMMED
+    2x2 blocks, i.e. before grid_to_png rescales for display).
+
+    Scale shape: one narrow Arrow projection for (parent, quadrant),
+    then groupBy(parent).applyInPandas with <= 4 child rows per group —
+    the same one-shuffle shape as materialize_raster_tiles, and the
+    shuffle carries PNG bytes, not pixels."""
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = int(key[0])
+        size = int(pdf["size"].iloc[0])
+        h = size // 2
+        grid = np.zeros((size, size), dtype=np.int64)
+        for q, png, sz in zip(pdf["q"], pdf["png"], pdf["size"]):
+            if int(sz) != size:
+                raise ValueError(
+                    f"mixed child raster sizes under parent {parent}: "
+                    f"{int(sz)} vs {size}"
+                )
+            px = FX.png_decode(bytes(png))[:, :, 0].astype(np.int64)
+            down = px.reshape(h, 2, h, 2).sum(axis=(1, 3))
+            qx, qy = int(q) & 1, int(q) >> 1
+            grid[qy * h:(qy + 1) * h, qx * h:(qx + 1) * h] = down
+        return pd.DataFrame(
+            {
+                "tile": [parent],
+                "png": [grid_to_png(grid)],
+                "size": [size],
+                "n_children": [len(pdf)],
+                "sum_lum": [int(grid.sum())],
+                "max_lum": [int(grid.max())],
+            }
+        )
+
+    kids = rasters.filter(F.expr("(tile & 31) > 0")).withColumn(
+        "__pq", _parent_quad_udf(F.col("tile"))
+    )
+    return kids.select(
+        F.col("__pq.parent").alias("__parent"),
+        F.col("__pq.q").alias("q"),
+        "png",
+        "size",
+    ).groupBy("__parent").applyInPandas(build, PYRAMID_SCHEMA)
