@@ -3687,3 +3687,123 @@ SELECT CAST(o_x AS BIGINT) AS o_x, CAST(o_y AS BIGINT) AS o_y,
        CAST(COUNT(*) AS BIGINT) AS n_trips
 FROM od GROUP BY o_x, o_y, d_x, d_y
 """
+
+
+# ===========================================================================
+# map matching (operators/map_match.snap_to_roads): nearest-road-segment
+# snap with the exact floored-projection integer distance.  Points are the
+# rank-driven Lissajous walks (_xing_pts); roads are a deterministic
+# formula network of 6 piecewise polylines x 8 segments per neighborhood
+# (45000-unit x steps, 48000-unit y spacing, hash-jittered vertex heights
+# <= 30000 so every segment extent stays under _MM_SPAN) laid across the
+# walks' [0, 3e5] x [0, 2.44e5] envelope; with the 30000-unit cap most
+# points match and a margin does not.  The oracle is the NAIVE brute-force
+# join against all 48 same-neighborhood segments (sound: centres are
+# >= 73e6 units apart, far beyond cap + extents), independently verifying
+# the padded-grid candidates' recall; both sides evaluate the identical
+# staged snap_exprs text, and ROW_NUMBER (d2, road, seg) mirrors the
+# struct-min tie-break exactly.
+# ===========================================================================
+
+_MM_ROADS, _MM_SEGS = 6, 8
+_MM_CAP, _MM_SPAN = 30_000, 50_000
+
+
+def _mm_road_exprs(i: str, dialect: str) -> dict[str, str]:
+    """Road-segment endpoint expressions for flat index `i` (BIGINT in
+    [0, 16*_MM_ROADS*_MM_SEGS)) — dialect-neutral non-negative integer
+    arithmetic shared by both engines."""
+    from .functions.text_sql import idiv_sql
+
+    nsegs = _MM_ROADS * _MM_SEGS
+    nb = f"({idiv_sql(i, str(nsegs), dialect)})"
+    r = f"({idiv_sql(f'(({i}) % {nsegs})', str(_MM_SEGS), dialect)})"
+    s = f"(({i}) % {_MM_SEGS})"
+    lon0 = f"((({nb} * 2654435761) % 3200000000) - 1600000000)"
+    lat0 = f"((({nb} * 2246822519) % 1500000000) - 750000000)"
+
+    def jit(ss: str) -> str:
+        return f"((({r} * 9 + {ss} + 1) * 2654435761) % 30000)"
+
+    ybase = f"({lat0} + {r} * 48000)"
+    return {
+        "nb": nb,
+        "road": f"({nb} * {_MM_ROADS} + {r})",
+        "seg": s,
+        "x1": f"({lon0} + {s} * 45000)",
+        "x2": f"({lon0} + ({s} + 1) * 45000)",
+        "y1": f"({ybase} + {jit(s)})",
+        "y2": f"({ybase} + {jit(f'({s} + 1)')})",
+    }
+
+
+@_register("map_match")
+def _mmg(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = spark.range(16 * _MM_ROADS * _MM_SEGS).select(
+        F.expr(e["road"]).alias("road_id"),
+        F.expr(e["seg"]).alias("seg"),
+        F.expr(e["x1"]).alias("x1"),
+        F.expr(e["y1"]).alias("y1"),
+        F.expr(e["x2"]).alias("x2"),
+        F.expr(e["y2"]).alias("y2"),
+    )
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id",),
+    )
+    return m.groupBy(F.col("road_id").cast("long").alias("road")).agg(
+        F.count("*").alias("n_pts"),
+        F.countDistinct("user_id").alias("users"),
+        F.sum("snap_d2").alias("sum_d2"),
+        F.min("snap_d2").alias("min_d2"),
+    )
+
+
+@_oracle("map_match")
+def _mmg_o() -> str:
+    from .functions.text_sql import DUCKDB
+    from .operators.map_match import snap_exprs
+
+    e = _mm_road_exprs("i", DUCKDB)
+    s1, s2, s3 = snap_exprs("px", "py", "x1", "y1", "x2", "y2", DUCKDB)
+
+    def sel(stage: dict[str, str]) -> str:
+        return ", ".join(f"{v} AS {k}" for k, v in stage.items())
+
+    return f"""
+WITH {_xing_pts_sql()},
+idx AS MATERIALIZED (
+  SELECT unnest(range(0, {16 * _MM_ROADS * _MM_SEGS})) AS i
+),
+roads AS MATERIALIZED (
+  SELECT {e["nb"]} AS nb, {e["road"]} AS road, {e["seg"]} AS seg,
+         {e["x1"]} AS x1, {e["y1"]} AS y1, {e["x2"]} AS x2, {e["y2"]} AS y2
+  FROM idx
+),
+cand AS MATERIALIZED (
+  SELECT p.event_id, p.user_id, p.lon AS px, p.lat AS py,
+         r.road, r.seg, r.x1, r.y1, r.x2, r.y2
+  FROM pts p JOIN roads r ON r.nb = (p.user_id % 16)
+),
+s1 AS MATERIALIZED (SELECT *, {sel(s1)} FROM cand),
+s2 AS MATERIALIZED (SELECT *, {sel(s2)} FROM s1),
+s3 AS MATERIALIZED (SELECT *, {sel(s3)} FROM s2),
+best AS MATERIALIZED (
+  SELECT event_id, user_id, road, __d2,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY __d2, road, seg) AS rn
+  FROM s3 WHERE __d2 <= {_MM_CAP * _MM_CAP}
+)
+SELECT CAST(road AS BIGINT) AS road, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(SUM(__d2) AS BIGINT) AS sum_d2,
+       CAST(MIN(__d2) AS BIGINT) AS min_d2
+FROM best WHERE rn = 1 GROUP BY road
+"""

@@ -1,0 +1,244 @@
+"""Map matching: snap points to their nearest road segment, exactly.
+
+The reference engine stops at spatial membership (bbox / polygon
+filters, `filter_elements.rs:82-129`); snapping a GPS point stream onto
+a road network is the natural geospatial-tier generalization every
+trajectory pipeline needs before route-level analytics (road usage,
+speed-per-road, conflation).  Built from the repo's established
+machinery: geohash-grid candidate covering (operators/spatial_join.py),
+pure-integer geometry shared verbatim with the DuckDB oracle, and a
+deterministic struct-min argmin.
+
+Geometry (all int64, no floats): for point p and segment (a, b) with
+d = b - a, len2 = |d|^2, the clamped projection parameter is
+tn = clamp((p - a) . d, 0, len2) (a rational t = tn/len2).  The snapped
+point is floored per axis with a sign split so the integer division
+only ever sees non-negative operands (Spark DIV truncates toward zero
+while DuckDB // floors — they agree only on non-negatives):
+
+    q = a + sign(d) * ((tn * |d|) DIV max(len2, 1))
+
+and the match distance is the exact integer d2 = |p - q|^2 of that
+floored snap.  Both engines evaluate the identical expression text
+(snap_exprs), so the gate compares bit-equal integers; the flooring
+displaces q from the true projection by < 1 fixed-point unit (~11 mm),
+far below any GPS cap.
+
+Overflow: with per-axis segment extent <= S and candidate points within
+M = 2S + 3C of a segment endpoint (C = the match cap; the grid covering
+pads segment bboxes by C, and a point's own cell adds at most one
+padded-cell span), |tn| <= 2*M*S and the worst product tn*|dx| <=
+2*M*S^2.  snap_to_roads validates 2*(2S+3C)*S^2 < 2^63 and refuses
+larger configurations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import geohash as GH
+from ..functions.text_sql import SPARK, idiv_sql
+
+
+def snap_exprs(
+    px: str, py: str, x1: str, y1: str, x2: str, y2: str, dialect: str
+) -> list[dict[str, str]]:
+    """Staged integer expressions for the floored snap + exact d2.
+
+    Returns a list of stages; each stage is a dict of column-name ->
+    SQL referencing only input columns and PRIOR stages' column names.
+    Callers MUST materialize each stage as its own projection (Spark
+    withColumns) / MATERIALIZED CTE (DuckDB) — inlining the chain
+    re-evaluates it per reference (the documented substitution trap).
+    Stage columns: (__dx, __dy, __len2, __tn) -> (__qx, __qy) -> (__d2).
+    """
+    dx, dy = f"(({x2}) - ({x1}))", f"(({y2}) - ({y1}))"
+    s1 = {
+        "__dx": dx,
+        "__dy": dy,
+        "__len2": f"({dx} * {dx} + {dy} * {dy})",
+        "__tn": (
+            f"LEAST(GREATEST((({px}) - ({x1})) * {dx} + "
+            f"(({py}) - ({y1})) * {dy}, 0), {dx} * {dx} + {dy} * {dy})"
+        ),
+    }
+
+    def axis(a: str, d: str) -> str:
+        q = idiv_sql(f"__tn * ABS({d})", "GREATEST(__len2, 1)", dialect)
+        return f"(({a}) + (CASE WHEN {d} >= 0 THEN 1 ELSE -1 END) * {q})"
+
+    s2 = {"__qx": axis(x1, "__dx"), "__qy": axis(y1, "__dy")}
+    s3 = {
+        "__d2": (
+            f"((({px}) - __qx) * (({px}) - __qx) + "
+            f"(({py}) - __qy) * (({py}) - __qy))"
+        )
+    }
+    return [s1, s2, s3]
+
+
+def snap_to_roads(
+    points: DataFrame,
+    roads: DataFrame,
+    *,
+    max_dist_fixed: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    point_id: str = "event_id",
+    keep: tuple = (),
+    road_id: str = "road_id",
+    seg_col: str = "seg",
+    ends: tuple = ("x1", "y1", "x2", "y2"),
+    max_seg_span_fixed: int = 500_000,
+    chars: int | None = None,
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Match each point to its nearest road segment within
+    `max_dist_fixed` (1e-7-degree planar units), integer-exact.
+
+    `roads` holds one row per segment: (road_id, seg_col, x1, y1, x2,
+    y2) fixed-point endpoints with per-axis extent <= max_seg_span_fixed
+    (violations raise inside the projection — a silent drop would skew
+    results).  Points farther than the cap from every segment are
+    absent from the output.
+
+    Candidates come from the depth-`chars` geohash-grid covering of
+    each segment's bbox PADDED by the cap (chars=None derives the
+    finest depth whose per-axis covering of span S + 2C stays under
+    `max_cells_per_axis`); each point contributes exactly its own cell,
+    so every (point, segment) candidate pair appears at most once — no
+    dedup shuffle.  Recall-complete: a point within C of a segment lies
+    inside the padded bbox, hence its cell is in the covering.
+
+    The winner per point is min(struct(d2, road_id, seg)) — a
+    deterministic total order both engines reproduce.
+
+    Returns (point_id, *keep, road_id, seg_col, snap_d2, snap_x,
+    snap_y).
+
+    Scale shape: the road side explodes into a bounded covering
+    (typically a handful of cells at the auto depth) and the join is a
+    cell equi-join — AQE broadcasts a small network or shuffles a
+    continental one, and handles hot urban cells via skew split.  The
+    argmin is a partial-aggregating groupBy on the point key.  No
+    all-pairs stage, no Python, no window.
+    """
+    from .spatial_join import auto_bbox_chars
+
+    C = int(max_dist_fixed)
+    S = int(max_seg_span_fixed)
+    if C <= 0:
+        raise ValueError(f"max_dist_fixed={max_dist_fixed} must be positive")
+    if S <= 0 or 2 * (2 * S + 3 * C) * S * S >= 1 << 63:
+        raise ValueError(
+            f"max_seg_span_fixed={S} with cap {C} exceeds the int64 "
+            f"bound 2*(2S+3C)*S^2 < 2^63 of the exact snap arithmetic"
+        )
+    if chars is None:
+        chars = auto_bbox_chars(S + 2 * C, max_cells_per_axis)
+
+    rid, seg = road_id, seg_col
+    x1, y1, x2, y2 = ends
+    span_guard = (
+        f"CASE WHEN ABS(({x2}) - ({x1})) <= {S} "
+        f"AND ABS(({y2}) - ({y1})) <= {S} THEN 1 "
+        f"ELSE CAST(raise_error('snap_to_roads: road segment extent "
+        f"exceeds max_seg_span_fixed={S}') AS INT) END"
+    )
+    # padded bbox, clamped into the valid fixed-point coordinate domain
+    # so the grid math never sees an out-of-range u
+    def clamp(e: str, lim: int) -> str:
+        return f"GREATEST(LEAST({e}, {lim - 1}), {-lim})"
+
+    rd = roads.select(
+        F.col(rid).alias("__rid"),
+        F.col(seg).alias("__rseg"),
+        F.col(x1).cast("long").alias("__rx1"),
+        F.col(y1).cast("long").alias("__ry1"),
+        F.col(x2).cast("long").alias("__rx2"),
+        F.col(y2).cast("long").alias("__ry2"),
+        F.expr(
+            clamp(f"LEAST({x1}, {x2}) - {C}", 1_800_000_000)
+        ).alias("__pnx"),
+        F.expr(
+            clamp(f"LEAST({y1}, {y2}) - {C}", 900_000_000)
+        ).alias("__pny"),
+        F.expr(
+            clamp(f"GREATEST({x1}, {x2}) + {C}", 1_800_000_000)
+        ).alias("__pxx"),
+        F.expr(
+            clamp(f"GREATEST({y1}, {y2}) + {C}", 900_000_000)
+        ).alias("__pxy"),
+        F.expr(span_guard).alias("__ok"),
+    )
+    x0s, y0s = GH.geohash_xy_sql("__pnx", "__pny", chars, SPARK)
+    x1s, y1s = GH.geohash_xy_sql("__pxx", "__pxy", chars, SPARK)
+    mca = int(max_cells_per_axis)
+
+    def guarded(lo: str, hi: str, axis: str) -> str:
+        return (
+            f"CASE WHEN ({hi}) - ({lo}) < {mca} THEN ({hi}) "
+            f"ELSE CAST(raise_error('snap_to_roads: padded covering "
+            f"exceeds {mca} cells on {axis}; lower chars or spans') "
+            f"AS BIGINT) END"
+        )
+
+    carry = ["__rid", "__rseg", "__rx1", "__ry1", "__rx2", "__ry2", "__ok"]
+    base = rd.select(
+        *carry,
+        F.expr(x0s).alias("__cx0"),
+        F.expr(y0s).alias("__cy0"),
+        F.expr(guarded(x0s, x1s, "lon")).alias("__cx1"),
+        F.expr(guarded(y0s, y1s, "lat")).alias("__cy1"),
+    )
+    cells = base.select(
+        *carry,
+        F.explode(F.expr("sequence(__cx0, __cx1)")).alias("__cx"),
+        "__cy0",
+        "__cy1",
+    ).select(
+        *carry,
+        "__cx",
+        F.explode(F.expr("sequence(__cy0, __cy1)")).alias("__cy"),
+    )
+
+    pxs, pys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    pts = points.select(
+        F.col(point_id).alias("__pid"),
+        *[F.col(k) for k in keep],
+        F.col(lon).cast("long").alias("__plon"),
+        F.col(lat).cast("long").alias("__plat"),
+        F.expr(pxs).alias("__cx"),
+        F.expr(pys).alias("__cy"),
+    )
+
+    cand = pts.join(cells, ["__cx", "__cy"])
+    for stage in snap_exprs(
+        "__plon", "__plat", "__rx1", "__ry1", "__rx2", "__ry2", SPARK
+    ):
+        cand = cand.withColumns({k: F.expr(v) for k, v in stage.items()})
+    best = (
+        cand.filter((F.col("__d2") <= C * C) & (F.col("__ok") == 1))
+        .groupBy("__pid", *keep)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__d2"),
+                    F.col("__rid"),
+                    F.col("__rseg"),
+                    F.col("__qx"),
+                    F.col("__qy"),
+                )
+            ).alias("__m")
+        )
+    )
+    return best.select(
+        F.col("__pid").alias(point_id),
+        *keep,
+        F.col("__m.__rid").alias(road_id),
+        F.col("__m.__rseg").alias(seg_col),
+        F.col("__m.__d2").alias("snap_d2"),
+        F.col("__m.__qx").alias("snap_x"),
+        F.col("__m.__qy").alias("snap_y"),
+    )

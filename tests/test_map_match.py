@@ -1,0 +1,143 @@
+"""snap_to_roads: seeded net vs a pure-python brute force, guard and
+tie-break pins.  The python reference implements the identical floored
+integer snap (python // floors, but every idiv operand is non-negative
+by construction, so floor == trunc == both engines)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtree_rust_spark.operators.map_match import snap_exprs, snap_to_roads
+
+
+def ref_snap(px, py, segs, cap):
+    best = None
+    for (rid, s, x1, y1, x2, y2) in segs:
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        tn = min(max((px - x1) * dx + (py - y1) * dy, 0), len2)
+        qx = x1 + (1 if dx >= 0 else -1) * ((tn * abs(dx)) // max(len2, 1))
+        qy = y1 + (1 if dy >= 0 else -1) * ((tn * abs(dy)) // max(len2, 1))
+        d2 = (px - qx) ** 2 + (py - qy) ** 2
+        if d2 <= cap * cap:
+            k = (d2, rid, s, qx, qy)
+            if best is None or k < best:
+                best = k
+    return best
+
+
+def _run(spark, segs, pts, cap, span, **kw):
+    roads = spark.createDataFrame(
+        segs, "road_id long, seg long, x1 long, y1 long, x2 long, y2 long"
+    )
+    pdf = spark.createDataFrame(pts, "event_id long, lon long, lat long")
+    out = snap_to_roads(
+        pdf, roads, max_dist_fixed=cap, max_seg_span_fixed=span, **kw
+    )
+    return {
+        r["event_id"]: (
+            r["road_id"], r["seg"], r["snap_d2"], r["snap_x"], r["snap_y"]
+        )
+        for r in out.collect()
+    }
+
+
+def test_seeded_net_vs_bruteforce(spark):
+    # 6 seeded configs spanning caps, spans, degenerate (zero-length)
+    # segments, and points straddling the match cap — the highest-yield
+    # test form for candidate-join planners (CLAUDE.md).
+    for seed in range(6):
+        rng = random.Random(seed)
+        cap = rng.choice([500, 5_000, 30_000])
+        span = rng.choice([20_000, 50_000])
+        segs = []
+        for i in range(rng.randint(5, 40)):
+            x1 = rng.randint(-300_000, 300_000)
+            y1 = rng.randint(-200_000, 200_000)
+            if i % 9 == 0:
+                x2, y2 = x1, y1  # degenerate: snap to the endpoint
+            else:
+                x2 = x1 + rng.randint(-span, span)
+                y2 = y1 + rng.randint(-span, span)
+            segs.append((i % 7, i, x1, y1, x2, y2))
+        pts = []
+        for j in range(300):
+            _, _, x1, y1, x2, y2 = segs[rng.randrange(len(segs))]
+            t = rng.random()
+            pts.append((
+                j,
+                int(x1 + t * (x2 - x1)) + rng.randint(-2 * cap, 2 * cap),
+                int(y1 + t * (y2 - y1)) + rng.randint(-2 * cap, 2 * cap),
+            ))
+        got = _run(spark, segs, pts, cap, span)
+        exp = {}
+        for (j, px, py) in pts:
+            b = ref_snap(px, py, segs, cap)
+            if b is not None:
+                exp[j] = (b[1], b[2], b[0], b[3], b[4])
+        assert got == exp, f"seed {seed}: {len(got)} vs {len(exp)}"
+        assert exp, f"seed {seed} matched nothing — test lost its teeth"
+
+
+def test_deterministic_tiebreak(spark):
+    # Two coincident segments with different (road, seg) ids: the winner
+    # must be the lexicographically least (d2, road_id, seg).
+    segs = [(7, 3, 0, 0, 10_000, 0), (2, 9, 0, 0, 10_000, 0)]
+    got = _run(spark, segs, [(1, 5_000, 300)], cap=1_000, span=20_000)
+    assert got == {1: (2, 9, 90_000, 5_000, 0)}
+
+
+def test_keep_columns_pass_through(spark):
+    segs = [(1, 0, 0, 0, 10_000, 0)]
+    roads = spark.createDataFrame(
+        segs, "road_id long, seg long, x1 long, y1 long, x2 long, y2 long"
+    )
+    pdf = spark.createDataFrame(
+        [(1, 42, 5_000, 100)], "event_id long, user_id long, lon long, lat long"
+    )
+    rows = snap_to_roads(
+        pdf, roads, max_dist_fixed=500, max_seg_span_fixed=20_000,
+        keep=("user_id",),
+    ).collect()
+    assert len(rows) == 1 and rows[0]["user_id"] == 42
+
+
+def test_overflow_guard_rejects_huge_spans(spark):
+    roads = spark.createDataFrame(
+        [(1, 0, 0, 0, 1, 1)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    pts = spark.createDataFrame([(1, 0, 0)], "event_id long, lon long, lat long")
+    with pytest.raises(ValueError, match="int64 bound"):
+        snap_to_roads(
+            pts, roads, max_dist_fixed=1_000, max_seg_span_fixed=2_000_000_000
+        )
+
+
+def test_span_violation_raises_in_projection(spark):
+    # A segment wider than max_seg_span_fixed must raise, not silently
+    # drop or mis-snap.
+    roads = spark.createDataFrame(
+        [(1, 0, 0, 0, 400_000, 0)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1_000, 50)], "event_id long, lon long, lat long"
+    )
+    out = snap_to_roads(
+        pts, roads, max_dist_fixed=1_000, max_seg_span_fixed=100_000
+    )
+    with pytest.raises(Exception, match="exceeds max_seg_span_fixed"):
+        out.collect()
+
+
+def test_snap_exprs_stage_discipline():
+    # Stages must only reference prior stages' names — re-inlining the
+    # chain is the documented substitution trap.
+    s1, s2, s3 = snap_exprs("px", "py", "x1", "y1", "x2", "y2", "duckdb")
+    assert set(s1) == {"__dx", "__dy", "__len2", "__tn"}
+    assert set(s2) == {"__qx", "__qy"}
+    assert set(s3) == {"__d2"}
+    assert "__tn" in s2["__qx"] and "__qx" in s3["__d2"]
+    assert "GREATEST" in s2["__qx"]  # len2=0 guard
