@@ -361,6 +361,68 @@ JOIN bsum b ON b.i = im.i
 
 
 # ===========================================================================
+# image gradient stats (operators/multimodal.image_gradient_stats):
+# integer Sobel L1 energy + edge-pixel counts over DECODED pixels.  The
+# Spark side runs the real 2-D convolution on the decoded PNGs; the
+# oracle derives the identical integers INDEPENDENTLY from the
+# synth_pixels closed forms — r depends only on x (gy_r = 0, gx_r =
+# 4*(f(x+1)-f(x-1))), g only on y (mirror), and b only on s = x+y+3i
+# (gx_b = gy_b = 2m(s+1)+m(s+2)-m(s-2)-2m(s-1), m = %256, s >= 2 on the
+# interior so every operand is non-negative).  Validated against numpy
+# convolution in tests/test_image_gradient.py.  PNG (lossless) rows only,
+# like resize_stats.
+# ===========================================================================
+
+_IGR_THR = 512
+
+
+@_register("image_gradient_stats")
+def _igr(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    return MM.image_gradient_stats(images, edge_thr=_IGR_THR).select(
+        F.col("image_id"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("grad_l1").cast("long"),
+        F.col("edge_px").cast("long"),
+    )
+
+
+@_oracle("image_gradient_stats")
+def _igr_o():
+    from .sources.fixtures import H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    s = "(x.range + y.range + 3 * i.i)"
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h
+  FROM range({_IDS_N}) t(i) WHERE t.i % 2 = 0),
+px AS MATERIALIZED (
+  SELECT i.image_id, i.w, i.h,
+         ABS(4 * ((((x.range + 1) * 255) // (i.w - 1) + i.i) % 256
+                - (((x.range - 1) * 255) // (i.w - 1) + i.i) % 256)) AS rt,
+         ABS(4 * ((((y.range + 1) * 255) // (i.h - 1) + 2 * i.i) % 256
+                - (((y.range - 1) * 255) // (i.h - 1) + 2 * i.i) % 256)) AS gt,
+         ABS(2 * (({s} + 1) % 256) + (({s} + 2) % 256)
+             - (({s} - 2) % 256) - 2 * (({s} - 1) % 256)) AS bt
+  FROM imgs i, range(1, {max(W_CYCLE)}) x, range(1, {max(H_CYCLE)}) y
+  WHERE x.range < i.w - 1 AND y.range < i.h - 1)
+SELECT image_id, w, h,
+       CAST(SUM(rt + gt + 2 * bt) AS BIGINT) AS grad_l1,
+       CAST(SUM(CASE WHEN rt + gt + 2 * bt >= {_IGR_THR} THEN 1 ELSE 0 END)
+            AS BIGINT) AS edge_px
+FROM px GROUP BY image_id, w, h
+"""
+
+
+# ===========================================================================
 # kNN via cell-ring expansion (BASELINE generalization; exact)
 # ===========================================================================
 

@@ -361,6 +361,66 @@ def resize_nearest(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+GRADIENT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("grad_l1", LongType()),
+        StructField("edge_px", LongType()),
+    ]
+)
+
+
+def image_gradient_stats(images: DataFrame, edge_thr: int = 512) -> DataFrame:
+    """Integer Sobel feature extraction: per image, the exact L1
+    gradient energy and edge-pixel count of the decoded pixels.
+
+    Per channel, the 3x3 Sobel responses gx/gy are computed on int64
+    pixels with pure slicing (separable smooth-then-difference — no
+    scipy, no floats); `grad_l1` sums |gx| + |gy| over all channels and
+    interior pixels, and `edge_px` counts interior pixels whose
+    cross-channel response total reaches `edge_thr` (512 = two
+    byte-scale steps — a visible edge, not gradient-ramp noise).
+    Exact integers, so the gate hash-compares against a DuckDB oracle
+    that re-derives the responses from the synth_pixels closed forms
+    without decoding (the image_decode_stats construction).
+
+    Images smaller than 3x3 have no interior and report zeros.  Scale
+    shape: one mapInPandas projection, Arrow-batched; the output is
+    one small row per image.
+    """
+    thr = int(edge_thr)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px = FX.decode_image(bytes(data), fmt).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if h < 3 or w < 3:
+                    recs.append((image_id, w, h, 0, 0))
+                    continue
+                pp = np.zeros((h - 2, w - 2), dtype=np.int64)
+                for c in range(px.shape[2]):
+                    P = px[:, :, c]
+                    col = P[:-2, :] + 2 * P[1:-1, :] + P[2:, :]
+                    gx = col[:, 2:] - col[:, :-2]
+                    row = P[:, :-2] + 2 * P[:, 1:-1] + P[:, 2:]
+                    gy = row[2:, :] - row[:-2, :]
+                    pp += np.abs(gx) + np.abs(gy)
+                recs.append(
+                    (image_id, w, h, int(pp.sum()), int((pp >= thr).sum()))
+                )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "w", "h", "grad_l1", "edge_px"]
+            )
+
+    return images.mapInPandas(batches, GRADIENT_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("video_id", StringType()),

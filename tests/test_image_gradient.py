@@ -1,0 +1,91 @@
+"""image_gradient_stats: Sobel L1 energy / edge counts, pinned against
+an independent per-pixel numpy convolution and analytic cases."""
+
+import numpy as np
+import pytest
+
+from osmquadtree_rust_spark.operators.multimodal import image_gradient_stats
+from osmquadtree_rust_spark.sources import fixtures as FX
+
+
+def ref_sobel(px, thr):
+    # Direct 3x3 kernel application per interior pixel — deliberately
+    # NOT the operator's separable slicing form.
+    kx = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.int64)
+    ky = kx.T
+    px = px.astype(np.int64)
+    h, w, nc = px.shape
+    if h < 3 or w < 3:
+        return 0, 0
+    pp = np.zeros((h - 2, w - 2), dtype=np.int64)
+    for c in range(nc):
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                win = px[y - 1 : y + 2, x - 1 : x + 2, c]
+                pp[y - 1, x - 1] += abs(int((win * kx).sum())) + abs(
+                    int((win * ky).sum())
+                )
+    return int(pp.sum()), int((pp >= thr).sum())
+
+
+def _rows(spark, imgs):
+    df = spark.createDataFrame(
+        [
+            (f"img{i:03d}", bytearray(FX.png_encode(px)), "png")
+            for i, px in enumerate(imgs)
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    return {
+        r["image_id"]: (r["w"], r["h"], r["grad_l1"], r["edge_px"])
+        for r in image_gradient_stats(df, edge_thr=512).collect()
+    }
+
+
+def test_vs_direct_kernel_reference(spark):
+    rng = np.random.default_rng(7)
+    imgs = [
+        FX.synth_pixels(3, 16, 16),
+        FX.synth_pixels(9, 32, 24),
+        rng.integers(0, 256, (10, 12, 3)).astype(np.uint8),
+        rng.integers(0, 256, (3, 3, 3)).astype(np.uint8),
+    ]
+    got = _rows(spark, imgs)
+    for i, px in enumerate(imgs):
+        l1, ep = ref_sobel(px, 512)
+        h, w = px.shape[0], px.shape[1]
+        assert got[f"img{i:03d}"] == (w, h, l1, ep), f"img {i}"
+
+
+def test_analytic_cases(spark):
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    # vertical step edge at x=4: |gx| = 4*200 per channel on the two
+    # columns adjacent to the step (x=3,4), 6 interior rows each
+    step = np.full((8, 8, 3), 0, dtype=np.uint8)
+    step[:, 4:, :] = 200
+    tiny = np.full((2, 5, 3), 9, dtype=np.uint8)  # no interior
+    got = _rows(spark, [flat, step, tiny])
+    assert got["img000"] == (8, 8, 0, 0)
+    assert got["img001"] == (8, 8, 3 * 2 * 6 * 800, 2 * 6)
+    assert got["img002"] == (5, 2, 0, 0)
+
+
+def test_oracle_closed_forms_match_convolution():
+    # The gate oracle's closed forms (r from x, g from y, b from s=x+y+3i)
+    # must equal the real convolution on the fixture pixels.
+    for i, w, h in [(0, 16, 16), (5, 32, 24), (2, 64, 48)]:
+        px = FX.synth_pixels(i, w, h)
+        l1, ep = ref_sobel(px, 512)
+        x, y = np.arange(w), np.arange(h)
+        f = (x * 255 // (w - 1) + i) % 256
+        g = (y * 255 // (h - 1) + 2 * i) % 256
+        rt = np.abs(4 * (f[2:] - f[:-2]))
+        gt = np.abs(4 * (g[2:] - g[:-2]))
+        xx, yy = np.meshgrid(np.arange(1, w - 1), np.arange(1, h - 1))
+        s = xx + yy + 3 * i
+        bt = np.abs(
+            2 * ((s + 1) % 256) + ((s + 2) % 256)
+            - ((s - 2) % 256) - 2 * ((s - 1) % 256)
+        )
+        pp = rt[np.newaxis, :] + gt[:, np.newaxis] + 2 * bt
+        assert int(pp.sum()) == l1 and int((pp >= 512).sum()) == ep
