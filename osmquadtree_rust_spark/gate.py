@@ -3766,8 +3766,10 @@ def _mmg(spark, sf_dir):
     )
 
 
-@_oracle("map_match")
-def _mmg_o() -> str:
+def _mm_best_sql() -> str:
+    """The WITH body from the walk points through `best` (the per-point
+    winning match, rn = 1 rows; carries event_id, user_id, ts, road,
+    __d2) — shared by the map_match and route_flows oracles."""
     from .functions.text_sql import DUCKDB
     from .operators.map_match import snap_exprs
 
@@ -3777,8 +3779,7 @@ def _mmg_o() -> str:
     def sel(stage: dict[str, str]) -> str:
         return ", ".join(f"{v} AS {k}" for k, v in stage.items())
 
-    return f"""
-WITH {_xing_pts_sql()},
+    return f"""{_xing_pts_sql()},
 idx AS MATERIALIZED (
   SELECT unnest(range(0, {16 * _MM_ROADS * _MM_SEGS})) AS i
 ),
@@ -3788,7 +3789,7 @@ roads AS MATERIALIZED (
   FROM idx
 ),
 cand AS MATERIALIZED (
-  SELECT p.event_id, p.user_id, p.lon AS px, p.lat AS py,
+  SELECT p.event_id, p.user_id, p.ts, p.lon AS px, p.lat AS py,
          r.road, r.seg, r.x1, r.y1, r.x2, r.y2
   FROM pts p JOIN roads r ON r.nb = (p.user_id % 16)
 ),
@@ -3796,14 +3797,84 @@ s1 AS MATERIALIZED (SELECT *, {sel(s1)} FROM cand),
 s2 AS MATERIALIZED (SELECT *, {sel(s2)} FROM s1),
 s3 AS MATERIALIZED (SELECT *, {sel(s3)} FROM s2),
 best AS MATERIALIZED (
-  SELECT event_id, user_id, road, __d2,
+  SELECT event_id, user_id, ts, road, __d2,
          ROW_NUMBER() OVER (PARTITION BY event_id
                             ORDER BY __d2, road, seg) AS rn
   FROM s3 WHERE __d2 <= {_MM_CAP * _MM_CAP}
-)
+)"""
+
+
+@_oracle("map_match")
+def _mmg_o() -> str:
+    return f"""
+WITH {_mm_best_sql()}
 SELECT CAST(road AS BIGINT) AS road, CAST(COUNT(*) AS BIGINT) AS n_pts,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
        CAST(SUM(__d2) AS BIGINT) AS sum_d2,
        CAST(MIN(__d2) AS BIGINT) AS min_d2
 FROM best WHERE rn = 1 GROUP BY road
+"""
+
+
+# ===========================================================================
+# route flows (operators/map_match.route_edges): directed road-to-road
+# transition counts over the map-matched walk stream — consecutive runs
+# on one road collapse to a visit, adjacent visits become an edge.  The
+# oracle reuses the map_match brute-force `best` chain and re-derives the
+# run-collapse + transition windows relationally (staged CTEs — DuckDB
+# rejects nested window calls).
+# ===========================================================================
+
+
+@_register("route_flows")
+def _rtf(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import route_edges, snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = spark.range(16 * _MM_ROADS * _MM_SEGS).select(
+        F.expr(e["road"]).alias("road_id"),
+        F.expr(e["seg"]).alias("seg"),
+        F.expr(e["x1"]).alias("x1"),
+        F.expr(e["y1"]).alias("y1"),
+        F.expr(e["x2"]).alias("x2"),
+        F.expr(e["y2"]).alias("y2"),
+    )
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    return route_edges(m).select(
+        F.col("road_from").cast("long"),
+        F.col("road_to").cast("long"),
+        F.col("n_trans").cast("long"),
+        F.col("n_entities").cast("long"),
+    )
+
+
+@_oracle("route_flows")
+def _rtf_o() -> str:
+    return f"""
+WITH {_mm_best_sql()},
+seq AS MATERIALIZED (
+  SELECT user_id, ts, event_id, road,
+         LAG(road) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+  FROM best WHERE rn = 1
+),
+runs AS MATERIALIZED (
+  SELECT user_id, ts, event_id, road,
+         LAG(road) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS road_from
+  FROM seq WHERE prev IS NULL OR prev <> road
+)
+SELECT CAST(road_from AS BIGINT) AS road_from,
+       CAST(road AS BIGINT) AS road_to,
+       CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM runs WHERE road_from IS NOT NULL
+GROUP BY road_from, road
 """

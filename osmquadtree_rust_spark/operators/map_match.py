@@ -242,3 +242,45 @@ def snap_to_roads(
         F.col("__m.__qx").alias("snap_x"),
         F.col("__m.__qy").alias("snap_y"),
     )
+
+
+def route_edges(
+    matched: DataFrame,
+    *,
+    id_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    road_col: str = "road_id",
+) -> DataFrame:
+    """Road-to-road transition flows from a map-matched point stream —
+    the route graph (which roads feed which) that turns per-point
+    matches into network-level analytics.
+
+    Per entity, points are ordered by `order_cols`, consecutive runs on
+    the same road collapse to one visit, and each adjacent visit pair
+    becomes a directed (road_from, road_to) transition; unmatched
+    points are simply absent from `matched`, so transitions span
+    match gaps (callers wanting trip-bounded routes should split on
+    gaps first, operators/trajectory.split_trips).
+
+    Returns (road_from, road_to, n_trans, n_entities).
+
+    Scale shape: two window passes over the SAME entity-keyed
+    partitioning (one exchange), then a partial-aggregating count on
+    the pair key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(*[F.col(c) for c in order_cols])
+    runs = (
+        matched.withColumn("__prev", F.lag(road_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col(road_col))
+        )
+        .withColumn("__from", F.lag(road_col).over(w))
+        .filter(F.col("__from").isNotNull())
+    )
+    return runs.groupBy(
+        F.col("__from").alias("road_from"), F.col(road_col).alias("road_to")
+    ).agg(
+        F.count("*").alias("n_trans"),
+        F.countDistinct(id_col).alias("n_entities"),
+    )

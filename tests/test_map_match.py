@@ -141,3 +141,33 @@ def test_snap_exprs_stage_discipline():
     assert set(s3) == {"__d2"}
     assert "__tn" in s2["__qx"] and "__qx" in s3["__d2"]
     assert "GREATEST" in s2["__qx"]  # len2=0 guard
+
+
+def test_route_edges_run_collapse_and_gaps(spark):
+    from osmquadtree_rust_spark.operators.map_match import route_edges
+
+    # user 1: roads A A B B A -> visits A,B,A -> edges (A,B),(B,A)
+    # user 2: roads B A A    -> visits B,A   -> edges (B,A)
+    rows = [
+        (1, 1, 10, "A"), (1, 2, 20, "A"), (1, 3, 30, "B"),
+        (1, 4, 40, "B"), (1, 5, 50, "A"),
+        (2, 6, 10, "B"), (2, 7, 20, "A"), (2, 8, 30, "A"),
+    ]
+    m = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, road_id string"
+    )
+    got = {
+        (r["road_from"], r["road_to"]): (r["n_trans"], r["n_entities"])
+        for r in route_edges(m).collect()
+    }
+    assert got == {("A", "B"): (1, 1), ("B", "A"): (2, 2)}
+
+
+def test_route_edges_single_road_no_edges(spark):
+    from osmquadtree_rust_spark.operators.map_match import route_edges
+
+    m = spark.createDataFrame(
+        [(1, 1, 10, "A"), (1, 2, 20, "A")],
+        "user_id long, event_id long, ts long, road_id string",
+    )
+    assert route_edges(m).count() == 0
