@@ -423,6 +423,69 @@ FROM px GROUP BY image_id, w, h
 
 
 # ===========================================================================
+# image histogram (operators/multimodal.image_histogram): per-channel
+# 16-bin brightness histograms over DECODED pixels; the oracle counts the
+# same bins from the synth_pixels formulas (r over x scaled by h, g over
+# y scaled by w, b brute over the x,y grid) — non-empty bins only on
+# both sides.  PNG (lossless) rows only.
+# ===========================================================================
+
+_IHB_BINS = 16
+
+
+@_register("image_histogram")
+def _ihb(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    return MM.image_histogram(images, bins=_IHB_BINS).select(
+        F.col("image_id"),
+        F.col("channel"),
+        F.col("bin").cast("int"),
+        F.col("cnt").cast("long"),
+    )
+
+
+@_oracle("image_histogram")
+def _ihb_o():
+    from .sources.fixtures import H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    wd = 256 // _IHB_BINS
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h
+  FROM range({_IDS_N}) t(i) WHERE t.i % 2 = 0),
+rh AS (
+  SELECT i.image_id, 'r' AS channel,
+         CAST((((x.range * 255) // (i.w - 1) + i.i) % 256) // {wd} AS INT)
+           AS bin,
+         CAST(COUNT(*) * ANY_VALUE(i.h) AS BIGINT) AS cnt
+  FROM imgs i, range({max(W_CYCLE)}) x WHERE x.range < i.w
+  GROUP BY i.image_id, bin),
+gh AS (
+  SELECT i.image_id, 'g' AS channel,
+         CAST((((y.range * 255) // (i.h - 1) + 2 * i.i) % 256) // {wd} AS INT)
+           AS bin,
+         CAST(COUNT(*) * ANY_VALUE(i.w) AS BIGINT) AS cnt
+  FROM imgs i, range({max(H_CYCLE)}) y WHERE y.range < i.h
+  GROUP BY i.image_id, bin),
+bh AS (
+  SELECT i.image_id, 'b' AS channel,
+         CAST((((x.range + y.range + 3 * i.i) % 256)) // {wd} AS INT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM imgs i, range({max(W_CYCLE)}) x, range({max(H_CYCLE)}) y
+  WHERE x.range < i.w AND y.range < i.h
+  GROUP BY i.image_id, bin)
+SELECT * FROM rh UNION ALL SELECT * FROM gh UNION ALL SELECT * FROM bh
+"""
+
+
+# ===========================================================================
 # kNN via cell-ring expansion (BASELINE generalization; exact)
 # ===========================================================================
 

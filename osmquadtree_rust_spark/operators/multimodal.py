@@ -421,6 +421,59 @@ def image_gradient_stats(images: DataFrame, edge_thr: int = 512) -> DataFrame:
     return images.mapInPandas(batches, GRADIENT_SCHEMA)
 
 
+HISTOGRAM_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("channel", StringType()),
+        StructField("bin", IntegerType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def image_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-channel brightness histograms of the decoded pixels — the
+    exposure/clipping QA signal an image-curation pipeline cuts on
+    (all-dark, all-bright, or low-dynamic-range images show up as mass
+    concentrated in few bins).
+
+    `bins` must divide 256; bin = pixel_value DIV (256/bins).  Emits
+    one row per NON-EMPTY (image, channel, bin) — exact integer counts,
+    so the gate hash-compares against a DuckDB oracle deriving the same
+    counts from the fixture pixel formulas without decoding.
+
+    Scale shape: one mapInPandas projection (np.bincount per channel),
+    <= 3*bins small rows out per image.
+    """
+    if 256 % bins != 0:
+        raise ValueError(f"bins={bins} must divide 256")
+    width = 256 // bins
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = ["r", "g", "b"]
+        for pdf in it:
+            recs = []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px = FX.decode_image(bytes(data), fmt)
+                for c in range(min(px.shape[2], 3)):
+                    counts = np.bincount(
+                        (px[:, :, c].ravel() // width).astype(np.int64),
+                        minlength=bins,
+                    )
+                    recs.extend(
+                        (image_id, names[c], int(b), int(n))
+                        for b, n in enumerate(counts)
+                        if n > 0
+                    )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "channel", "bin", "cnt"]
+            )
+
+    return images.mapInPandas(batches, HISTOGRAM_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("video_id", StringType()),

@@ -89,3 +89,41 @@ def test_oracle_closed_forms_match_convolution():
         )
         pp = rt[np.newaxis, :] + gt[:, np.newaxis] + 2 * bt
         assert int(pp.sum()) == l1 and int((pp >= 512).sum()) == ep
+
+
+def test_image_histogram_vs_numpy(spark):
+    from osmquadtree_rust_spark.operators.multimodal import image_histogram
+
+    imgs = [FX.synth_pixels(4, 16, 16), FX.synth_pixels(11, 32, 24)]
+    df = spark.createDataFrame(
+        [
+            (f"img{i}", bytearray(FX.png_encode(px)), "png")
+            for i, px in enumerate(imgs)
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["image_id"], r["channel"], r["bin"]): r["cnt"]
+        for r in image_histogram(df, bins=16).collect()
+    }
+    exp = {}
+    for i, px in enumerate(imgs):
+        for c, name in enumerate("rgb"):
+            vals, cnts = np.unique(px[:, :, c] // 16, return_counts=True)
+            for v, n in zip(vals, cnts):
+                exp[(f"img{i}", name, int(v))] = int(n)
+    assert got == exp
+    # every channel's counts sum to the pixel count
+    for i, px in enumerate(imgs):
+        n = px.shape[0] * px.shape[1]
+        for name in "rgb":
+            assert sum(v for k, v in exp.items()
+                       if k[0] == f"img{i}" and k[1] == name) == n
+
+
+def test_image_histogram_rejects_bad_bins(spark):
+    from osmquadtree_rust_spark.operators.multimodal import image_histogram
+
+    df = spark.createDataFrame([], "image_id string, bytes binary, fmt string")
+    with pytest.raises(ValueError, match="divide 256"):
+        image_histogram(df, bins=13)
