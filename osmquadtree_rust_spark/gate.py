@@ -3878,3 +3878,102 @@ SELECT CAST(road_from AS BIGINT) AS road_from,
 FROM runs WHERE road_from IS NOT NULL
 GROUP BY road_from, road
 """
+
+
+# ===========================================================================
+# track simplification (operators/trajectory.simplify_track_grid):
+# grid-quantized point thinning — per user, raw vs simplified point
+# counts and exact chord-mm track lengths (the zoom-level size/fidelity
+# tradeoff a tile renderer reasons about).  Spark computes chords with
+# the numpy pandas-UDF (libm), the oracle with chord_mm_sql — the pinned
+# sqrt-only cross-engine form; the keep-filter itself is pure integer
+# lag-compare, identical SQL shape both sides.
+# ===========================================================================
+
+_TSG_CHARS = 7
+
+
+@_register("track_simplify")
+def _tsg(spark, sf_dir):
+    from .operators.trajectory import simplify_track_grid, track_segments
+
+    pts = _xing_pts(spark, sf_dir)
+    kept = simplify_track_grid(pts, chars=_TSG_CHARS)
+    n_raw = pts.groupBy("user_id").agg(F.count("*").alias("n_raw"))
+    n_kept = kept.groupBy("user_id").agg(F.count("*").alias("n_kept"))
+    raw_mm = (
+        track_segments(pts)
+        .groupBy("user_id")
+        .agg(F.sum("chord_mm").alias("raw_mm"))
+    )
+    simp_mm = (
+        track_segments(kept)
+        .groupBy("user_id")
+        .agg(F.sum("chord_mm").alias("simp_mm"))
+    )
+    out = (
+        n_raw.join(n_kept, "user_id", "left")
+        .join(raw_mm, "user_id", "left")
+        .join(simp_mm, "user_id", "left")
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.col("n_raw").cast("long"),
+        F.coalesce("raw_mm", F.lit(0)).cast("long").alias("raw_mm"),
+        F.coalesce("simp_mm", F.lit(0)).cast("long").alias("simp_mm"),
+    )
+
+
+@_oracle("track_simplify")
+def _tsg_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+    from .operators.trajectory import chord_mm_sql
+
+    xs, ys = GH.geohash_xy_sql("lon", "lat", _TSG_CHARS, DUCKDB)
+    mm = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH {_xing_pts_sql()},
+cells AS MATERIALIZED (
+  SELECT user_id, ts, event_id, lon, lat, {xs} AS cx, {ys} AS cy FROM pts
+),
+flagged AS MATERIALIZED (
+  SELECT user_id, ts, event_id, lon, lat, cx, cy,
+         LAG(cx) OVER w AS pcx, LAG(cy) OVER w AS pcy
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+kept AS MATERIALIZED (
+  SELECT user_id, ts, event_id, lon, lat FROM flagged
+  WHERE pcx IS NULL OR pcx <> cx OR pcy <> cy
+),
+rawseg AS MATERIALIZED (
+  SELECT user_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+simpseg AS MATERIALIZED (
+  SELECT user_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM kept
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+nraw AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_raw
+         FROM pts GROUP BY user_id),
+nkept AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY user_id),
+rawmm AS (SELECT user_id, CAST(SUM({mm}) AS BIGINT) AS raw_mm
+          FROM rawseg WHERE plon IS NOT NULL GROUP BY user_id),
+simpmm AS (SELECT user_id, CAST(SUM({mm}) AS BIGINT) AS simp_mm
+           FROM simpseg WHERE plon IS NOT NULL GROUP BY user_id)
+SELECT CAST(r.user_id AS BIGINT) AS user_id,
+       COALESCE(k.n_kept, 0) AS n_kept, r.n_raw,
+       COALESCE(rm.raw_mm, 0) AS raw_mm,
+       COALESCE(sm.simp_mm, 0) AS simp_mm
+FROM nraw r
+LEFT JOIN nkept k ON k.user_id = r.user_id
+LEFT JOIN rawmm rm ON rm.user_id = r.user_id
+LEFT JOIN simpmm sm ON sm.user_id = r.user_id
+"""

@@ -1152,3 +1152,45 @@ def od_matrix(
     return od.groupBy("o_x", "o_y", "d_x", "d_y").agg(
         F.count("*").alias("n_trips")
     )
+
+
+def simplify_track_grid(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    chars: int = 7,
+) -> DataFrame:
+    """Grid-quantized polyline simplification — the rendering-time point
+    thinning of a tile pipeline: per entity, consecutive points that
+    quantize to the same depth-`chars` geohash grid cell collapse to
+    the run's FIRST point (deterministic; no floats, no tolerance
+    parameter to drift between engines).
+
+    Returns the kept points with the input columns (plus the __cx/__cy
+    cell of each kept point) — feed to track_segments for the
+    simplified length, or write as the zoom-level geometry.
+
+    Scale shape: one entity-keyed window (the ordering exchange) and a
+    pure integer lag-compare filter; output is a subset projection of
+    the input."""
+    from ..functions import geohash as GH
+    from ..functions.text_sql import SPARK
+
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    pts = events.select(
+        id_col, ts_col, seq_col, lon, lat,
+        F.expr(xs).alias("__cx"),
+        F.expr(ys).alias("__cy"),
+    )
+    pts = pts.withColumn("__pcx", F.lag("__cx").over(w)).withColumn(
+        "__pcy", F.lag("__cy").over(w)
+    )
+    return pts.filter(
+        F.col("__pcx").isNull()
+        | (F.col("__pcx") != F.col("__cx"))
+        | (F.col("__pcy") != F.col("__cy"))
+    ).drop("__pcx", "__pcy")

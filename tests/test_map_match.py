@@ -171,3 +171,37 @@ def test_route_edges_single_road_no_edges(spark):
         "user_id long, event_id long, ts long, road_id string",
     )
     assert route_edges(m).count() == 0
+
+
+def test_simplify_track_grid_semantics(spark):
+    from osmquadtree_rust_spark.operators.trajectory import simplify_track_grid
+
+    # depth-12 cells are 1-unit wide in u-space... use chars=7 cells
+    # (13733 x 13733 units): points 1-2 share a cell, 3 moves, 4 stays,
+    # 5 returns to the start cell (kept — only CONSECUTIVE runs collapse)
+    rows = [
+        (1, 1, 10, 100, 100),
+        (1, 2, 20, 200, 200),          # same cell as 1 -> dropped
+        (1, 3, 30, 20_000, 100),       # new cell -> kept
+        (1, 4, 40, 20_100, 150),       # same cell -> dropped
+        (1, 5, 50, 100, 100),          # back to start cell -> kept
+        (2, 6, 10, 5, 5),              # single point -> kept
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    kept = sorted(
+        (r["user_id"], r["event_id"])
+        for r in simplify_track_grid(df, chars=7).collect()
+    )
+    assert kept == [(1, 1), (1, 3), (1, 5), (2, 6)]
+
+
+def test_simplify_track_grid_finest_grid_keeps_all(spark):
+    from osmquadtree_rust_spark.operators.trajectory import simplify_track_grid
+
+    rows = [(1, i, i * 10, i * 200_000, 0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    assert simplify_track_grid(df, chars=8).count() == 5
