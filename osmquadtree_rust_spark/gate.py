@@ -3797,7 +3797,7 @@ s1 AS MATERIALIZED (SELECT *, {sel(s1)} FROM cand),
 s2 AS MATERIALIZED (SELECT *, {sel(s2)} FROM s1),
 s3 AS MATERIALIZED (SELECT *, {sel(s3)} FROM s2),
 best AS MATERIALIZED (
-  SELECT event_id, user_id, ts, road, __d2,
+  SELECT event_id, user_id, ts, road, __d2, __qx, __qy,
          ROW_NUMBER() OVER (PARTITION BY event_id
                             ORDER BY __d2, road, seg) AS rn
   FROM s3 WHERE __d2 <= {_MM_CAP * _MM_CAP}
@@ -3976,4 +3976,84 @@ FROM nraw r
 LEFT JOIN nkept k ON k.user_id = r.user_id
 LEFT JOIN rawmm rm ON rm.user_id = r.user_id
 LEFT JOIN simpmm sm ON sm.user_id = r.user_id
+"""
+
+
+# ===========================================================================
+# road speeds (operators/map_match.road_speed_stats): per-road chord-mm /
+# elapsed-us sums over consecutive same-road matched pairs — the traffic
+# profile.  Spark computes chords with the numpy pandas-UDF on the
+# SNAPPED points; the oracle reuses the map_match best chain (which
+# carries __qx/__qy) with chord_mm_sql, and the speed division is the
+# shared non-negative idiv text.
+# ===========================================================================
+
+
+@_register("road_speeds")
+def _rsp(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import road_speed_stats, snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = spark.range(16 * _MM_ROADS * _MM_SEGS).select(
+        F.expr(e["road"]).alias("road_id"),
+        F.expr(e["seg"]).alias("seg"),
+        F.expr(e["x1"]).alias("x1"),
+        F.expr(e["y1"]).alias("y1"),
+        F.expr(e["x2"]).alias("x2"),
+        F.expr(e["y2"]).alias("y2"),
+    )
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    out = road_speed_stats(m)
+    return out.select(
+        F.col("road_id").cast("long").alias("road"),
+        F.col("n_segs").cast("long"),
+        F.col("sum_mm").cast("long"),
+        F.col("sum_us").cast("long"),
+        F.col("speed_mmps").cast("long"),
+    )
+
+
+@_oracle("road_speeds")
+def _rsp_o() -> str:
+    from .functions.text_sql import DUCKDB, idiv_sql
+    from .operators.trajectory import chord_mm_sql
+
+    mm = chord_mm_sql("pqx", "pqy", "__qx", "__qy")
+    speed = idiv_sql("sum_mm * 1000000", "GREATEST(sum_us, 1)", DUCKDB)
+    return f"""
+WITH {_mm_best_sql()},
+seq AS MATERIALIZED (
+  SELECT user_id, road, __qx, __qy, epoch_us(ts) AS tus, event_id
+  FROM best WHERE rn = 1
+),
+lagged AS MATERIALIZED (
+  SELECT road, __qx, __qy, tus,
+         LAG(road) OVER w AS proad,
+         LAG(__qx) OVER w AS pqx,
+         LAG(__qy) OVER w AS pqy,
+         LAG(tus) OVER w AS ptus
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+segs AS MATERIALIZED (
+  SELECT road, {mm} AS mmv, tus - ptus AS dus
+  FROM lagged WHERE proad IS NOT NULL AND proad = road
+),
+agg AS MATERIALIZED (
+  SELECT CAST(road AS BIGINT) AS road,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(SUM(mmv) AS BIGINT) AS sum_mm,
+         CAST(SUM(dus) AS BIGINT) AS sum_us
+  FROM segs GROUP BY road
+)
+SELECT road, n_segs, sum_mm, sum_us,
+       CAST({speed} AS BIGINT) AS speed_mmps
+FROM agg
 """

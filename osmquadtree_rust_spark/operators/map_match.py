@@ -284,3 +284,69 @@ def route_edges(
         F.count("*").alias("n_trans"),
         F.countDistinct(id_col).alias("n_entities"),
     )
+
+
+def road_speed_stats(
+    matched: DataFrame,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    road_col: str = "road_id",
+    lon: str = "snap_x",
+    lat: str = "snap_y",
+) -> DataFrame:
+    """Per-road speed profile from a map-matched point stream — the
+    traffic-analytics aggregate (how fast does this road actually
+    flow).  Consecutive SAME-road point pairs per entity contribute
+    their snapped-point chord length (integer mm, the pinned
+    cross-engine form) and elapsed micros; road changes and match gaps
+    contribute nothing (that movement wasn't on one road).
+
+    Returns (road_col, n_segs, sum_mm, sum_us, speed_mmps) where
+    speed_mmps = (sum_mm * 1e6) DIV max(sum_us, 1) — an in-projection
+    guard raises if sum_mm is large enough to overflow the multiply
+    (split such roads by time window first).
+
+    Scale shape: one entity-keyed window, then a partial-aggregating
+    groupBy on the road key."""
+    from pyspark.sql import Window
+
+    from ..functions.parse import epoch_micros
+    from .trajectory import _chord_mm_udf
+
+    pts = matched.select(
+        id_col,
+        seq_col,
+        F.col(road_col).alias("__road"),
+        F.col(lon).alias("__sx"),
+        F.col(lat).alias("__sy"),
+        epoch_micros(matched, ts_col).alias("__tus"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__tus", seq_col)
+    lagged = (
+        pts.withColumn("__proad", F.lag("__road").over(w))
+        .withColumn("__px", F.lag("__sx").over(w))
+        .withColumn("__py", F.lag("__sy").over(w))
+        .withColumn("__ptus", F.lag("__tus").over(w))
+        .filter(F.col("__proad").isNotNull() & (F.col("__proad") == F.col("__road")))
+    )
+    segs = lagged.select(
+        "__road",
+        _chord_mm_udf(
+            F.col("__px"), F.col("__py"), F.col("__sx"), F.col("__sy")
+        ).alias("__mm"),
+        (F.col("__tus") - F.col("__ptus")).alias("__dus"),
+    )
+    agg = segs.groupBy(F.col("__road").alias(road_col)).agg(
+        F.count("*").alias("n_segs"),
+        F.sum("__mm").alias("sum_mm"),
+        F.sum("__dus").alias("sum_us"),
+    )
+    speed = (
+        "CASE WHEN sum_mm <= 9223372036854 THEN "
+        "(sum_mm * 1000000L) DIV GREATEST(sum_us, 1) "
+        "ELSE CAST(raise_error('road_speed_stats: sum_mm overflows the "
+        "speed multiply; window the input by time first') AS BIGINT) END"
+    )
+    return agg.withColumn("speed_mmps", F.expr(speed))

@@ -205,3 +205,35 @@ def test_simplify_track_grid_finest_grid_keeps_all(spark):
         rows, "user_id long, event_id long, ts long, lon long, lat long"
     )
     assert simplify_track_grid(df, chars=8).count() == 5
+
+
+def test_road_speed_stats_semantics(spark):
+    from osmquadtree_rust_spark.operators.map_match import road_speed_stats
+
+    # user 1: two same-road pairs on A (one spanning a road change is
+    # excluded), user 2: one pair on B with zero elapsed time (speed
+    # divides by GREATEST(sum_us,1))
+    rows = [
+        (1, 1, 0,          7, 0, 0),
+        (1, 2, 1_000_000,  7, 10_000, 0),     # A pair 1
+        (1, 3, 2_000_000,  9, 20_000, 0),     # road change: excluded
+        (1, 4, 3_000_000,  9, 30_000, 0),     # B... road 9 pair
+        (2, 5, 0,          7, 0, 0),
+        (2, 6, 0,          7, 5_000, 0),      # dt = 0
+    ]
+    m = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts long, road_id long, "
+        "snap_x long, snap_y long",
+    )
+    got = {
+        r["road_id"]: (r["n_segs"], r["sum_us"], r["sum_mm"], r["speed_mmps"])
+        for r in road_speed_stats(m).collect()
+    }
+    assert set(got) == {7, 9}
+    n7, us7, mm7, sp7 = got[7]
+    assert (n7, us7) == (2, 1_000_000)
+    assert sp7 == mm7 * 1_000_000 // max(us7, 1)
+    n9, us9, mm9, sp9 = got[9]
+    assert (n9, us9) == (1, 1_000_000)
+    assert sp9 == mm9 * 1_000_000 // us9
