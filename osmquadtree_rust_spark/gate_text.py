@@ -486,6 +486,107 @@ SELECT * FROM rh UNION ALL SELECT * FROM gh UNION ALL SELECT * FROM bh
 
 
 # ===========================================================================
+# image augmentation (operators/multimodal.augment_crop_flip): crop +
+# horizontal flip + nearest resize with exact output channel sums.  The
+# per-image crop/flip parameters are derived from i by shared integer
+# formulas; the oracle composes the fixture pixel formulas with the
+# IDENTICAL integer source-index maps (sx = left + (x*cw) DIV out_w,
+# mirrored when flipped), so a wrong crop origin, flip direction, or
+# index rounding hash-mismatches.  PNG (lossless) rows only.
+# ===========================================================================
+
+_AUG_W, _AUG_H = 24, 24
+
+
+def _aug_param_exprs(i: str, w: str, h: str, dialect: str) -> dict[str, str]:
+    from .functions.text_sql import idiv_sql
+
+    return {
+        "aug_left": idiv_sql(f"(({i}) % 3) * ({w})", "16", dialect),
+        "aug_top": idiv_sql(f"(({i}) % 5) * ({h})", "16", dialect),
+        "aug_flip": f"(({idiv_sql(i, '2', dialect)}) % 2)",
+    }
+
+
+@_register("augment_stats")
+def _aug(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    images = images.withColumn(
+        "__i", F.expr("CAST(SUBSTRING(image_id, 4) AS BIGINT)")
+    )
+    p = _aug_param_exprs("__i", "w", "h", _SP)
+    images = images.withColumns({k: F.expr(v) for k, v in p.items()})
+    out = MM.augment_crop_flip(images, _AUG_W, _AUG_H)
+    return out.select(
+        F.col("image_id"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("flip").cast("int"),
+        F.col("sum_r").cast("long"),
+        F.col("sum_g").cast("long"),
+        F.col("sum_b").cast("long"),
+    )
+
+
+@_oracle("augment_stats")
+def _aug_o():
+    from .functions.text_sql import DUCKDB, idiv_sql
+    from .sources.fixtures import H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    p = _aug_param_exprs("t.i", "w0", "h0", DUCKDB)
+    sx0 = idiv_sql(f"x.range * (w0 - aug_left)", str(_AUG_W), DUCKDB)
+    sy0 = idiv_sql(f"y.range * (h0 - aug_top)", str(_AUG_H), DUCKDB)
+    srcx = (
+        f"CASE WHEN aug_flip = 1 THEN aug_left + (w0 - aug_left) - 1 - {sx0} "
+        f"ELSE aug_left + {sx0} END"
+    )
+    srcy = f"aug_top + {sy0}"
+    f_r = f"((srcx * 255) // (w0 - 1) + i) % 256"
+    f_g = f"((srcy * 255) // (h0 - 1) + 2 * i) % 256"
+    f_b = f"(x.srcx + y.srcy + 3 * x.i) % 256"
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w0,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h0
+  FROM range({_IDS_N}) t(i) WHERE t.i % 2 = 0),
+params AS MATERIALIZED (
+  SELECT *, {p["aug_left"].replace("t.i", "i")} AS aug_left,
+         {p["aug_top"].replace("t.i", "i")} AS aug_top,
+         {p["aug_flip"].replace("t.i", "i")} AS aug_flip
+  FROM imgs),
+xs AS MATERIALIZED (
+  SELECT image_id, i, w0, h0, aug_flip, {srcx} AS srcx
+  FROM params, range({_AUG_W}) x),
+ys AS MATERIALIZED (
+  SELECT image_id, i, h0, {srcy} AS srcy
+  FROM params, range({_AUG_H}) y),
+rs AS (SELECT image_id, SUM({f_r}) * {_AUG_H} AS sum_r
+       FROM xs GROUP BY image_id),
+gs AS (SELECT image_id, SUM({f_g}) * {_AUG_W} AS sum_g
+       FROM ys GROUP BY image_id),
+bs AS (SELECT x.image_id, SUM({f_b}) AS sum_b
+       FROM xs x JOIN ys y ON y.image_id = x.image_id
+       GROUP BY x.image_id)
+SELECT p.image_id, {_AUG_W} AS w, {_AUG_H} AS h,
+       CAST(p.aug_flip AS INT) AS flip,
+       CAST(r.sum_r AS BIGINT) AS sum_r,
+       CAST(g.sum_g AS BIGINT) AS sum_g,
+       CAST(b.sum_b AS BIGINT) AS sum_b
+FROM params p
+JOIN rs r ON r.image_id = p.image_id
+JOIN gs g ON g.image_id = p.image_id
+JOIN bs b ON b.image_id = p.image_id
+"""
+
+
+# ===========================================================================
 # kNN via cell-ring expansion (BASELINE generalization; exact)
 # ===========================================================================
 

@@ -421,6 +421,83 @@ def image_gradient_stats(images: DataFrame, edge_thr: int = 512) -> DataFrame:
     return images.mapInPandas(batches, GRADIENT_SCHEMA)
 
 
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("flip", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def augment_crop_flip(
+    images: DataFrame,
+    out_w: int,
+    out_h: int,
+    left_col: str = "aug_left",
+    top_col: str = "aug_top",
+    flip_col: str = "aug_flip",
+) -> DataFrame:
+    """Deterministic augmentation — crop, optional horizontal flip,
+    nearest-neighbour resize to (out_w, out_h) — re-encoded as PNG with
+    exact output channel sums (the value the gate pins).
+
+    The augmentation parameters are COLUMNS (per-image crop offsets and
+    a 0/1 flip), not hidden randomness: a training pipeline derives
+    them from a seed + image id upstream, so the same row always
+    produces the same bytes (reproducible epochs, cacheable shards).
+
+    Source index maps are pure integer ops mirrored by the oracle:
+    sx(x) = left + (x * cw) DIV out_w, mirrored to
+    left + cw - 1 - (x * cw) DIV out_w when flipped, with
+    cw = in_w - left (and sy likewise, never flipped).
+
+    Scale shape: one mapInPandas projection, Arrow-batched."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for image_id, data, fmt, left, top, flip in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                pdf[left_col], pdf[top_col], pdf[flip_col],
+            ):
+                px = FX.decode_image(bytes(data), fmt)
+                ih, iw = px.shape[0], px.shape[1]
+                left, top, flip = int(left), int(top), int(flip)
+                if not (0 <= left < iw and 0 <= top < ih):
+                    raise ValueError(
+                        f"augment_crop_flip: crop ({left},{top}) outside "
+                        f"{iw}x{ih} for {image_id}"
+                    )
+                cw, ch = iw - left, ih - top
+                xs = (np.arange(out_w) * cw) // out_w
+                if flip:
+                    xs = cw - 1 - xs
+                ys = top + (np.arange(out_h) * ch) // out_h
+                out = px[ys][:, left + xs]
+                sums = out.astype(np.int64).sum(axis=(0, 1))
+                recs.append(
+                    (
+                        image_id, FX.png_encode(out), out_w, out_h, flip,
+                        int(sums[0]), int(sums[1]), int(sums[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "image_id", "bytes", "w", "h", "flip",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return images.mapInPandas(batches, AUGMENT_SCHEMA)
+
+
 HISTOGRAM_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

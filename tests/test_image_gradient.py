@@ -127,3 +127,53 @@ def test_image_histogram_rejects_bad_bins(spark):
     df = spark.createDataFrame([], "image_id string, bytes binary, fmt string")
     with pytest.raises(ValueError, match="divide 256"):
         image_histogram(df, bins=13)
+
+
+def test_augment_crop_flip_pixel_equality(spark):
+    from osmquadtree_rust_spark.operators.multimodal import augment_crop_flip
+
+    cases = [  # (i, w, h, left, top, flip)
+        (0, 16, 16, 0, 0, 0),
+        (2, 32, 24, 4, 3, 1),
+        (6, 64, 48, 10, 5, 1),
+    ]
+    df = spark.createDataFrame(
+        [
+            (f"img{i}", bytearray(FX.png_encode(FX.synth_pixels(i, w, h))),
+             "png", l, t, f)
+            for (i, w, h, l, t, f) in cases
+        ],
+        "image_id string, bytes binary, fmt string, "
+        "aug_left int, aug_top int, aug_flip int",
+    )
+    rows = {
+        r["image_id"]: r for r in augment_crop_flip(df, 12, 10).collect()
+    }
+    for (i, w, h, left, top, flip) in cases:
+        px = FX.synth_pixels(i, w, h)
+        cw, ch = w - left, h - top
+        xs = (np.arange(12) * cw) // 12
+        if flip:
+            xs = cw - 1 - xs
+        ys = top + (np.arange(10) * ch) // 10
+        exp = px[ys][:, left + xs]
+        r = rows[f"img{i}"]
+        got = FX.png_decode(bytes(r["bytes"]))
+        assert np.array_equal(got, exp), f"img{i} pixels"
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(
+            int(s) for s in exp.astype(np.int64).sum(axis=(0, 1))
+        )
+        assert (r["w"], r["h"], r["flip"]) == (12, 10, flip)
+
+
+def test_augment_crop_flip_rejects_bad_crop(spark):
+    from osmquadtree_rust_spark.operators.multimodal import augment_crop_flip
+
+    df = spark.createDataFrame(
+        [("img0", bytearray(FX.png_encode(FX.synth_pixels(0, 16, 16))),
+          "png", 16, 0, 0)],
+        "image_id string, bytes binary, fmt string, "
+        "aug_left int, aug_top int, aug_flip int",
+    )
+    with pytest.raises(Exception, match="outside"):
+        augment_crop_flip(df, 8, 8).collect()
