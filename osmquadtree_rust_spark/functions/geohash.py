@@ -119,3 +119,29 @@ def _shr_fn(dialect: str):
     if dialect == "spark":
         return lambda x, n: f"shiftright({x}, {n})"
     return lambda x, n: f"(({x}) >> ({n}))"
+
+
+def anchor_xy_sql(
+    cx: str, cy: str, chars: int, dialect: str = "duckdb"
+) -> tuple[str, str]:
+    """The integer ANCHOR of a grid cell — floor of its center in
+    u-space (u = lon + 1.8e9, v = lat + 9e8) — as SQL text.  Cell
+    centers are rationals with denominator 2^bits; the anchor
+    au = ((2*cx + 1) * 3600000000) DIV 2^(lon_bits+1) is the exact
+    integer both engines agree on (non-negative operands throughout),
+    within one fixed-point unit (~11 mm) of the true center.  Overflow:
+    (2*cx + 1) <= 2^(lon_bits+1), times 3.6e9 stays under 2^63 for
+    chars <= 8 (the geohash_int_sql bound)."""
+    if chars > 8:
+        raise ValueError("anchor_xy_sql supports chars <= 8")
+    lon_bits, lat_bits = _bits_for(chars)
+    div = "DIV" if dialect == "spark" else "//"
+    au = (
+        f"((CAST(2 * ({cx}) + 1 AS BIGINT) * 3600000000) "
+        f"{div} {1 << (lon_bits + 1)})"
+    )
+    av = (
+        f"((CAST(2 * ({cy}) + 1 AS BIGINT) * 1800000000) "
+        f"{div} {1 << (lat_bits + 1)})"
+    )
+    return au, av

@@ -4057,3 +4057,75 @@ SELECT road, n_segs, sum_mm, sum_us,
        CAST({speed} AS BIGINT) AS speed_mmps
 FROM agg
 """
+
+
+# ===========================================================================
+# IDW surface (operators/idw.idw_grid): inverse-distance-weighted
+# interpolation of a point field onto grid-cell anchors, fully integer
+# (w = 1e9 DIV (d2+1), value = SUM(w*v) DIV SUM(w)).  Field value is
+# event_id % 1000 over the Lissajous walks.  The oracle brute-forces
+# point x data-cell pairs within each neighborhood (sound: centres
+# >= 73e6 units apart vs a 20000-unit radius), independently verifying
+# the covering-explode candidates' recall; anchors via the shared
+# anchor_xy_sql text.
+# ===========================================================================
+
+_IDW_CHARS, _IDW_R = 7, 20_000
+
+
+@_register("idw_surface")
+def _idw(spark, sf_dir):
+    from .operators.idw import idw_grid
+
+    pts = _xing_pts(spark, sf_dir).withColumn(
+        "v", F.expr("event_id % 1000")
+    )
+    out = idw_grid(
+        pts, "v", chars=_IDW_CHARS, radius_fixed=_IDW_R, v_abs_max=1000
+    )
+    return out.select(
+        F.col("cell_x").cast("long"),
+        F.col("cell_y").cast("long"),
+        F.col("n_pts").cast("long"),
+        F.col("wsum").cast("long"),
+        F.col("idw_value").cast("long"),
+    )
+
+
+@_oracle("idw_surface")
+def _idw_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+
+    cx, cy = GH.geohash_xy_sql("lon", "lat", _IDW_CHARS, DUCKDB)
+    au, av = GH.anchor_xy_sql("cx", "cy", _IDW_CHARS, DUCKDB)
+    return f"""
+WITH {_xing_pts_sql()},
+pc AS MATERIALIZED (
+  SELECT user_id % 16 AS nb, event_id % 1000 AS v,
+         lon + 1800000000 AS pu, lat + 900000000 AS pv,
+         {cx} AS cx, {cy} AS cy
+  FROM pts
+),
+cells AS MATERIALIZED (
+  SELECT DISTINCT nb, cx, cy FROM pc
+),
+anch AS MATERIALIZED (
+  SELECT nb, cx, cy, {au} AS au, {av} AS av FROM cells
+),
+pairs AS MATERIALIZED (
+  SELECT c.cx, c.cy, p.v,
+         (p.pu - c.au) * (p.pu - c.au)
+       + (p.pv - c.av) * (p.pv - c.av) AS d2
+  FROM anch c JOIN pc p ON p.nb = c.nb
+),
+wtab AS MATERIALIZED (
+  SELECT cx, cy, v, 1000000000 // (d2 + 1) AS w
+  FROM pairs WHERE d2 <= {_IDW_R * _IDW_R}
+)
+SELECT CAST(cx AS BIGINT) AS cell_x, CAST(cy AS BIGINT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(w) AS BIGINT) AS wsum,
+       CAST(SUM(w * v) // GREATEST(SUM(w), 1) AS BIGINT) AS idw_value
+FROM wtab GROUP BY cx, cy
+"""

@@ -1,0 +1,89 @@
+"""idw_grid: seeded net vs a pure-python brute force (same integer
+formulas), value/overflow guards."""
+
+import random
+
+import pytest
+
+from osmquadtree_rust_spark.functions.geohash import _bits_for
+from osmquadtree_rust_spark.operators.idw import idw_grid
+
+W_SCALE = 1_000_000_000
+
+
+def cell_of(lon, lat, chars):
+    lb, tb = _bits_for(chars)
+    u, v = lon + 1_800_000_000, lat + 900_000_000
+    x = min((u << lb) // 3_600_000_000, (1 << lb) - 1)
+    y = min((v << tb) // 1_800_000_000, (1 << tb) - 1)
+    return x, y
+
+
+def anchor_of(cx, cy, chars):
+    lb, tb = _bits_for(chars)
+    return (
+        ((2 * cx + 1) * 3_600_000_000) // (1 << (lb + 1)),
+        ((2 * cy + 1) * 1_800_000_000) // (1 << (tb + 1)),
+    )
+
+
+def ref_idw(pts, chars, r):
+    cells = {cell_of(lon, lat, chars) for lon, lat, _ in pts}
+    out = {}
+    for c in cells:
+        au, av = anchor_of(*c, chars)
+        n = ws = wv = 0
+        for lon, lat, v in pts:
+            d2 = (lon + 1_800_000_000 - au) ** 2 + (lat + 900_000_000 - av) ** 2
+            if d2 <= r * r:
+                w = W_SCALE // (d2 + 1)
+                n, ws, wv = n + 1, ws + w, wv + w * v
+        if n:
+            out[c] = (n, ws, wv // max(ws, 1))
+    return out
+
+
+def test_seeded_net_vs_bruteforce(spark):
+    for seed in range(4):
+        rng = random.Random(seed)
+        chars = rng.choice([6, 7])
+        r = rng.choice([5_000, 20_000, 60_000])
+        pts = [
+            (
+                rng.randint(-400_000, 400_000),
+                rng.randint(-300_000, 300_000),
+                rng.randint(0, 1000),
+            )
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(pts, "lon long, lat long, v long")
+        got = {
+            (r_["cell_x"], r_["cell_y"]): (
+                r_["n_pts"], r_["wsum"], r_["idw_value"]
+            )
+            for r_ in idw_grid(
+                df, "v", chars=chars, radius_fixed=r, v_abs_max=1000
+            ).collect()
+        }
+        assert got == ref_idw(pts, chars, r), f"seed {seed}"
+        assert got, f"seed {seed} produced nothing"
+
+
+def test_value_guard_raises(spark):
+    df = spark.createDataFrame([(0, 0, 5_000)], "lon long, lat long, v long")
+    out = idw_grid(df, "v", v_abs_max=1000)
+    with pytest.raises(Exception, match="v_abs_max"):
+        out.collect()
+
+
+def test_overflow_budget_rejected(spark):
+    df = spark.createDataFrame([(0, 0, 1)], "lon long, lat long, v long")
+    with pytest.raises(ValueError, match="aggregation budget"):
+        idw_grid(df, "v", v_abs_max=10**9, max_pts_per_cell=10**9)
+
+
+def test_negative_value_division_raises(spark):
+    df = spark.createDataFrame([(0, 0, -5)], "lon long, lat long, v long")
+    out = idw_grid(df, "v", v_abs_max=1000)
+    with pytest.raises(Exception, match="negative weighted sum"):
+        out.collect()
