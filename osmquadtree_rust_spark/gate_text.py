@@ -587,6 +587,73 @@ JOIN bs b ON b.image_id = p.image_id
 
 
 # ===========================================================================
+# patch stats (operators/multimodal.patch_stats): ViT-style patch grid
+# with exact per-patch channel sums.  The oracle derives them from the
+# fixture formulas: r sums over the patch's x range times the patch
+# height (r is y-constant), g mirrored, b brute over the pixel grid
+# grouped by (x DIV P, y DIV P).  PNG (lossless) rows only.
+# ===========================================================================
+
+_PST_P = 8
+
+
+@_register("patch_stats")
+def _pst(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    return MM.patch_stats(images, patch=_PST_P).select(
+        F.col("image_id"),
+        F.col("px").cast("int"),
+        F.col("py").cast("int"),
+        F.col("sum_r").cast("long"),
+        F.col("sum_g").cast("long"),
+        F.col("sum_b").cast("long"),
+    )
+
+
+@_oracle("patch_stats")
+def _pst_o():
+    from .sources.fixtures import H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    P = _PST_P
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h
+  FROM range({_IDS_N}) t(i) WHERE t.i % 2 = 0),
+rs AS MATERIALIZED (
+  SELECT i.image_id, CAST(x.range // {P} AS INT) AS px,
+         SUM(((x.range * 255) // (i.w - 1) + i.i) % 256) * {P} AS sum_r
+  FROM imgs i, range({max(W_CYCLE)}) x WHERE x.range < i.w
+  GROUP BY i.image_id, px),
+gs AS MATERIALIZED (
+  SELECT i.image_id, CAST(y.range // {P} AS INT) AS py,
+         SUM(((y.range * 255) // (i.h - 1) + 2 * i.i) % 256) * {P} AS sum_g
+  FROM imgs i, range({max(H_CYCLE)}) y WHERE y.range < i.h
+  GROUP BY i.image_id, py),
+bs AS MATERIALIZED (
+  SELECT i.image_id, CAST(x.range // {P} AS INT) AS px,
+         CAST(y.range // {P} AS INT) AS py,
+         SUM((x.range + y.range + 3 * i.i) % 256) AS sum_b
+  FROM imgs i, range({max(W_CYCLE)}) x, range({max(H_CYCLE)}) y
+  WHERE x.range < i.w AND y.range < i.h
+  GROUP BY i.image_id, px, py)
+SELECT b.image_id, b.px, b.py,
+       CAST(r.sum_r AS BIGINT) AS sum_r,
+       CAST(g.sum_g AS BIGINT) AS sum_g,
+       CAST(b.sum_b AS BIGINT) AS sum_b
+FROM bs b
+JOIN rs r ON r.image_id = b.image_id AND r.px = b.px
+JOIN gs g ON g.image_id = b.image_id AND g.py = b.py
+"""
+
+
+# ===========================================================================
 # kNN via cell-ring expansion (BASELINE generalization; exact)
 # ===========================================================================
 

@@ -498,6 +498,70 @@ def augment_crop_flip(
     return images.mapInPandas(batches, AUGMENT_SCHEMA)
 
 
+PATCH_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def patch_stats(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction: split each decoded image into a grid
+    of `patch` x `patch` pixel patches and emit exact per-patch channel
+    sums — the pre-embedding statistics a vision-training pipeline
+    computes (patch means feed normalization; degenerate-patch
+    detection cuts blank tiles).
+
+    Image dimensions must be divisible by `patch` (raise, not a silent
+    partial patch — a ragged edge would mean a different model input
+    contract).  Patch (px, py) covers x in [px*patch, (px+1)*patch).
+
+    Scale shape: one mapInPandas projection; the per-image reshape is a
+    numpy view (no copy), sums vectorized over all patches at once.
+    Output fans out (w*h)/patch^2 small rows per image."""
+    P = int(patch)
+    if P <= 0:
+        raise ValueError(f"patch={patch} must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px = FX.decode_image(bytes(data), fmt).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if h % P or w % P:
+                    raise ValueError(
+                        f"patch_stats: {w}x{h} not divisible by patch={P} "
+                        f"for {image_id}"
+                    )
+                ny, nx = h // P, w // P
+                # (ny, P, nx, P, c) view -> sums over the two P axes
+                sums = px.reshape(ny, P, nx, P, 3).sum(axis=(1, 3))
+                for py in range(ny):
+                    for gx in range(nx):
+                        recs.append(
+                            (
+                                image_id, gx, py,
+                                int(sums[py, gx, 0]),
+                                int(sums[py, gx, 1]),
+                                int(sums[py, gx, 2]),
+                            )
+                        )
+            yield pd.DataFrame(
+                recs,
+                columns=["image_id", "px", "py", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return images.mapInPandas(batches, PATCH_SCHEMA)
+
+
 HISTOGRAM_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

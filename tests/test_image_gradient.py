@@ -177,3 +177,46 @@ def test_augment_crop_flip_rejects_bad_crop(spark):
     )
     with pytest.raises(Exception, match="outside"):
         augment_crop_flip(df, 8, 8).collect()
+
+
+def test_patch_stats_vs_numpy(spark):
+    from osmquadtree_rust_spark.operators.multimodal import patch_stats
+
+    imgs = [FX.synth_pixels(2, 16, 16), FX.synth_pixels(5, 32, 24)]
+    df = spark.createDataFrame(
+        [
+            (f"img{i}", bytearray(FX.png_encode(px)), "png")
+            for i, px in enumerate(imgs)
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["image_id"], r["px"], r["py"]):
+            (r["sum_r"], r["sum_g"], r["sum_b"])
+        for r in patch_stats(df, patch=8).collect()
+    }
+    exp = {}
+    for i, px in enumerate(imgs):
+        h, w = px.shape[0], px.shape[1]
+        for py in range(h // 8):
+            for gx in range(w // 8):
+                blk = px[py * 8:(py + 1) * 8, gx * 8:(gx + 1) * 8].astype(
+                    np.int64
+                )
+                exp[(f"img{i}", gx, py)] = tuple(
+                    int(s) for s in blk.sum(axis=(0, 1))
+                )
+    assert got == exp
+    assert len(got) == (16 // 8) * (16 // 8) + (32 // 8) * (24 // 8)
+
+
+def test_patch_stats_rejects_ragged(spark):
+    from osmquadtree_rust_spark.operators.multimodal import patch_stats
+
+    df = spark.createDataFrame(
+        [("img0", bytearray(FX.png_encode(FX.synth_pixels(0, 16, 16))),
+          "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    with pytest.raises(Exception, match="not divisible"):
+        patch_stats(df, patch=5).collect()
