@@ -237,3 +237,21 @@ def test_road_speed_stats_semantics(spark):
     n9, us9, mm9, sp9 = got[9]
     assert (n9, us9) == (1, 1_000_000)
     assert sp9 == mm9 * 1_000_000 // us9
+
+
+def test_snap_plan_shape(spark):
+    # The candidate join must be a hash/sort-merge equi-join on the cell
+    # key — never a nested-loop/cartesian fallback — and the road-side
+    # covering explode must sit on the build side, not force a second
+    # scan of the points.
+    segs = [(1, 0, 0, 0, 10_000, 0)]
+    roads = spark.createDataFrame(
+        segs, "road_id long, seg long, x1 long, y1 long, x2 long, y2 long"
+    )
+    pts = spark.createDataFrame(
+        [(1, 5_000, 100)], "event_id long, lon long, lat long"
+    )
+    out = snap_to_roads(pts, roads, max_dist_fixed=500, max_seg_span_fixed=20_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
