@@ -4129,3 +4129,54 @@ SELECT CAST(cx AS BIGINT) AS cell_x, CAST(cy AS BIGINT) AS cell_y,
        CAST(SUM(w * v) // GREATEST(SUM(w), 1) AS BIGINT) AS idw_value
 FROM wtab GROUP BY cx, cy
 """
+
+
+# ===========================================================================
+# co-visitation (operators/trajectory.co_visits): contact-graph pairs —
+# distinct shared (cell, hour-bucket) slots per user pair over the
+# Lissajous walks.  The oracle mirrors the visit distinct + pair join
+# relationally (the gate pins the cross-engine cell/bucket integer
+# semantics and the distinct-slot counting).
+# ===========================================================================
+
+_CV_CHARS = 6
+_CV_BUCKET_US = 3_600_000_000
+
+
+@_register("co_visits")
+def _cvg(spark, sf_dir):
+    from .operators.trajectory import co_visits
+
+    out = co_visits(
+        _xing_pts(spark, sf_dir), chars=_CV_CHARS, bucket_us=_CV_BUCKET_US
+    )
+    return out.select(
+        F.col("user_a").cast("long"),
+        F.col("user_b").cast("long"),
+        F.col("n_covisits").cast("long"),
+    )
+
+
+@_oracle("co_visits")
+def _cvg_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+
+    cx, cy = GH.geohash_xy_sql("lon", "lat", _CV_CHARS, DUCKDB)
+    return f"""
+WITH {_xing_pts_sql()},
+vis AS MATERIALIZED (
+  SELECT DISTINCT user_id, {cx} AS cx, {cy} AS cy,
+         epoch_us(ts) // {_CV_BUCKET_US} AS tb
+  FROM pts
+),
+pairs AS MATERIALIZED (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM vis a JOIN vis b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb
+   AND a.user_id < b.user_id
+)
+SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
+       CAST(COUNT(*) AS BIGINT) AS n_covisits
+FROM pairs GROUP BY ua, ub
+"""

@@ -87,3 +87,27 @@ def test_negative_value_division_raises(spark):
     out = idw_grid(df, "v", v_abs_max=1000)
     with pytest.raises(Exception, match="negative weighted sum"):
         out.collect()
+
+
+def test_co_visits_semantics(spark):
+    from osmquadtree_rust_spark.operators.trajectory import co_visits
+
+    H = 3_600_000_000
+    # users 1,2 share a cell in hour 0 (1 pings twice there — distinct
+    # slot counts once) and again in hour 2; user 3 visits the same cell
+    # in a different hour only
+    rows = [
+        (1, H // 2, 100, 100),
+        (1, H // 3, 150, 120),       # same cell+hour as above
+        (2, H // 4, 200, 180),
+        (1, 2 * H + 1, 100, 100),
+        (2, 2 * H + 2, 130, 140),
+        (3, 5 * H, 100, 100),
+        (3, 5 * H + 1, 90_000_000, 0),  # far cell
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, lon long, lat long")
+    got = {
+        (r["user_a"], r["user_b"]): r["n_covisits"]
+        for r in co_visits(df, chars=6, bucket_us=H).collect()
+    }
+    assert got == {(1, 2): 2}
