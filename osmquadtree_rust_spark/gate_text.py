@@ -5028,6 +5028,58 @@ JOIN bsum b ON b.v = vf.v AND b.f = vf.f
 """
 
 
+@_register("frame_diff_stats")
+def _fds(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    vdf = spark.createDataFrame(
+        FX.synth_video_rows(_VID_N), "video_id string, bytes binary"
+    )
+    return MM.frame_diff_stats(vdf).select(
+        F.col("video_id"),
+        F.col("frame_idx").cast("int"),
+        F.col("diff_l1").cast("long"),
+    )
+
+
+@_oracle("frame_diff_stats")
+def _fds_o():
+    from .sources.fixtures import VID_FRAMES, VID_H, VID_W
+
+    # frame f = synth_pixels(v*101 + f): consecutive seeds differ by 1,
+    # so per-pixel diffs are |(base + i2) % 256 - (base + i1) % 256| —
+    # mostly the seed delta, 256 minus it at each wrap; summed exactly.
+    return f"""
+WITH vf AS MATERIALIZED (
+  SELECT v.range AS v, f.range AS f,
+         CAST(v.range * 101 + f.range AS BIGINT) AS i2,
+         CAST(v.range * 101 + f.range - 1 AS BIGINT) AS i1
+  FROM range({_VID_N}) v, range(1, {VID_FRAMES}) f),
+rd AS (
+  SELECT vf.v, vf.f,
+         SUM(ABS((x.range * 255 // ({VID_W} - 1) + i2) % 256
+               - (x.range * 255 // ({VID_W} - 1) + i1) % 256)) AS d
+  FROM vf, range({VID_W}) x GROUP BY vf.v, vf.f),
+gd AS (
+  SELECT vf.v, vf.f,
+         SUM(ABS((y.range * 255 // ({VID_H} - 1) + 2 * i2) % 256
+               - (y.range * 255 // ({VID_H} - 1) + 2 * i1) % 256)) AS d
+  FROM vf, range({VID_H}) y GROUP BY vf.v, vf.f),
+bd AS (
+  SELECT vf.v, vf.f,
+         SUM(ABS((x.range + y.range + 3 * i2) % 256
+               - (x.range + y.range + 3 * i1) % 256)) AS d
+  FROM vf, range({VID_W}) x, range({VID_H}) y GROUP BY vf.v, vf.f)
+SELECT printf('vid%06d', vf.v) AS video_id, CAST(vf.f AS INT) AS frame_idx,
+       CAST(r.d * {VID_H} + g.d * {VID_W} + b.d AS BIGINT) AS diff_l1
+FROM vf
+JOIN rd r ON r.v = vf.v AND r.f = vf.f
+JOIN gd g ON g.v = vf.v AND g.f = vf.f
+JOIN bd b ON b.v = vf.v AND b.f = vf.f
+"""
+
+
 @_register("audio_feature_stats")
 def _afs(spark, sf_dir):
     from .operators import multimodal as MM

@@ -615,6 +615,46 @@ def image_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
     return images.mapInPandas(batches, HISTOGRAM_SCHEMA)
 
 
+FRAME_DIFF_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("diff_l1", LongType()),
+    ]
+)
+
+
+def frame_diff_stats(videos: DataFrame) -> DataFrame:
+    """Scene-change signal: exact L1 distance between consecutive
+    decoded frames (sum of |delta| over pixels and channels) — the
+    shot-boundary / static-clip detector a video-curation pipeline
+    thresholds on (near-zero runs = frozen footage, spikes = cuts).
+    `frame_idx` is the LATER frame of each pair.
+
+    Scale shape: one mapInPandas projection; a video row fans out to
+    n_frames - 1 small rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                prev = None
+                for fi, frame in enumerate(
+                    FX.video_decode_frames(bytes(data))
+                ):
+                    cur = frame.astype(np.int64)
+                    if prev is not None:
+                        recs.append(
+                            (vid, fi, int(np.abs(cur - prev).sum()))
+                        )
+                    prev = cur
+            yield pd.DataFrame(
+                recs, columns=["video_id", "frame_idx", "diff_l1"]
+            )
+
+    return videos.mapInPandas(batches, FRAME_DIFF_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("video_id", StringType()),

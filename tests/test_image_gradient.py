@@ -220,3 +220,21 @@ def test_patch_stats_rejects_ragged(spark):
     )
     with pytest.raises(Exception, match="not divisible"):
         patch_stats(df, patch=5).collect()
+
+
+def test_frame_diff_stats_vs_numpy(spark):
+    from osmquadtree_rust_spark.operators.multimodal import frame_diff_stats
+
+    rows = FX.synth_video_rows(3)
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = {
+        (r["video_id"], r["frame_idx"]): r["diff_l1"]
+        for r in frame_diff_stats(df).collect()
+    }
+    exp = {}
+    for vid, data in rows:
+        frames = [f.astype(np.int64) for f in FX.video_decode_frames(bytes(data))]
+        for fi in range(1, len(frames)):
+            exp[(vid, fi)] = int(np.abs(frames[fi] - frames[fi - 1]).sum())
+    assert got == exp and len(exp) == 3 * (FX.VID_FRAMES - 1)
+    assert all(v > 0 for v in exp.values())  # consecutive seeds differ
