@@ -4180,3 +4180,58 @@ SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT) AS user_b,
        CAST(COUNT(*) AS BIGINT) AS n_covisits
 FROM pairs GROUP BY ua, ub
 """
+
+
+# ===========================================================================
+# speeding segments (operators/trajectory.speeding_segments): GPS
+# plausibility QA — division-free integer speed compare
+# (chord_mm * 1e6 > vmax * dt_us) per consecutive pair, per-entity
+# rollup.  Chords numpy-libm on the Spark side, chord_mm_sql in the
+# oracle (the pinned sqrt-only cross-engine form).
+# ===========================================================================
+
+_SPD_VMAX = 50  # mm/s — splits the walk corpus ~4% speeding at sf0.01
+
+
+@_register("speeding_report")
+def _spd(spark, sf_dir):
+    from .operators.trajectory import speeding_segments
+
+    out = speeding_segments(
+        _xing_pts(spark, sf_dir), _SPD_VMAX, max_span_fixed=_XING_SPAN
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_segs").cast("long"),
+        F.col("n_speeding").cast("long"),
+        F.col("max_chord_mm").cast("long"),
+    )
+
+
+@_oracle("speeding_report")
+def _spd_o() -> str:
+    from .operators.trajectory import chord_mm_sql
+
+    mm = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH {_xing_pts_sql()},
+lagged AS MATERIALIZED (
+  SELECT user_id, lon, lat, epoch_us(ts) AS tus,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         LAG(epoch_us(ts)) OVER w AS ptus
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+segs AS MATERIALIZED (
+  SELECT user_id, {mm} AS mmv, tus - ptus AS dus
+  FROM lagged
+  WHERE plon IS NOT NULL
+    AND ABS(lon - plon) <= {_XING_SPAN} AND ABS(lat - plat) <= {_XING_SPAN}
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN mmv * 1000000 > {_SPD_VMAX} * dus
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_speeding,
+       CAST(MAX(mmv) AS BIGINT) AS max_chord_mm
+FROM segs GROUP BY user_id
+"""

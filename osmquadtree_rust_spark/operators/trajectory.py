@@ -1248,3 +1248,63 @@ def co_visits(
         )
         .agg(F.count("*").alias("n_covisits"))
     )
+
+
+def speeding_segments(
+    events: DataFrame,
+    vmax_mmps: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    max_span_fixed: int = 200_000,
+) -> DataFrame:
+    """Per-entity speed-violation counts — the GPS-plausibility /
+    anomaly filter (drop or flag entities whose track implies
+    impossible speeds).  A consecutive pair is speeding when
+
+        chord_mm * 1_000_000 > vmax_mmps * dt_us
+
+    — a division-free integer compare that handles dt = 0 naturally
+    (any movement in zero time is a violation).  Segments whose
+    per-axis extent exceeds `max_span_fixed` are teleports (trip
+    boundaries), excluded like every trajectory operator here.
+
+    Returns (id_col, n_segs, n_speeding, max_chord_mm).
+
+    Scale shape: one entity-keyed window, chord via the vectorized
+    numpy UDF, then a partial-aggregating per-entity rollup."""
+    from ..functions.parse import epoch_micros
+
+    S = int(max_span_fixed)
+    pts = events.select(
+        id_col, seq_col, lon, lat, epoch_micros(events, ts_col).alias("__tus")
+    )
+    # __tus preserves ts order (epoch micros is monotone), seq breaks ties
+    w = Window.partitionBy(id_col).orderBy("__tus", seq_col)
+    lagged = (
+        pts.withColumn("__plon", F.lag(lon).over(w))
+        .withColumn("__plat", F.lag(lat).over(w))
+        .withColumn("__ptus", F.lag("__tus").over(w))
+        .filter(F.col("__plon").isNotNull())
+        .filter(
+            (F.abs(F.col(lon) - F.col("__plon")) <= S)
+            & (F.abs(F.col(lat) - F.col("__plat")) <= S)
+        )
+    )
+    segs = lagged.select(
+        id_col,
+        _chord_mm_udf(
+            F.col("__plon"), F.col("__plat"), F.col(lon), F.col(lat)
+        ).alias("__mm"),
+        (F.col("__tus") - F.col("__ptus")).alias("__dus"),
+    )
+    return segs.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        F.sum(
+            F.expr(f"CASE WHEN __mm * 1000000 > {int(vmax_mmps)} * __dus "
+                   f"THEN 1 ELSE 0 END")
+        ).alias("n_speeding"),
+        F.max("__mm").alias("max_chord_mm"),
+    )

@@ -111,3 +111,26 @@ def test_co_visits_semantics(spark):
         for r in co_visits(df, chars=6, bucket_us=H).collect()
     }
     assert got == {(1, 2): 2}
+
+
+def test_speeding_segments_semantics(spark):
+    from osmquadtree_rust_spark.operators.trajectory import speeding_segments
+
+    # user 1: 3 segments — fast (big move, 1s), slow (small move, 1h),
+    # zero-dt with movement (always a violation); plus a teleport pair
+    # (extent > max_span) that must be excluded entirely
+    M = 1_000_000
+    rows = [
+        (1, 1, 0 * M, 0, 0),
+        (1, 2, 1 * M, 10_000, 0),          # ~111 m in 1 s -> speeding
+        (1, 3, 3601 * M, 10_100, 0),       # ~1 m in 1 h -> fine
+        (1, 4, 3601 * M, 10_200, 0),       # dt=0, moved -> speeding
+        (1, 5, 3602 * M, 900_000, 0),      # teleport: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    r = speeding_segments(df, vmax_mmps=30_000, max_span_fixed=200_000).collect()
+    assert len(r) == 1
+    assert (r[0]["n_segs"], r[0]["n_speeding"]) == (3, 2)
+    assert 100_000 < r[0]["max_chord_mm"] < 120_000  # the ~111 m segment
