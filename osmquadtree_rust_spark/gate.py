@@ -4235,3 +4235,66 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(MAX(mmv) AS BIGINT) AS max_chord_mm
 FROM segs GROUP BY user_id
 """
+
+
+# ===========================================================================
+# match rate (map-match QA): per-user matched-point fraction in ppm —
+# the coverage metric that decides whether a track is usable for road
+# analytics.  Composes the snap operator with a raw count; ppm is the
+# shared non-negative integer division.
+# ===========================================================================
+
+
+@_register("match_rate")
+def _mrt(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP, idiv_sql
+    from .operators.map_match import snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = spark.range(16 * _MM_ROADS * _MM_SEGS).select(
+        F.expr(e["road"]).alias("road_id"),
+        F.expr(e["seg"]).alias("seg"),
+        F.expr(e["x1"]).alias("x1"),
+        F.expr(e["y1"]).alias("y1"),
+        F.expr(e["x2"]).alias("x2"),
+        F.expr(e["y2"]).alias("y2"),
+    )
+    pts = _xing_pts(spark, sf_dir)
+    m = snap_to_roads(
+        pts,
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id",),
+    )
+    n_tot = pts.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    n_mat = m.groupBy("user_id").agg(F.count("*").alias("n_matched"))
+    out = n_tot.join(n_mat, "user_id", "left").select(
+        F.col("user_id").cast("long"),
+        F.col("n_total").cast("long"),
+        F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+    )
+    ppm = idiv_sql("n_matched * 1000000", "n_total", _SP)
+    return out.withColumn("match_ppm", F.expr(f"CAST({ppm} AS BIGINT)"))
+
+
+@_oracle("match_rate")
+def _mrt_o() -> str:
+    from .functions.text_sql import DUCKDB, idiv_sql
+
+    ppm = idiv_sql("n_matched * 1000000", "n_total", DUCKDB)
+    return f"""
+WITH {_mm_best_sql()},
+nm AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM best WHERE rn = 1 GROUP BY user_id
+),
+nt AS MATERIALIZED (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM pts GROUP BY user_id
+)
+SELECT CAST(t.user_id AS BIGINT) AS user_id, t.n_total,
+       COALESCE(m.n_matched, 0) AS n_matched,
+       CAST({ppm.replace("n_matched", "COALESCE(m.n_matched, 0)").replace("n_total", "t.n_total")} AS BIGINT) AS match_ppm
+FROM nt t LEFT JOIN nm m ON m.user_id = t.user_id
+"""
