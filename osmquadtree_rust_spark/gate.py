@@ -4298,3 +4298,133 @@ SELECT CAST(t.user_id AS BIGINT) AS user_id, t.n_total,
        CAST({ppm.replace("n_matched", "COALESCE(m.n_matched, 0)").replace("n_total", "t.n_total")} AS BIGINT) AS match_ppm
 FROM nt t LEFT JOIN nm m ON m.user_id = t.user_id
 """
+
+
+# ===========================================================================
+# road conflation (operators/map_match.conflate_roads): match network A's
+# segments to network B's nearest bearing-compatible segment.  B is A
+# shifted by (810, 1490) units with the vertex-jitter hash constant
+# swapped on a quarter of the vertex indices — those twins drift in
+# height AND bearing, so the gate exercises the distance cap and the
+# |tan| <= 0.268 filter on real variety (some A segments match their
+# twin, some match nothing).  The oracle brute-forces A midpoints vs all
+# same-neighborhood B segments with the identical midpoint/snap/bearing
+# integer text.
+# ===========================================================================
+
+_CFL_CAP = 5_000
+
+
+def _mm_road_b_exprs(i: str, dialect: str) -> dict[str, str]:
+    """Variant-B network: _mm_road_exprs shifted (+810, +1490) with the
+    jitter constant swapped where (r + s) % 4 == 0."""
+    from .functions.text_sql import idiv_sql
+
+    nsegs = _MM_ROADS * _MM_SEGS
+    nb = f"({idiv_sql(i, str(nsegs), dialect)})"
+    r = f"({idiv_sql(f'(({i}) % {nsegs})', str(_MM_SEGS), dialect)})"
+    s = f"(({i}) % {_MM_SEGS})"
+    lon0 = f"((({nb} * 2654435761) % 3200000000) - 1600000000)"
+    lat0 = f"((({nb} * 2246822519) % 1500000000) - 750000000)"
+
+    def jit(ss: str) -> str:
+        const = (
+            f"(CASE WHEN ({r} + {ss}) % 4 = 0 THEN 2246822519 "
+            f"ELSE 2654435761 END)"
+        )
+        return f"((({r} * 9 + {ss} + 1) * {const}) % 30000)"
+
+    ybase = f"({lat0} + {r} * 48000 + 1490)"
+    return {
+        "nb": nb,
+        "road": f"({nb} * {_MM_ROADS} + {r})",
+        "seg": s,
+        "x1": f"({lon0} + {s} * 45000 + 810)",
+        "x2": f"({lon0} + ({s} + 1) * 45000 + 810)",
+        "y1": f"({ybase} + {jit(s)})",
+        "y2": f"({ybase} + {jit(f'({s} + 1)')})",
+    }
+
+
+def _mm_roads_df(spark, exprs: dict[str, str]):
+    return spark.range(16 * _MM_ROADS * _MM_SEGS).select(
+        F.expr(exprs["road"]).alias("road_id"),
+        F.expr(exprs["seg"]).alias("seg"),
+        F.expr(exprs["x1"]).alias("x1"),
+        F.expr(exprs["y1"]).alias("y1"),
+        F.expr(exprs["x2"]).alias("x2"),
+        F.expr(exprs["y2"]).alias("y2"),
+    )
+
+
+@_register("conflate_networks")
+def _cfl(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import conflate_roads
+
+    a = _mm_roads_df(spark, _mm_road_exprs("id", _SP))
+    b = _mm_roads_df(spark, _mm_road_b_exprs("id", _SP))
+    out = conflate_roads(
+        a, b, max_dist_fixed=_CFL_CAP, max_seg_span_fixed=_MM_SPAN
+    )
+    return out.select(
+        F.col("a_road").cast("long"),
+        F.col("a_seg").cast("long"),
+        F.col("b_road").cast("long"),
+        F.col("b_seg").cast("long"),
+        F.col("snap_d2").cast("long"),
+    )
+
+
+@_oracle("conflate_networks")
+def _cfl_o() -> str:
+    from .functions.text_sql import DUCKDB
+    from .operators.map_match import snap_exprs
+
+    ea = _mm_road_exprs("i", DUCKDB)
+    eb = _mm_road_b_exprs("i", DUCKDB)
+    s1, s2, s3 = snap_exprs("mx", "my", "x1", "y1", "x2", "y2", DUCKDB)
+
+    def sel(stage: dict[str, str]) -> str:
+        return ", ".join(f"{v} AS {k}" for k, v in stage.items())
+
+    n = 16 * _MM_ROADS * _MM_SEGS
+    return f"""
+WITH idx AS MATERIALIZED (SELECT unnest(range(0, {n})) AS i),
+a0 AS MATERIALIZED (
+  SELECT {ea["nb"]} AS nb, {ea["road"]} AS a_road, {ea["seg"]} AS a_seg,
+         {ea["x1"]} AS ax1, {ea["y1"]} AS ay1,
+         {ea["x2"]} AS ax2, {ea["y2"]} AS ay2
+  FROM idx),
+amid AS MATERIALIZED (
+  SELECT nb, a_road, a_seg,
+         ((ax1 + ax2 + 3600000000) // 2) - 1800000000 AS mx,
+         ((ay1 + ay2 + 1800000000) // 2) - 900000000 AS my,
+         ax2 - ax1 AS __pvx, ay2 - ay1 AS __pvy
+  FROM a0),
+b0 AS MATERIALIZED (
+  SELECT {eb["nb"]} AS nb, {eb["road"]} AS b_road, {eb["seg"]} AS b_seg,
+         {eb["x1"]} AS x1, {eb["y1"]} AS y1,
+         {eb["x2"]} AS x2, {eb["y2"]} AS y2
+  FROM idx),
+cand AS MATERIALIZED (
+  SELECT a.a_road, a.a_seg, a.mx, a.my, a.__pvx, a.__pvy,
+         b.b_road, b.b_seg, b.x1, b.y1, b.x2, b.y2
+  FROM amid a JOIN b0 b ON b.nb = a.nb),
+s1 AS MATERIALIZED (SELECT *, {sel(s1)} FROM cand),
+s2 AS MATERIALIZED (SELECT *, {sel(s2)} FROM s1),
+s3 AS MATERIALIZED (SELECT *, {sel(s3)} FROM s2),
+best AS MATERIALIZED (
+  SELECT a_road, a_seg, b_road, b_seg, __d2,
+         ROW_NUMBER() OVER (PARTITION BY a_road, a_seg
+                            ORDER BY __d2, b_road, b_seg) AS rn
+  FROM s3
+  WHERE __d2 <= {_CFL_CAP * _CFL_CAP}
+    AND ABS(__pvx * __dy - __pvy * __dx) * 1000000
+        <= ABS(__pvx * __dx + __pvy * __dy) * 268000
+)
+SELECT CAST(a_road AS BIGINT) AS a_road, CAST(a_seg AS BIGINT) AS a_seg,
+       CAST(b_road AS BIGINT) AS b_road, CAST(b_seg AS BIGINT) AS b_seg,
+       CAST(__d2 AS BIGINT) AS snap_d2
+FROM best WHERE rn = 1
+"""

@@ -93,9 +93,19 @@ def snap_to_roads(
     max_seg_span_fixed: int = 500_000,
     chars: int | None = None,
     max_cells_per_axis: int = 64,
+    dir_cols: tuple | None = None,
+    max_tan_ppm: int | None = None,
 ) -> DataFrame:
     """Match each point to its nearest road segment within
     `max_dist_fixed` (1e-7-degree planar units), integer-exact.
+
+    With `dir_cols=(vx, vy)` (an integer direction vector per point,
+    |component| <= max_seg_span_fixed) and `max_tan_ppm`, candidates
+    must also be bearing-compatible: |cross(v, d)| * 1e6 <=
+    |dot(v, d)| * max_tan_ppm — an undirected |tan angle| bound, pure
+    int64 (268_000 ~ 15 degrees).  A zero-length vector on either side
+    passes (no bearing to violate).  This is the conflation predicate
+    (see conflate_roads).
 
     `roads` holds one row per segment: (road_id, seg_col, x1, y1, x2,
     y2) fixed-point endpoints with per-axis extent <= max_seg_span_fixed
@@ -204,11 +214,24 @@ def snap_to_roads(
     )
 
     pxs, pys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    dir_sel = []
+    if dir_cols is not None:
+        vx, vy = dir_cols
+        vbound = (
+            f"CASE WHEN ABS({{c}}) <= {S} THEN CAST({{c}} AS BIGINT) "
+            f"ELSE CAST(raise_error('snap_to_roads: |{{c}}| direction "
+            f"component exceeds max_seg_span_fixed={S}') AS BIGINT) END"
+        )
+        dir_sel = [
+            F.expr(vbound.format(c=vx)).alias("__pvx"),
+            F.expr(vbound.format(c=vy)).alias("__pvy"),
+        ]
     pts = points.select(
         F.col(point_id).alias("__pid"),
         *[F.col(k) for k in keep],
         F.col(lon).cast("long").alias("__plon"),
         F.col(lat).cast("long").alias("__plat"),
+        *dir_sel,
         F.expr(pxs).alias("__cx"),
         F.expr(pys).alias("__cy"),
     )
@@ -218,6 +241,8 @@ def snap_to_roads(
         "__plon", "__plat", "__rx1", "__ry1", "__rx2", "__ry2", SPARK
     ):
         cand = cand.withColumns({k: F.expr(v) for k, v in stage.items()})
+    if dir_cols is not None and max_tan_ppm is not None:
+        cand = cand.filter(F.expr(bearing_ok_sql(int(max_tan_ppm))))
     best = (
         cand.filter((F.col("__d2") <= C * C) & (F.col("__ok") == 1))
         .groupBy("__pid", *keep)
@@ -350,3 +375,88 @@ def road_speed_stats(
         "speed multiply; window the input by time first') AS BIGINT) END"
     )
     return agg.withColumn("speed_mmps", F.expr(speed))
+
+
+def bearing_ok_sql(max_tan_ppm: int) -> str:
+    """Undirected bearing-compatibility predicate between the point's
+    direction (__pvx, __pvy) and the candidate segment's (__dx, __dy):
+    |cross| * 1e6 <= |dot| * max_tan_ppm  (|tan angle| bound, folding
+    180-degree flips via the ABS on dot).  Shared SQL text both
+    engines; int64-safe for components <= 5e8."""
+    cross = "ABS(__pvx * __dy - __pvy * __dx)"
+    dot = "ABS(__pvx * __dx + __pvy * __dy)"
+    return f"({cross} * 1000000 <= {dot} * {int(max_tan_ppm)})"
+
+
+def conflate_roads(
+    roads_a: DataFrame,
+    roads_b: DataFrame,
+    *,
+    max_dist_fixed: int,
+    max_tan_ppm: int = 268_000,
+    road_id: str = "road_id",
+    seg_col: str = "seg",
+    ends: tuple = ("x1", "y1", "x2", "y2"),
+    max_seg_span_fixed: int = 500_000,
+    chars: int | None = None,
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Road-network conflation: match every segment of network A to its
+    nearest BEARING-COMPATIBLE segment of network B — the two-dataset
+    reconciliation step (imported network vs authoritative one; OSM vs
+    municipal) that precedes any merge of their attributes.
+
+    Each A segment is represented by its floored midpoint
+    ((x1 + x2) DIV 2 — non-negative shift keeps both engines equal) and
+    its direction vector; the B winner is the nearest segment with
+    |tan(angle)| <= max_tan_ppm/1e6 (default ~15 degrees, undirected)
+    whose snapped distance is within `max_dist_fixed`.  A segments with
+    no compatible B segment are absent (anti-join for the "new road"
+    report).
+
+    Returns (a_road, a_seg, b_road, b_seg, snap_d2).
+
+    Scale shape: exactly snap_to_roads — B's padded covering explodes,
+    A contributes one cell per segment midpoint, AQE picks the join
+    strategy, and the argmin is a partial aggregate."""
+    x1, y1, x2, y2 = ends
+    half = (
+        "CAST(((({a}) + 1800000000) + (({b}) + 1800000000)) DIV 2 "
+        "- 1800000000 AS BIGINT)"
+    )
+    halfv = (
+        "CAST(((({a}) + 900000000) + (({b}) + 900000000)) DIV 2 "
+        "- 900000000 AS BIGINT)"
+    )
+    mid = roads_a.select(
+        F.col(road_id).alias("a_road"),
+        F.col(seg_col).alias("a_seg"),
+        F.expr(half.format(a=x1, b=x2)).alias("__mx"),
+        F.expr(halfv.format(a=y1, b=y2)).alias("__my"),
+        (F.col(x2) - F.col(x1)).cast("long").alias("__vx"),
+        (F.col(y2) - F.col(y1)).cast("long").alias("__vy"),
+    )
+    out = snap_to_roads(
+        mid,
+        roads_b,
+        max_dist_fixed=max_dist_fixed,
+        lon="__mx",
+        lat="__my",
+        point_id="a_road",
+        keep=("a_seg", "__vx", "__vy"),
+        road_id=road_id,
+        seg_col=seg_col,
+        ends=ends,
+        max_seg_span_fixed=max_seg_span_fixed,
+        chars=chars,
+        max_cells_per_axis=max_cells_per_axis,
+        dir_cols=("__vx", "__vy"),
+        max_tan_ppm=max_tan_ppm,
+    )
+    return out.select(
+        F.col("a_road"),
+        F.col("a_seg"),
+        F.col(road_id).alias("b_road"),
+        F.col(seg_col).alias("b_seg"),
+        F.col("snap_d2"),
+    )

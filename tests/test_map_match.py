@@ -255,3 +255,50 @@ def test_snap_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_conflate_roads_bearing_and_distance(spark):
+    from osmquadtree_rust_spark.operators.map_match import conflate_roads
+
+    # A: one horizontal segment.  B: a parallel twin 300 units away
+    # (match), a perpendicular segment crossing nearby (bearing-blocked),
+    # and a parallel segment far beyond the cap (distance-blocked).
+    a = spark.createDataFrame(
+        [(1, 0, 0, 0, 40_000, 0)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, 0, 0, 300, 40_000, 300),        # parallel, close
+            (11, 0, 20_000, -5_000, 20_000, 5_000),  # perpendicular
+            (12, 0, 0, 50_000, 40_000, 50_000),  # parallel, far
+        ],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    rows = conflate_roads(
+        a, b, max_dist_fixed=2_000, max_seg_span_fixed=50_000
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_road"], r["b_road"], r["snap_d2"]) == (1, 10, 300 * 300)
+
+
+def test_conflate_roads_angle_threshold(spark):
+    from osmquadtree_rust_spark.operators.map_match import conflate_roads
+
+    # tan(angle) = 10000/40000 = 0.25 <= 0.268 passes; 0.30 fails
+    a = spark.createDataFrame(
+        [(1, 0, 0, 0, 40_000, 0)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    ok = spark.createDataFrame(
+        [(20, 0, 0, 100, 40_000, 10_100)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    bad = spark.createDataFrame(
+        [(21, 0, 0, 100, 40_000, 12_100)],
+        "road_id long, seg long, x1 long, y1 long, x2 long, y2 long",
+    )
+    kw = dict(max_dist_fixed=10_000, max_seg_span_fixed=50_000)
+    assert conflate_roads(a, ok, **kw).count() == 1
+    assert conflate_roads(a, bad, **kw).count() == 0
