@@ -4428,3 +4428,58 @@ SELECT CAST(a_road AS BIGINT) AS a_road, CAST(a_seg AS BIGINT) AS a_seg,
        CAST(__d2 AS BIGINT) AS snap_d2
 FROM best WHERE rn = 1
 """
+
+
+# ===========================================================================
+# pair-distance histogram (operators/spatial_join.pair_distance_histogram):
+# Ripley's-K-style band counts of unordered close pairs over the walk
+# points — exact integer d2 bands.  The oracle brute-forces same-
+# neighborhood pairs (sound: cross-nb distances dwarf the max radius),
+# independently verifying the disc-covering candidates' recall and the
+# one-cell pair dedup.
+# ===========================================================================
+
+_PDH_RADII = [2_000, 5_000, 10_000, 20_000]
+
+
+@_register("pair_distance_hist")
+def _pdh(spark, sf_dir):
+    from .operators.spatial_join import pair_distance_histogram
+
+    out = pair_distance_histogram(_xing_pts(spark, sf_dir), _PDH_RADII)
+    return out.select(
+        F.col("band").cast("long"),
+        F.col("radius_fixed").cast("long"),
+        F.col("n_pairs").cast("long"),
+    )
+
+
+@_oracle("pair_distance_hist")
+def _pdh_o() -> str:
+    bounds = [0] + [r * r for r in _PDH_RADII]
+    band = "CASE " + " ".join(
+        f"WHEN d2 <= {bounds[k + 1]} THEN {k}"
+        for k in range(len(_PDH_RADII))
+    ) + " END"
+    rcase = "CASE " + " ".join(
+        f"WHEN band = {k} THEN {r}" for k, r in enumerate(_PDH_RADII)
+    ) + " END"
+    return f"""
+WITH {_xing_pts_sql()},
+pn AS MATERIALIZED (
+  SELECT event_id, user_id % 16 AS nb, lon, lat FROM pts
+),
+pairs AS MATERIALIZED (
+  SELECT (a.lon - b.lon) * (a.lon - b.lon)
+       + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+  FROM pn a JOIN pn b ON a.nb = b.nb AND a.event_id < b.event_id
+),
+banded AS MATERIALIZED (
+  SELECT {band} AS band FROM pairs
+  WHERE d2 >= 1 AND d2 <= {bounds[-1]}
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST({rcase} AS BIGINT) AS radius_fixed,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM banded GROUP BY band
+"""

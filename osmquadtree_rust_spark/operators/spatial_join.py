@@ -946,3 +946,110 @@ def dbscan_metric(
         res = points.sparkSession.read.parquet(sink)
     sym.unpersist()
     return res
+
+
+def pair_distance_histogram(
+    points: DataFrame,
+    radii_fixed: list[int],
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "event_id",
+    chars: int | None = None,
+    max_cells_per_axis: int = 64,
+) -> DataFrame:
+    """Point-pattern distance histogram — the empirical core of
+    Ripley's K / pair-correlation analysis: for each radius band
+    (r_{k-1}, r_k], the number of unordered point pairs whose exact
+    integer planar distance-squared falls in the band.
+
+    `radii_fixed` must be strictly increasing positive 1e-7-degree
+    radii; band k spans (radii[k-1]^2, radii[k]^2] in d2 (band 0 from
+    1 — coincident points are distance 0 and excluded with self-pairs).
+
+    Returns (band, radius_fixed, n_pairs), one row per band.
+
+    Scale shape: the a-side explodes into the covering of its
+    max-radius disc (bounded by max_cells_per_axis^2), the b-side
+    contributes its own single cell, so each candidate pair meets in
+    exactly one cell — no dedup shuffle; then one global partial
+    aggregate over a handful of bands.  Dense-cell fan-out is inherent
+    to the statistic (it counts close pairs); AQE's skew join splits
+    hot cells."""
+    from ..functions import geohash as GH
+    from ..functions.text_sql import SPARK
+
+    if not radii_fixed or any(
+        b <= a for a, b in zip((0, *radii_fixed), radii_fixed)
+    ):
+        raise ValueError(
+            f"radii_fixed={radii_fixed} must be strictly increasing "
+            f"positive radii"
+        )
+    rmax = int(radii_fixed[-1])
+    if chars is None:
+        chars = auto_radius_chars(rmax)
+
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    b = points.select(
+        F.col(id_col).alias("__idb"),
+        F.col(lon).cast("long").alias("__bx"),
+        F.col(lat).cast("long").alias("__by"),
+        F.expr(xs).alias("__cx"),
+        F.expr(ys).alias("__cy"),
+    )
+    x0s, y0s = GH.geohash_xy_sql(f"({lon}) - {rmax}", f"({lat}) - {rmax}", chars, SPARK)
+    x1s, y1s = GH.geohash_xy_sql(f"({lon}) + {rmax}", f"({lat}) + {rmax}", chars, SPARK)
+    mca = int(max_cells_per_axis)
+
+    def guarded(lo: str, hi: str, axis: str) -> str:
+        return (
+            f"CASE WHEN ({hi}) - ({lo}) < {mca} THEN ({hi}) "
+            f"ELSE CAST(raise_error('pair_distance_histogram: disc "
+            f"covering exceeds {mca} cells on {axis}') AS BIGINT) END"
+        )
+
+    a = points.select(
+        F.col(id_col).alias("__ida"),
+        F.col(lon).cast("long").alias("__ax"),
+        F.col(lat).cast("long").alias("__ay"),
+        F.expr(x0s).alias("__x0"),
+        F.expr(y0s).alias("__y0"),
+        F.expr(guarded(x0s, x1s, "lon")).alias("__x1"),
+        F.expr(guarded(y0s, y1s, "lat")).alias("__y1"),
+    )
+    acell = a.select(
+        "__ida", "__ax", "__ay",
+        F.explode(F.expr("sequence(__x0, __x1)")).alias("__cx"),
+        "__y0", "__y1",
+    ).select(
+        "__ida", "__ax", "__ay", "__cx",
+        F.explode(F.expr("sequence(__y0, __y1)")).alias("__cy"),
+    )
+    d2 = "(__ax - __bx) * (__ax - __bx) + (__ay - __by) * (__ay - __by)"
+    bounds = [0] + [int(r) * int(r) for r in radii_fixed]
+    band = "CASE " + " ".join(
+        f"WHEN __d2 <= {bounds[k + 1]} THEN {k}"
+        for k in range(len(radii_fixed))
+    ) + " END"
+    pairs = (
+        acell.join(b, ["__cx", "__cy"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .withColumn("__d2", F.expr(d2))
+        .filter((F.col("__d2") >= 1) & (F.col("__d2") <= bounds[-1]))
+        .withColumn("__band", F.expr(band))
+    )
+    radius_case = "CASE " + " ".join(
+        f"WHEN __band = {k} THEN {int(r)}"
+        for k, r in enumerate(radii_fixed)
+    ) + " END"
+    return (
+        pairs.groupBy(F.col("__band").alias("band"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            F.col("band").cast("long"),
+            F.expr(radius_case.replace("__band", "band")).alias(
+                "radius_fixed"
+            ),
+            "n_pairs",
+        )
+    )

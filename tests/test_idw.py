@@ -134,3 +134,44 @@ def test_speeding_segments_semantics(spark):
     assert len(r) == 1
     assert (r[0]["n_segs"], r[0]["n_speeding"]) == (3, 2)
     assert 100_000 < r[0]["max_chord_mm"] < 120_000  # the ~111 m segment
+
+
+def test_pair_distance_histogram_vs_bruteforce(spark):
+    import itertools
+
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        pair_distance_histogram,
+    )
+
+    rng = random.Random(3)
+    pts = [
+        (j, rng.randint(-50_000, 50_000), rng.randint(-40_000, 40_000))
+        for j in range(250)
+    ]
+    radii = [1_000, 4_000, 16_000]
+    df = spark.createDataFrame(pts, "event_id long, lon long, lat long")
+    got = {
+        r["band"]: (r["radius_fixed"], r["n_pairs"])
+        for r in pair_distance_histogram(df, radii).collect()
+    }
+    exp = {}
+    bounds = [0] + [r * r for r in radii]
+    for (i1, x1, y1), (i2, x2, y2) in itertools.combinations(pts, 2):
+        d2 = (x1 - x2) ** 2 + (y1 - y2) ** 2
+        if 1 <= d2 <= bounds[-1]:
+            for k in range(len(radii)):
+                if d2 <= bounds[k + 1]:
+                    rf, n = exp.get(k, (radii[k], 0))
+                    exp[k] = (rf, n + 1)
+                    break
+    assert got == exp and sum(n for _, n in exp.values()) > 100
+
+
+def test_pair_distance_histogram_rejects_bad_radii(spark):
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        pair_distance_histogram,
+    )
+
+    df = spark.createDataFrame([(1, 0, 0)], "event_id long, lon long, lat long")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        pair_distance_histogram(df, [5_000, 5_000])
