@@ -4483,3 +4483,107 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM banded GROUP BY band
 """
+
+
+# ===========================================================================
+# flow matrix (operators/trajectory.flow_matrix): directed cell-to-cell
+# step flows over the walks — the aggregate mobility flow field.  Pure
+# integer cell math; staged LAG oracle.
+# ===========================================================================
+
+_FLM_CHARS = 6
+
+
+@_register("flow_matrix")
+def _flm(spark, sf_dir):
+    from .operators.trajectory import flow_matrix
+
+    out = flow_matrix(
+        _xing_pts(spark, sf_dir), chars=_FLM_CHARS, max_span_fixed=_XING_SPAN
+    )
+    return out.select(
+        F.col("from_x").cast("long"),
+        F.col("from_y").cast("long"),
+        F.col("to_x").cast("long"),
+        F.col("to_y").cast("long"),
+        F.col("n_steps").cast("long"),
+        F.col("n_entities").cast("long"),
+    )
+
+
+@_oracle("flow_matrix")
+def _flm_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+
+    cx, cy = GH.geohash_xy_sql("lon", "lat", _FLM_CHARS, DUCKDB)
+    return f"""
+WITH {_xing_pts_sql()},
+cells AS MATERIALIZED (
+  SELECT user_id, ts, event_id, lon, lat, {cx} AS cx, {cy} AS cy FROM pts
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, lon, lat, cx, cy,
+         LAG(lon) OVER w AS px, LAG(lat) OVER w AS py,
+         LAG(cx) OVER w AS fcx, LAG(cy) OVER w AS fcy
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT CAST(fcx AS BIGINT) AS from_x, CAST(fcy AS BIGINT) AS from_y,
+       CAST(cx AS BIGINT) AS to_x, CAST(cy AS BIGINT) AS to_y,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM lagged
+WHERE px IS NOT NULL
+  AND ABS(lon - px) <= {_XING_SPAN} AND ABS(lat - py) <= {_XING_SPAN}
+  AND (fcx <> cx OR fcy <> cy)
+GROUP BY fcx, fcy, cx, cy
+"""
+
+
+# ===========================================================================
+# road hourly profile: per (road, hour-of-day) matched-point counts —
+# the temporal usage profile of the road network, composed from the
+# map_match best chain.
+# ===========================================================================
+
+
+@_register("road_hourly")
+def _rhr(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = _mm_roads_df(spark, e)
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    hour = (
+        F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 "
+               "AS BIGINT) % 24")
+    )
+    return (
+        m.withColumn("hour", hour)
+        .groupBy(F.col("road_id").cast("long").alias("road"), "hour")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@_oracle("road_hourly")
+def _rhr_o() -> str:
+    return f"""
+WITH {_mm_best_sql()}
+SELECT CAST(road AS BIGINT) AS road,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM best WHERE rn = 1
+GROUP BY road, hour
+"""

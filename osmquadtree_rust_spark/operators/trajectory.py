@@ -1308,3 +1308,61 @@ def speeding_segments(
         ).alias("n_speeding"),
         F.max("__mm").alias("max_chord_mm"),
     )
+
+
+def flow_matrix(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    chars: int = 6,
+    max_span_fixed: int = 200_000,
+) -> DataFrame:
+    """Cell-to-cell movement flows — the aggregate flow field (how many
+    entity steps go from cell A to cell B): per entity, each
+    consecutive intra-trip step whose endpoints land in DIFFERENT
+    depth-`chars` cells contributes one count to its directed cell
+    pair.  Teleports (extent > max_span_fixed) are excluded; same-cell
+    steps are not flows.
+
+    Returns (from_x, from_y, to_x, to_y, n_steps, n_entities).
+
+    Scale shape: one entity-keyed window, then a partial-aggregating
+    count on the cell-pair key."""
+    from ..functions import geohash as GH
+    from ..functions.text_sql import SPARK
+
+    S = int(max_span_fixed)
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    w = Window.partitionBy(id_col).orderBy(ts_col, seq_col)
+    pts = events.select(
+        id_col, ts_col, seq_col, lon, lat,
+        F.expr(xs).alias("__cx"),
+        F.expr(ys).alias("__cy"),
+    )
+    lagged = (
+        pts.withColumn("__px", F.lag(lon).over(w))
+        .withColumn("__py", F.lag(lat).over(w))
+        .withColumn("__fcx", F.lag("__cx").over(w))
+        .withColumn("__fcy", F.lag("__cy").over(w))
+        .filter(F.col("__px").isNotNull())
+        .filter(
+            (F.abs(F.col(lon) - F.col("__px")) <= S)
+            & (F.abs(F.col(lat) - F.col("__py")) <= S)
+        )
+        .filter(
+            (F.col("__fcx") != F.col("__cx"))
+            | (F.col("__fcy") != F.col("__cy"))
+        )
+    )
+    return lagged.groupBy(
+        F.col("__fcx").alias("from_x"),
+        F.col("__fcy").alias("from_y"),
+        F.col("__cx").alias("to_x"),
+        F.col("__cy").alias("to_y"),
+    ).agg(
+        F.count("*").alias("n_steps"),
+        F.countDistinct(id_col).alias("n_entities"),
+    )

@@ -175,3 +175,26 @@ def test_pair_distance_histogram_rejects_bad_radii(spark):
     df = spark.createDataFrame([(1, 0, 0)], "event_id long, lon long, lat long")
     with pytest.raises(ValueError, match="strictly increasing"):
         pair_distance_histogram(df, [5_000, 5_000])
+
+
+def test_flow_matrix_semantics(spark):
+    from osmquadtree_rust_spark.operators.trajectory import flow_matrix
+
+    # user 1 walks far cell A -> A (no flow) -> B -> A; user 2 B -> A;
+    # one teleport pair excluded.  chars=6 cells span 109863x109863.
+    A, B = (0, 0), (200_000, 0)
+    rows = [
+        (1, 1, 10, *A), (1, 2, 20, 50, 60), (1, 3, 30, *B), (1, 4, 40, *A),
+        (2, 5, 10, *B), (2, 6, 20, *A),
+        (2, 7, 30, 900_000, 0),   # teleport from A: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    got = {
+        ((r["from_x"], r["from_y"]), (r["to_x"], r["to_y"])):
+            (r["n_steps"], r["n_entities"])
+        for r in flow_matrix(df, chars=6, max_span_fixed=200_000).collect()
+    }
+    ca, cb = cell_of(*A, 6), cell_of(*B, 6)
+    assert got == {(ca, cb): (1, 1), (cb, ca): (2, 2)}
