@@ -4587,3 +4587,54 @@ SELECT CAST(road AS BIGINT) AS road,
 FROM best WHERE rn = 1
 GROUP BY road, hour
 """
+
+
+# ===========================================================================
+# conflation gaps: A segments with NO bearing-compatible B counterpart —
+# the "new / changed roads" report that drives a network-merge review
+# queue.  Anti-join against conflate_roads' matches, rolled up per road.
+# ===========================================================================
+
+
+@_register("conflate_gaps")
+def _cfg(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import conflate_roads
+
+    a = _mm_roads_df(spark, _mm_road_exprs("id", _SP))
+    b = _mm_roads_df(spark, _mm_road_b_exprs("id", _SP))
+    matched = conflate_roads(
+        a, b, max_dist_fixed=_CFL_CAP, max_seg_span_fixed=_MM_SPAN
+    ).select("a_road", "a_seg")
+    gaps = a.join(
+        matched,
+        (a.road_id == matched.a_road) & (a.seg == matched.a_seg),
+        "left_anti",
+    )
+    return gaps.groupBy(F.col("road_id").cast("long").alias("road")).agg(
+        F.count("*").alias("n_unmatched"),
+        F.min(F.col("seg").cast("long")).alias("first_seg"),
+        F.max(F.col("seg").cast("long")).alias("last_seg"),
+    )
+
+
+@_oracle("conflate_gaps")
+def _cfg_o() -> str:
+    inner = _cfl_o().strip()
+    return f"""
+WITH matched AS MATERIALIZED ({inner}),
+idx AS MATERIALIZED (SELECT unnest(range(0, {16 * _MM_ROADS * _MM_SEGS})) AS i),
+a0 AS MATERIALIZED (
+  SELECT {_mm_road_exprs("i", "duckdb")["road"]} AS a_road,
+         {_mm_road_exprs("i", "duckdb")["seg"]} AS a_seg
+  FROM idx)
+SELECT CAST(a.a_road AS BIGINT) AS road,
+       CAST(COUNT(*) AS BIGINT) AS n_unmatched,
+       CAST(MIN(a.a_seg) AS BIGINT) AS first_seg,
+       CAST(MAX(a.a_seg) AS BIGINT) AS last_seg
+FROM a0 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM matched m WHERE m.a_road = a.a_road AND m.a_seg = a.a_seg
+)
+GROUP BY a.a_road
+"""
