@@ -654,6 +654,64 @@ JOIN gs g ON g.image_id = b.image_id AND g.py = b.py
 
 
 # ===========================================================================
+# patch embeddings (operators/multimodal.patch_embeddings): seeded +-1
+# random projection per patch (the integer ViT patch-embedding stand-in)
+# — the oracle brute-sums sign * pixel-formula over every (x, y, c, d)
+# of the patch grid.  PNG rows only; K=2, P=8 bound the oracle at
+# 3 channels * interior pixels * K rows.
+# ===========================================================================
+
+_PEM_K = 2
+
+
+@_register("patch_embeddings")
+def _pem(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    return MM.patch_embeddings(images, patch=_PST_P, dims=_PEM_K).select(
+        F.col("image_id"),
+        F.col("px").cast("int"),
+        F.col("py").cast("int"),
+        F.col("dim").cast("int"),
+        F.col("value").cast("long"),
+    )
+
+
+@_oracle("patch_embeddings")
+def _pem_o():
+    from .sources.fixtures import H_CYCLE, W_CYCLE
+
+    w_case = " ".join(f"WHEN {i} THEN {w}" for i, w in enumerate(W_CYCLE))
+    h_case = " ".join(f"WHEN {i} THEN {h}" for i, h in enumerate(H_CYCLE))
+    P = _PST_P
+    sgn = "(1 - 2 * ((x.range * 73 + y.range * 151 + c.range * 37 + d.range * 101) % 2))"
+    pix = (
+        "(CASE c.range "
+        " WHEN 0 THEN ((x.range * 255) // (i.w - 1) + i.i) % 256 "
+        " WHEN 1 THEN ((y.range * 255) // (i.h - 1) + 2 * i.i) % 256 "
+        " ELSE (x.range + y.range + 3 * i.i) % 256 END)"
+    )
+    return f"""
+WITH imgs AS (
+  SELECT CAST(t.i AS BIGINT) AS i, printf('img%012d', t.i) AS image_id,
+         CAST((CASE t.i % 4 {w_case} END) AS INT) AS w,
+         CAST((CASE t.i % 4 {h_case} END) AS INT) AS h
+  FROM range({_IDS_N}) t(i) WHERE t.i % 2 = 0)
+SELECT i.image_id,
+       CAST(x.range // {P} AS INT) AS px,
+       CAST(y.range // {P} AS INT) AS py,
+       CAST(d.range AS INT) AS dim,
+       CAST(SUM({sgn} * {pix}) AS BIGINT) AS value
+FROM imgs i, range({max(W_CYCLE)}) x, range({max(H_CYCLE)}) y,
+     range(3) c, range({_PEM_K}) d
+WHERE x.range < i.w AND y.range < i.h
+GROUP BY i.image_id, px, py, dim
+"""
+
+
+# ===========================================================================
 # kNN via cell-ring expansion (BASELINE generalization; exact)
 # ===========================================================================
 

@@ -562,6 +562,81 @@ def patch_stats(images: DataFrame, patch: int = 8) -> DataFrame:
     return images.mapInPandas(batches, PATCH_SCHEMA)
 
 
+PATCH_EMB_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("dim", IntegerType()),
+        StructField("value", LongType()),
+    ]
+)
+
+
+def patch_embeddings(
+    images: DataFrame, patch: int = 8, dims: int = 4
+) -> DataFrame:
+    """Integer patch embeddings — the deterministic stand-in for a ViT
+    patch-embedding layer: each `patch` x `patch` block projects to
+    `dims` values through a seeded +-1 sign matrix
+
+        sign(x, y, c, d) = 1 - 2*((x*73 + y*151 + c*37 + d*101) % 2)
+        value(d) = SUM over the patch's (x, y, c) of sign * pixel
+
+    (x, y are IMAGE coordinates, so the matrix is position-dependent
+    like a learned embedding, and the whole computation is exact int64
+    both engines — the oracle composes the fixture pixel formulas with
+    the same sign text).  Dimensions must divide as in patch_stats.
+
+    Scale shape: one mapInPandas projection; the per-image work is one
+    cached sign tensor and a vectorized blockwise einsum; output fans
+    out dims * (w*h)/patch^2 small rows per image."""
+    P, K = int(patch), int(dims)
+    if P <= 0 or K <= 0:
+        raise ValueError("patch and dims must be positive")
+
+    sign_cache: dict = {}
+
+    def signs(h: int, w: int) -> np.ndarray:
+        key = (h, w)
+        if key not in sign_cache:
+            y, x, c, d = np.ogrid[0:h, 0:w, 0:3, 0:K]
+            sign_cache[key] = (
+                1 - 2 * ((x * 73 + y * 151 + c * 37 + d * 101) % 2)
+            ).astype(np.int64)
+        return sign_cache[key]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                px = FX.decode_image(bytes(data), fmt).astype(np.int64)
+                h, w = px.shape[0], px.shape[1]
+                if h % P or w % P:
+                    raise ValueError(
+                        f"patch_embeddings: {w}x{h} not divisible by "
+                        f"patch={P} for {image_id}"
+                    )
+                ny, nx = h // P, w // P
+                prod = px[:, :, :, np.newaxis] * signs(h, w)
+                vals = prod.reshape(ny, P, nx, P, 3, K).sum(
+                    axis=(1, 3, 4)
+                )
+                for py in range(ny):
+                    for gx in range(nx):
+                        for d in range(K):
+                            recs.append(
+                                (image_id, gx, py, d, int(vals[py, gx, d]))
+                            )
+            yield pd.DataFrame(
+                recs, columns=["image_id", "px", "py", "dim", "value"]
+            )
+
+    return images.mapInPandas(batches, PATCH_EMB_SCHEMA)
+
+
 HISTOGRAM_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

@@ -238,3 +238,30 @@ def test_frame_diff_stats_vs_numpy(spark):
             exp[(vid, fi)] = int(np.abs(frames[fi] - frames[fi - 1]).sum())
     assert got == exp and len(exp) == 3 * (FX.VID_FRAMES - 1)
     assert all(v > 0 for v in exp.values())  # consecutive seeds differ
+
+
+def test_patch_embeddings_vs_direct(spark):
+    from osmquadtree_rust_spark.operators.multimodal import patch_embeddings
+
+    img = FX.synth_pixels(3, 16, 16)
+    df = spark.createDataFrame(
+        [("img0", bytearray(FX.png_encode(img)), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["px"], r["py"], r["dim"]): r["value"]
+        for r in patch_embeddings(df, patch=8, dims=3).collect()
+    }
+    exp = {}
+    px = img.astype(np.int64)
+    for py in range(2):
+        for gx in range(2):
+            for d in range(3):
+                tot = 0
+                for y in range(py * 8, py * 8 + 8):
+                    for x in range(gx * 8, gx * 8 + 8):
+                        for c in range(3):
+                            s = 1 - 2 * ((x * 73 + y * 151 + c * 37 + d * 101) % 2)
+                            tot += s * int(px[y, x, c])
+                exp[(gx, py, d)] = tot
+    assert got == exp
