@@ -4638,3 +4638,106 @@ WHERE NOT EXISTS (
 )
 GROUP BY a.a_road
 """
+
+
+# ===========================================================================
+# mobility pipeline (composition gate, the trajectory twin of
+# web_curation_pipeline): QA-filter entities — <= 5% speed violations
+# (20 * n_speeding <= n_segs) AND >= 97% match coverage (the corpus
+# spans 92.8-100%, so both cuts bite) — then profile
+# the surviving matched points per (road, hour).  Exercises
+# speeding_segments + snap_to_roads + the integer threshold algebra in
+# one plan; the oracle composes the same CTE chains.
+# ===========================================================================
+
+
+@_register("mobility_pipeline")
+def _mbp(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import snap_to_roads
+    from .operators.trajectory import speeding_segments
+
+    pts = _xing_pts(spark, sf_dir)
+    spd = speeding_segments(pts, _SPD_VMAX, max_span_fixed=_XING_SPAN)
+    roads = _mm_roads_df(spark, _mm_road_exprs("id", _SP))
+    m = snap_to_roads(
+        pts,
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    n_tot = pts.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    n_mat = m.groupBy("user_id").agg(F.count("*").alias("n_matched"))
+    elig = (
+        spd.join(n_tot, "user_id")
+        .join(n_mat, "user_id", "left")
+        .filter(
+            (F.lit(20) * F.col("n_speeding") <= F.col("n_segs"))
+            & (F.coalesce("n_matched", F.lit(0)) * 1000 >= F.lit(970) * F.col("n_total"))
+        )
+        .select("user_id")
+    )
+    hour = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 "
+        "AS BIGINT) % 24"
+    )
+    return (
+        m.join(elig, "user_id")
+        .withColumn("hour", hour)
+        .groupBy(F.col("road_id").cast("long").alias("road"), "hour")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.countDistinct("user_id").alias("users"),
+        )
+    )
+
+
+@_oracle("mobility_pipeline")
+def _mbp_o() -> str:
+    from .operators.trajectory import chord_mm_sql
+
+    mm = chord_mm_sql("plon", "plat", "lon", "lat")
+    return f"""
+WITH {_mm_best_sql()},
+lagged AS MATERIALIZED (
+  SELECT user_id, lon, lat, epoch_us(ts) AS tus,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat,
+         LAG(epoch_us(ts)) OVER w AS ptus
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+segs AS MATERIALIZED (
+  SELECT user_id, {mm} AS mmv, tus - ptus AS dus
+  FROM lagged
+  WHERE plon IS NOT NULL
+    AND ABS(lon - plon) <= {_XING_SPAN} AND ABS(lat - plat) <= {_XING_SPAN}
+),
+spd AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n_segs,
+         SUM(CASE WHEN mmv * 1000000 > {_SPD_VMAX} * dus
+             THEN 1 ELSE 0 END) AS n_speeding
+  FROM segs GROUP BY user_id
+),
+nt AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n_total FROM pts GROUP BY user_id
+),
+nm AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n_matched
+  FROM best WHERE rn = 1 GROUP BY user_id
+),
+elig AS MATERIALIZED (
+  SELECT s.user_id
+  FROM spd s JOIN nt t ON t.user_id = s.user_id
+  LEFT JOIN nm m ON m.user_id = s.user_id
+  WHERE 20 * s.n_speeding <= s.n_segs
+    AND COALESCE(m.n_matched, 0) * 1000 >= 970 * t.n_total
+)
+SELECT CAST(b.road AS BIGINT) AS road,
+       CAST((epoch_us(b.ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS users
+FROM best b JOIN elig e ON e.user_id = b.user_id
+WHERE b.rn = 1
+GROUP BY b.road, hour
+"""
