@@ -302,3 +302,64 @@ def test_conflate_roads_angle_threshold(spark):
     kw = dict(max_dist_fixed=10_000, max_seg_span_fixed=50_000)
     assert conflate_roads(a, ok, **kw).count() == 1
     assert conflate_roads(a, bad, **kw).count() == 0
+
+
+def test_conflate_seeded_net_vs_bruteforce(spark):
+    from osmquadtree_rust_spark.operators.map_match import conflate_roads
+
+    def ref_conflate(a_segs, b_segs, cap, tan_ppm):
+        out = {}
+        for (ar, asg, ax1, ay1, ax2, ay2) in a_segs:
+            mx = ((ax1 + 1_800_000_000) + (ax2 + 1_800_000_000)) // 2 - 1_800_000_000
+            my = ((ay1 + 900_000_000) + (ay2 + 900_000_000)) // 2 - 900_000_000
+            vx, vy = ax2 - ax1, ay2 - ay1
+            best = None
+            for (br, bsg, x1, y1, x2, y2) in b_segs:
+                dx, dy = x2 - x1, y2 - y1
+                if abs(vx * dy - vy * dx) * 1_000_000 > abs(vx * dx + vy * dy) * tan_ppm:
+                    continue
+                len2 = dx * dx + dy * dy
+                tn = min(max((mx - x1) * dx + (my - y1) * dy, 0), len2)
+                qx = x1 + (1 if dx >= 0 else -1) * ((tn * abs(dx)) // max(len2, 1))
+                qy = y1 + (1 if dy >= 0 else -1) * ((tn * abs(dy)) // max(len2, 1))
+                d2 = (mx - qx) ** 2 + (my - qy) ** 2
+                if d2 <= cap * cap:
+                    k = (d2, br, bsg)
+                    if best is None or k < best:
+                        best = k
+            if best is not None:
+                out[(ar, asg)] = (best[1], best[2], best[0])
+        return out
+
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        cap, span, tan_ppm = 3_000, 40_000, 268_000
+        def seg(i):
+            x1 = rng.randint(-200_000, 200_000)
+            y1 = rng.randint(-150_000, 150_000)
+            return (i % 5, i, x1, y1,
+                    x1 + rng.randint(-span, span), y1 + rng.randint(-span, span))
+        a_segs = [seg(i) for i in range(25)]
+        # B: jittered copies of A plus random strangers
+        b_segs = []
+        for j, (ar, asg, x1, y1, x2, y2) in enumerate(a_segs):
+            dx, dy = rng.randint(-4_000, 4_000), rng.randint(-4_000, 4_000)
+            rot = rng.randint(-15_000, 15_000)
+            b_segs.append((50 + ar, j, x1 + dx, y1 + dy, x2 + dx, y2 + dy + rot))
+        for j in range(8):
+            b_segs.append((90, 100 + j, *seg(j)[2:]))
+        a_df = spark.createDataFrame(
+            a_segs, "road_id long, seg long, x1 long, y1 long, x2 long, y2 long"
+        )
+        b_df = spark.createDataFrame(
+            b_segs, "road_id long, seg long, x1 long, y1 long, x2 long, y2 long"
+        )
+        got = {
+            (r["a_road"], r["a_seg"]): (r["b_road"], r["b_seg"], r["snap_d2"])
+            for r in conflate_roads(
+                a_df, b_df, max_dist_fixed=cap, max_seg_span_fixed=60_000
+            ).collect()
+        }
+        exp = ref_conflate(a_segs, b_segs, cap, tan_ppm)
+        assert got == exp, f"seed {seed}"
+        assert 0 < len(exp), f"seed {seed} matched nothing"
