@@ -4741,3 +4741,78 @@ FROM best b JOIN elig e ON e.user_id = b.user_id
 WHERE b.rn = 1
 GROUP BY b.road, hour
 """
+
+
+# ===========================================================================
+# trip-bounded route flows: route_edges with max_gap_us — transitions
+# never cross a >6h silence (the overnight teleport is not a flow).
+# Oracle stages the gap flag, running trip counter, run-collapse, and
+# transition LAG in separate MATERIALIZED CTEs (nested-window rule).
+# ===========================================================================
+
+_RTT_GAP_US = 6 * 3600 * 1_000_000
+
+
+@_register("route_flows_trips")
+def _rtt(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .operators.map_match import route_edges, snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = _mm_roads_df(spark, e)
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    return route_edges(m, max_gap_us=_RTT_GAP_US).select(
+        F.col("road_from").cast("long"),
+        F.col("road_to").cast("long"),
+        F.col("n_trans").cast("long"),
+        F.col("n_entities").cast("long"),
+    )
+
+
+@_oracle("route_flows_trips")
+def _rtt_o() -> str:
+    return f"""
+WITH {_mm_best_sql()},
+seq AS MATERIALIZED (
+  SELECT user_id, epoch_us(ts) AS tus, event_id, road
+  FROM best WHERE rn = 1
+),
+gapped AS MATERIALIZED (
+  SELECT user_id, tus, event_id, road,
+         CASE WHEN tus - LAG(tus) OVER w > {_RTT_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+tripped AS MATERIALIZED (
+  SELECT user_id, tus, event_id, road,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS trip
+  FROM gapped
+),
+collapsed AS MATERIALIZED (
+  SELECT user_id, trip, tus, event_id, road,
+         LAG(road) OVER w AS prev
+  FROM tripped
+  WINDOW w AS (PARTITION BY user_id, trip ORDER BY tus, event_id)
+),
+runs AS MATERIALIZED (
+  SELECT user_id, trip, road,
+         LAG(road) OVER (PARTITION BY user_id, trip
+                         ORDER BY tus, event_id) AS road_from
+  FROM collapsed WHERE prev IS NULL OR prev <> road
+)
+SELECT CAST(road_from AS BIGINT) AS road_from,
+       CAST(road AS BIGINT) AS road_to,
+       CAST(COUNT(*) AS BIGINT) AS n_trans,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities
+FROM runs WHERE road_from IS NOT NULL
+GROUP BY road_from, road
+"""

@@ -275,6 +275,7 @@ def route_edges(
     id_col: str = "user_id",
     order_cols: tuple = ("ts", "event_id"),
     road_col: str = "road_id",
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Road-to-road transition flows from a map-matched point stream —
     the route graph (which roads feed which) that turns per-point
@@ -284,19 +285,55 @@ def route_edges(
     the same road collapse to one visit, and each adjacent visit pair
     becomes a directed (road_from, road_to) transition; unmatched
     points are simply absent from `matched`, so transitions span
-    match gaps (callers wanting trip-bounded routes should split on
-    gaps first, operators/trajectory.split_trips).
+    match gaps.
+
+    With `max_gap_us` set, the sequence additionally splits into TRIPS
+    wherever consecutive matched points (in the matched subsequence —
+    dropped points don't shrink the gap) are more than that many
+    micros apart, and transitions never cross a trip boundary (the
+    overnight teleport from the last road home to the first road out
+    is not a flow).  order_cols[0] must then be a timestamp/integral
+    column (functions/parse.epoch_micros dispatch).
 
     Returns (road_from, road_to, n_trans, n_entities).
 
-    Scale shape: two window passes over the SAME entity-keyed
-    partitioning (one exchange), then a partial-aggregating count on
-    the pair key."""
+    Scale shape: the window passes share ONE entity-keyed exchange
+    (the trip counter and run-collapse sort identically), then a
+    partial-aggregating count on the pair key."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(id_col).orderBy(*[F.col(c) for c in order_cols])
+    from ..functions.parse import epoch_micros
+
+    if max_gap_us is not None:
+        ts_col = order_cols[0]
+        base = matched.withColumn(
+            "__tus", epoch_micros(matched, ts_col)
+        )
+        w0 = Window.partitionBy(id_col).orderBy(
+            "__tus", *[F.col(c) for c in order_cols[1:]]
+        )
+        base = base.withColumn(
+            "__trip",
+            F.sum(
+                F.when(
+                    F.col("__tus") - F.lag("__tus").over(w0)
+                    > int(max_gap_us),
+                    1,
+                ).otherwise(0)
+            ).over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        part = [id_col, "__trip"]
+        w = Window.partitionBy(*part).orderBy(
+            "__tus", *[F.col(c) for c in order_cols[1:]]
+        )
+    else:
+        base = matched
+        part = [id_col]
+        w = Window.partitionBy(*part).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
     runs = (
-        matched.withColumn("__prev", F.lag(road_col).over(w))
+        base.withColumn("__prev", F.lag(road_col).over(w))
         .filter(
             F.col("__prev").isNull() | (F.col("__prev") != F.col(road_col))
         )

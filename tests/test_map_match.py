@@ -363,3 +363,28 @@ def test_conflate_seeded_net_vs_bruteforce(spark):
         exp = ref_conflate(a_segs, b_segs, cap, tan_ppm)
         assert got == exp, f"seed {seed}"
         assert 0 < len(exp), f"seed {seed} matched nothing"
+
+
+def test_route_edges_trip_bounded(spark):
+    from osmquadtree_rust_spark.operators.map_match import route_edges
+
+    H = 3_600_000_000
+    # A -> B within a trip, then a 7h silence, then C -> A: the B->C
+    # cross-gap transition must vanish with max_gap_us=6h and exist
+    # without it
+    rows = [
+        (1, 1, 0, "A"), (1, 2, 1 * H, "B"),
+        (1, 3, 8 * H, "C"), (1, 4, 9 * H, "A"),
+    ]
+    m = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, road_id string"
+    )
+    plain = {
+        (r["road_from"], r["road_to"]) for r in route_edges(m).collect()
+    }
+    tripped = {
+        (r["road_from"], r["road_to"])
+        for r in route_edges(m, max_gap_us=6 * H).collect()
+    }
+    assert plain == {("A", "B"), ("B", "C"), ("C", "A")}
+    assert tripped == {("A", "B"), ("C", "A")}
