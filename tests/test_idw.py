@@ -198,3 +198,25 @@ def test_flow_matrix_semantics(spark):
     }
     ca, cb = cell_of(*A, 6), cell_of(*B, 6)
     assert got == {(ca, cb): (1, 1), (cb, ca): (2, 2)}
+
+
+def test_pairwise_operator_plan_shapes(spark):
+    # The candidate joins must never fall back to nested-loop/cartesian.
+    from osmquadtree_rust_spark.operators.spatial_join import (
+        pair_distance_histogram,
+    )
+    from osmquadtree_rust_spark.operators.trajectory import co_visits
+
+    pts = spark.createDataFrame(
+        [(1, 10, 0, 0), (2, 20, 100, 100)],
+        "user_id long, ts long, lon long, lat long",
+    )
+    for df in (
+        co_visits(pts, chars=6),
+        pair_distance_histogram(
+            pts.withColumnRenamed("user_id", "event_id"), [5_000]
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
