@@ -4816,3 +4816,93 @@ SELECT CAST(road_from AS BIGINT) AS road_from,
 FROM runs WHERE road_from IS NOT NULL
 GROUP BY road_from, road
 """
+
+
+# ===========================================================================
+# road speed quantiles: exact per-road order statistics of per-segment
+# speeds (mm*1e6 DIV max(dt,1)) via the r5 driver-histogram refinement
+# machinery (stats.group_quantiles integral path — no per-road window).
+# Oracle: the standard window-rank formulation over the best chain.
+# ===========================================================================
+
+
+@_register("road_speed_quantiles")
+def _rsq(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP, idiv_sql
+    from .operators import stats as ST
+    from .operators.map_match import matched_road_segments, snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = _mm_roads_df(spark, e)
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+        keep=("user_id", "ts"),
+    )
+    segs = matched_road_segments(m)
+    spd = idiv_sql("__mm * 1000000", "GREATEST(__dus, 1)", _SP)
+    per_seg = segs.select(
+        F.col("__road").alias("road"),
+        F.col("event_id"),
+        F.expr(f"CAST({spd} AS BIGINT)").alias("speed"),
+    )
+    out = ST.group_quantiles(per_seg, "road", "speed", "event_id")
+    return out.select(
+        F.col("road").cast("long"),
+        F.col("n").cast("long"),
+        F.col("vmin").cast("long"),
+        F.col("vmax").cast("long"),
+        F.col("median_x2").cast("long"),
+        F.col("p90").cast("long"),
+    )
+
+
+@_oracle("road_speed_quantiles")
+def _rsq_o() -> str:
+    from .functions.text_sql import DUCKDB, idiv_sql
+    from .operators.trajectory import chord_mm_sql
+
+    mm = chord_mm_sql("pqx", "pqy", "__qx", "__qy")
+    spd = idiv_sql("mmv * 1000000", "GREATEST(dus, 1)", DUCKDB)
+    return f"""
+WITH {_mm_best_sql()},
+seq AS MATERIALIZED (
+  SELECT user_id, road, __qx, __qy, epoch_us(ts) AS tus, event_id
+  FROM best WHERE rn = 1
+),
+lagged AS MATERIALIZED (
+  SELECT road, __qx, __qy, tus, event_id,
+         LAG(road) OVER w AS proad,
+         LAG(__qx) OVER w AS pqx,
+         LAG(__qy) OVER w AS pqy,
+         LAG(tus) OVER w AS ptus
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+segs AS MATERIALIZED (
+  SELECT road, event_id, {mm} AS mmv, tus - ptus AS dus
+  FROM lagged WHERE proad IS NOT NULL AND proad = road
+),
+spd AS MATERIALIZED (
+  SELECT road, event_id, CAST({spd} AS BIGINT) AS v FROM segs
+),
+r AS MATERIALIZED (
+  SELECT road, v,
+         ROW_NUMBER() OVER (PARTITION BY road ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY road) AS n
+  FROM spd
+)
+SELECT CAST(road AS BIGINT) AS road, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax,
+       CAST(CASE WHEN MAX(n) % 2 = 1
+            THEN SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN v ELSE 0 END) * 2
+            ELSE SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                     THEN v ELSE 0 END)
+            END AS BIGINT) AS median_x2,
+       CAST(SUM(CASE WHEN rn = CAST(CEIL(n * 9 / 10.0) AS BIGINT)
+                THEN v ELSE 0 END) AS BIGINT) AS p90
+FROM r GROUP BY road
+"""

@@ -372,6 +372,44 @@ def road_speed_stats(
 
     Scale shape: one entity-keyed window, then a partial-aggregating
     groupBy on the road key."""
+    segs = matched_road_segments(
+        matched,
+        id_col=id_col,
+        ts_col=ts_col,
+        seq_col=seq_col,
+        road_col=road_col,
+        lon=lon,
+        lat=lat,
+    )
+    agg = segs.groupBy(F.col("__road").alias(road_col)).agg(
+        F.count("*").alias("n_segs"),
+        F.sum("__mm").alias("sum_mm"),
+        F.sum("__dus").alias("sum_us"),
+    )
+    speed = (
+        "CASE WHEN sum_mm <= 9223372036854 THEN "
+        "(sum_mm * 1000000L) DIV GREATEST(sum_us, 1) "
+        "ELSE CAST(raise_error('road_speed_stats: sum_mm overflows the "
+        "speed multiply; window the input by time first') AS BIGINT) END"
+    )
+    return agg.withColumn("speed_mmps", F.expr(speed))
+
+
+def matched_road_segments(
+    matched: DataFrame,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    road_col: str = "road_id",
+    lon: str = "snap_x",
+    lat: str = "snap_y",
+) -> DataFrame:
+    """Consecutive SAME-road snapped-point pairs per entity — the
+    per-segment frame under road_speed_stats / road_speed_quantiles:
+    (id_col, seq_col, __road, __mm chord, __dus elapsed).  One
+    entity-keyed window; road changes and entity boundaries emit
+    nothing."""
     from pyspark.sql import Window
 
     from ..functions.parse import epoch_micros
@@ -391,27 +429,20 @@ def road_speed_stats(
         .withColumn("__px", F.lag("__sx").over(w))
         .withColumn("__py", F.lag("__sy").over(w))
         .withColumn("__ptus", F.lag("__tus").over(w))
-        .filter(F.col("__proad").isNotNull() & (F.col("__proad") == F.col("__road")))
+        .filter(
+            F.col("__proad").isNotNull()
+            & (F.col("__proad") == F.col("__road"))
+        )
     )
-    segs = lagged.select(
+    return lagged.select(
+        id_col,
+        seq_col,
         "__road",
         _chord_mm_udf(
             F.col("__px"), F.col("__py"), F.col("__sx"), F.col("__sy")
         ).alias("__mm"),
         (F.col("__tus") - F.col("__ptus")).alias("__dus"),
     )
-    agg = segs.groupBy(F.col("__road").alias(road_col)).agg(
-        F.count("*").alias("n_segs"),
-        F.sum("__mm").alias("sum_mm"),
-        F.sum("__dus").alias("sum_us"),
-    )
-    speed = (
-        "CASE WHEN sum_mm <= 9223372036854 THEN "
-        "(sum_mm * 1000000L) DIV GREATEST(sum_us, 1) "
-        "ELSE CAST(raise_error('road_speed_stats: sum_mm overflows the "
-        "speed multiply; window the input by time first') AS BIGINT) END"
-    )
-    return agg.withColumn("speed_mmps", F.expr(speed))
 
 
 def bearing_ok_sql(max_tan_ppm: int) -> str:
