@@ -5833,3 +5833,39 @@ FROM nch n JOIN (
   SELECT parent, SUM(v) AS sum_lum, MAX(v) AS max_lum
   FROM pgrid GROUP BY parent) g ON n.parent = g.parent
 """
+
+
+# ===========================================================================
+# image entropy (operators/multimodal.channel_entropy over
+# image_histogram): integer whole-bit entropy proxy per channel —
+# n*len(bin(n)) - sum(c*len(bin(c))), zero for single-bin (flat)
+# channels.  Oracle composes the histogram CTEs with the same algebra.
+# ===========================================================================
+
+
+@_register("image_entropy")
+def _ien(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    hist = MM.image_histogram(images, bins=_IHB_BINS)
+    return MM.channel_entropy(hist).select(
+        F.col("image_id"),
+        F.col("channel"),
+        F.col("n_px").cast("long"),
+        F.col("ent_bits").cast("long"),
+    )
+
+
+@_oracle("image_entropy")
+def _ien_o():
+    inner = _ihb_o().strip()
+    return f"""
+WITH hist AS MATERIALIZED ({inner})
+SELECT image_id, channel,
+       CAST(SUM(cnt) AS BIGINT) AS n_px,
+       CAST(SUM(cnt) * len(bin(SUM(cnt)))
+            - SUM(cnt * len(bin(cnt))) AS BIGINT) AS ent_bits
+FROM hist GROUP BY image_id, channel
+"""

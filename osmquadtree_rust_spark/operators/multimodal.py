@@ -929,3 +929,33 @@ def geo_image_dedup_keep_best(
         sigs.withColumnRenamed(id_col, "doc_id"), comps, order=quality_col
     )
     return kept.withColumnRenamed("doc_id", id_col)
+
+
+def channel_entropy(hist: DataFrame) -> DataFrame:
+    """Integer entropy proxy per (image, channel) from image_histogram
+    output — the flat/low-information detector: with n = total pixels
+    and bin counts c_i,
+
+        ent_bits = n * len(bin(n)) - SUM(c_i * len(bin(c_i)))
+
+    (the whole-bit surrogate of n*H = sum c_i*log2(n/c_i); zero when
+    every pixel sits in one bin, growing with spread — exact integer
+    bit math both engines, the text-stack idf trick).  Pure JVM
+    aggregate over the histogram rows; no decode."""
+    return (
+        hist.groupBy("image_id", "channel")
+        .agg(
+            F.sum("cnt").alias("n_px"),
+            F.sum(
+                F.col("cnt") * F.length(F.bin(F.col("cnt")))
+            ).alias("__s"),
+        )
+        .select(
+            "image_id",
+            "channel",
+            F.col("n_px").cast("long"),
+            (
+                F.col("n_px") * F.length(F.bin(F.col("n_px"))) - F.col("__s")
+            ).cast("long").alias("ent_bits"),
+        )
+    )

@@ -265,3 +265,29 @@ def test_patch_embeddings_vs_direct(spark):
                             tot += s * int(px[y, x, c])
                 exp[(gx, py, d)] = tot
     assert got == exp
+
+
+def test_channel_entropy_flat_vs_spread(spark):
+    from osmquadtree_rust_spark.operators.multimodal import (
+        channel_entropy, image_histogram,
+    )
+
+    flat = np.full((8, 8, 3), 10, dtype=np.uint8)       # all in one bin
+    spread = np.zeros((8, 8, 3), dtype=np.uint8)
+    spread[:, :, 0] = (np.arange(64).reshape(8, 8) * 4) % 256  # 16 bins
+    df = spark.createDataFrame(
+        [
+            ("flat", bytearray(FX.png_encode(flat)), "png"),
+            ("spread", bytearray(FX.png_encode(spread)), "png"),
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["image_id"], r["channel"]): (r["n_px"], r["ent_bits"])
+        for r in channel_entropy(image_histogram(df, bins=16)).collect()
+    }
+    for ch in "rgb":
+        assert got[("flat", ch)] == (64, 0)
+    # spread r-channel: 16 bins x 4 pixels: 64*7 - 16*(4*3) = 256
+    assert got[("spread", "r")] == (64, 64 * 7 - 16 * 4 * 3)
+    assert got[("spread", "g")] == (64, 0)  # g stays constant 0
