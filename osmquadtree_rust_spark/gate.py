@@ -4906,3 +4906,56 @@ SELECT CAST(road AS BIGINT) AS road, CAST(MAX(n) AS BIGINT) AS n,
                 THEN v ELSE 0 END) AS BIGINT) AS p90
 FROM r GROUP BY road
 """
+
+
+# ===========================================================================
+# visit profile (operators/trajectory.visit_profile): returner/explorer
+# split — distinct (cell, day) visits, distinct cells, top-cell visit
+# share in ppm.  Pure integer; relational oracle.
+# ===========================================================================
+
+_VPR_CHARS = 6
+_VPR_BUCKET_US = 86_400_000_000
+
+
+@_register("visit_profile")
+def _vpr(spark, sf_dir):
+    from .operators.trajectory import visit_profile
+
+    out = visit_profile(
+        _xing_pts(spark, sf_dir), chars=_VPR_CHARS, bucket_us=_VPR_BUCKET_US
+    )
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_visits").cast("long"),
+        F.col("n_cells").cast("long"),
+        F.col("top_visits").cast("long"),
+        F.col("top_share_ppm").cast("long"),
+    )
+
+
+@_oracle("visit_profile")
+def _vpr_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+
+    cx, cy = GH.geohash_xy_sql("lon", "lat", _VPR_CHARS, DUCKDB)
+    return f"""
+WITH {_xing_pts_sql()},
+vis AS MATERIALIZED (
+  SELECT DISTINCT user_id, {cx} AS cx, {cy} AS cy,
+         epoch_us(ts) // {_VPR_BUCKET_US} AS tb
+  FROM pts
+),
+per_cell AS MATERIALIZED (
+  SELECT user_id, cx, cy, COUNT(*) AS cnt
+  FROM vis GROUP BY user_id, cx, cy
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_visits,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(cnt) AS BIGINT) AS top_visits,
+       CAST((CAST(MAX(cnt) AS BIGINT) * 1000000)
+            // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top_share_ppm
+FROM per_cell GROUP BY user_id
+"""

@@ -1366,3 +1366,59 @@ def flow_matrix(
         F.count("*").alias("n_steps"),
         F.countDistinct(id_col).alias("n_entities"),
     )
+
+
+def visit_profile(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    chars: int = 6,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Returner/explorer mobility profile: per entity, distinct
+    (cell, time-bucket) visits, distinct cells, and the most-visited
+    cell's share of all visits in ppm — the classic returner (high
+    share, few cells) vs explorer (low share, many cells) split of the
+    mobility literature, in exact integers.
+
+    Returns (id_col, n_visits, n_cells, top_visits, top_share_ppm).
+
+    Scale shape: a visit-sized distinct, a per-(entity, cell) count,
+    then an entity rollup — three partial-aggregating shuffles on
+    successively coarser keys, no windows."""
+    from ..functions import geohash as GH
+    from ..functions.parse import epoch_micros
+    from ..functions.text_sql import SPARK, idiv_sql
+
+    xs, ys = GH.geohash_xy_sql(lon, lat, chars, SPARK)
+    vis = (
+        events.select(
+            F.col(id_col).alias("__uid"),
+            F.expr(xs).alias("__cx"),
+            F.expr(ys).alias("__cy"),
+            epoch_micros(events, ts_col).alias("__tus"),
+        )
+        .select(
+            "__uid",
+            "__cx",
+            "__cy",
+            F.expr(
+                idiv_sql("__tus", str(int(bucket_us)), SPARK)
+            ).alias("__tb"),
+        )
+        .distinct()
+    )
+    per_cell = vis.groupBy("__uid", "__cx", "__cy").agg(
+        F.count("*").alias("__cnt")
+    )
+    prof = per_cell.groupBy(F.col("__uid").alias(id_col)).agg(
+        F.sum("__cnt").alias("n_visits"),
+        F.count("*").alias("n_cells"),
+        F.max("__cnt").alias("top_visits"),
+    )
+    share = idiv_sql("top_visits * 1000000", "n_visits", SPARK)
+    return prof.withColumn(
+        "top_share_ppm", F.expr(f"CAST({share} AS BIGINT)")
+    )

@@ -220,3 +220,25 @@ def test_pairwise_operator_plan_shapes(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_visit_profile_semantics(spark):
+    from osmquadtree_rust_spark.operators.trajectory import visit_profile
+
+    D = 86_400_000_000
+    # user 1: cell A on days 0,1,2 (3 visits; repeats within day 0
+    # dedup) + cell B on day 1 -> 4 visits, 2 cells, top 3
+    A, B = (0, 0), (200_000, 0)
+    rows = [
+        (1, 10, *A), (1, 20, *A),
+        (1, D + 1, *A), (1, 2 * D + 1, *A), (1, D + 2, *B),
+        (2, 5, *B),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, lon long, lat long")
+    got = {
+        r["user_id"]: (
+            r["n_visits"], r["n_cells"], r["top_visits"], r["top_share_ppm"]
+        )
+        for r in visit_profile(df, chars=6, bucket_us=D).collect()
+    }
+    assert got == {1: (4, 2, 3, 750_000), 2: (1, 1, 1, 1_000_000)}
