@@ -4959,3 +4959,120 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
             // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top_share_ppm
 FROM per_cell GROUP BY user_id
 """
+
+
+# ===========================================================================
+# radius of gyration (operators/trajectory.radius_of_gyration): the
+# classic mobility-range metric, exact integer two-pass form (floored
+# u-space centroid, squared-deviation mean).  Relational oracle with
+# the identical shift/DIV text.
+# ===========================================================================
+
+
+@_register("radius_gyration")
+def _rog(spark, sf_dir):
+    from .operators.trajectory import radius_of_gyration
+
+    out = radius_of_gyration(_xing_pts(spark, sf_dir))
+    return out.select(
+        F.col("user_id").cast("long"),
+        F.col("n_points").cast("long"),
+        F.col("cx").cast("long"),
+        F.col("cy").cast("long"),
+        F.col("rog2").cast("long"),
+    )
+
+
+@_oracle("radius_gyration")
+def _rog_o() -> str:
+    return f"""
+WITH {_xing_pts_sql()},
+cent AS MATERIALIZED (
+  SELECT user_id, COUNT(*) AS n,
+         CAST((SUM(lon) + COUNT(*) * 1800000000) // COUNT(*) AS BIGINT)
+           - 1800000000 AS cx,
+         CAST((SUM(lat) + COUNT(*) * 900000000) // COUNT(*) AS BIGINT)
+           - 900000000 AS cy
+  FROM pts GROUP BY user_id
+),
+dev AS MATERIALIZED (
+  SELECT p.user_id, c.n, c.cx, c.cy,
+         (p.lon - c.cx) * (p.lon - c.cx)
+       + (p.lat - c.cy) * (p.lat - c.cy) AS d2
+  FROM pts p JOIN cent c ON c.user_id = p.user_id
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MAX(n) AS BIGINT) AS n_points,
+       CAST(MAX(cx) AS BIGINT) AS cx, CAST(MAX(cy) AS BIGINT) AS cy,
+       CAST(CAST(SUM(d2) AS BIGINT) // MAX(n) AS BIGINT) AS rog2
+FROM dev GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# mobility entropy: the visit-distribution entropy proxy per entity —
+# the channel_entropy bit algebra over visit_profile's per-cell counts
+# (predictability literature: low entropy = routine-bound).
+# ===========================================================================
+
+
+@_register("mobility_entropy")
+def _men(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP
+    from .functions import geohash as GH
+    from .functions.parse import epoch_micros
+
+    pts = _xing_pts(spark, sf_dir)
+    xs, ys = GH.geohash_xy_sql("lon", "lat", _VPR_CHARS, _SP)
+    vis = pts.select(
+        F.col("user_id"),
+        F.expr(xs).alias("cx"),
+        F.expr(ys).alias("cy"),
+        F.expr(
+            f"CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV "
+            f"{_VPR_BUCKET_US} AS BIGINT)"
+        ).alias("tb"),
+    ).distinct()
+    per_cell = vis.groupBy("user_id", "cx", "cy").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_cell.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.sum("cnt").alias("n_visits"),
+            F.sum(F.col("cnt") * F.length(F.bin(F.col("cnt")))).alias("__s"),
+        )
+        .select(
+            "user_id",
+            F.col("n_visits").cast("long"),
+            (
+                F.col("n_visits") * F.length(F.bin(F.col("n_visits")))
+                - F.col("__s")
+            ).cast("long").alias("ent_bits"),
+        )
+    )
+
+
+@_oracle("mobility_entropy")
+def _men_o() -> str:
+    from .functions import geohash as GH
+    from .functions.text_sql import DUCKDB
+
+    cx, cy = GH.geohash_xy_sql("lon", "lat", _VPR_CHARS, DUCKDB)
+    return f"""
+WITH {_xing_pts_sql()},
+vis AS MATERIALIZED (
+  SELECT DISTINCT user_id, {cx} AS cx, {cy} AS cy,
+         epoch_us(ts) // {_VPR_BUCKET_US} AS tb
+  FROM pts
+),
+per_cell AS MATERIALIZED (
+  SELECT user_id, cx, cy, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vis GROUP BY user_id, cx, cy
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_visits,
+       CAST(SUM(cnt) * len(bin(SUM(cnt)))
+            - SUM(cnt * len(bin(cnt))) AS BIGINT) AS ent_bits
+FROM per_cell GROUP BY user_id
+"""

