@@ -3797,7 +3797,7 @@ s1 AS MATERIALIZED (SELECT *, {sel(s1)} FROM cand),
 s2 AS MATERIALIZED (SELECT *, {sel(s2)} FROM s1),
 s3 AS MATERIALIZED (SELECT *, {sel(s3)} FROM s2),
 best AS MATERIALIZED (
-  SELECT event_id, user_id, ts, road, __d2, __qx, __qy,
+  SELECT event_id, user_id, ts, road, seg, __d2, __qx, __qy,
          ROW_NUMBER() OVER (PARTITION BY event_id
                             ORDER BY __d2, road, seg) AS rn
   FROM s3 WHERE __d2 <= {_MM_CAP * _MM_CAP}
@@ -5075,4 +5075,67 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(SUM(cnt) * len(bin(SUM(cnt)))
             - SUM(cnt * len(bin(cnt))) AS BIGINT) AS ent_bits
 FROM per_cell GROUP BY user_id
+"""
+
+
+# ===========================================================================
+# road coverage: network utilization — per road, how many of its
+# segments have >= 1 matched point, and the covered share in ppm (the
+# which-streets-does-our-data-even-see QA before any per-road metric is
+# trusted).  Anti-join-free: left join distinct matched segs to the
+# network and aggregate.
+# ===========================================================================
+
+
+@_register("road_coverage")
+def _rcv(spark, sf_dir):
+    from .functions.text_sql import SPARK as _SP, idiv_sql
+    from .operators.map_match import snap_to_roads
+
+    e = _mm_road_exprs("id", _SP)
+    roads = _mm_roads_df(spark, e)
+    m = snap_to_roads(
+        _xing_pts(spark, sf_dir),
+        roads,
+        max_dist_fixed=_MM_CAP,
+        max_seg_span_fixed=_MM_SPAN,
+    )
+    hit = m.select(
+        F.col("road_id").alias("__hr"), F.col("seg").alias("__hs")
+    ).distinct()
+    j = roads.join(
+        hit,
+        (roads.road_id == hit.__hr) & (roads.seg == hit.__hs),
+        "left",
+    )
+    agg = j.groupBy(F.col("road_id").cast("long").alias("road")).agg(
+        F.count("*").alias("n_segs"),
+        F.sum(
+            F.when(F.col("__hr").isNotNull(), 1).otherwise(0)
+        ).alias("n_covered"),
+    )
+    ppm = idiv_sql("n_covered * 1000000", "n_segs", _SP)
+    return agg.withColumn("covered_ppm", F.expr(f"CAST({ppm} AS BIGINT)"))
+
+
+@_oracle("road_coverage")
+def _rcv_o() -> str:
+    e = _mm_road_exprs("i", "duckdb")
+    return f"""
+WITH {_mm_best_sql()},
+hit AS MATERIALIZED (
+  SELECT DISTINCT road, seg FROM best WHERE rn = 1
+),
+idx2 AS MATERIALIZED (SELECT unnest(range(0, {16 * _MM_ROADS * _MM_SEGS})) AS i),
+net AS MATERIALIZED (
+  SELECT {e["road"]} AS road, {e["seg"]} AS seg FROM idx2
+)
+SELECT CAST(n.road AS BIGINT) AS road,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN h.road IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_covered,
+       CAST((SUM(CASE WHEN h.road IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS covered_ppm
+FROM net n LEFT JOIN hit h ON h.road = n.road AND h.seg = n.seg
+GROUP BY n.road
 """
