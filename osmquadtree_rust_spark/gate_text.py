@@ -5869,3 +5869,109 @@ SELECT image_id, channel,
             - SUM(cnt * len(bin(cnt))) AS BIGINT) AS ent_bits
 FROM hist GROUP BY image_id, channel
 """
+
+
+# ===========================================================================
+# image curation pipeline (composition gate, the image twin of
+# web_curation_pipeline / mobility_pipeline): keep images that are not
+# flat (min per-channel entropy), have real structure (Sobel edge
+# pixels), and are not clipped (bounded mass in the extreme brightness
+# bins); roll up the survivors' patch sums.  Composes channel_entropy +
+# image_gradient_stats + image_histogram + patch_stats in one plan; the
+# oracle composes their closed-form CTEs with identical threshold
+# algebra.  Thresholds probed to bite on the fixture corpus.
+# ===========================================================================
+
+_ICP_MIN_ENT = 380        # per-channel ent_bits floor (corpus min 362, median 412)
+_ICP_MIN_EDGE = 50        # edge-pixel floor (thr 512)
+_ICP_CLIP_PPM = 110_000   # max mass in bins 0 and 15, ppm (corpus p80 ~104k, max 260k)
+
+
+@_register("image_curation_pipeline")
+def _icp(spark, sf_dir):
+    from .operators import multimodal as MM
+    from .sources import fixtures as FX
+
+    images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
+    hist = MM.image_histogram(images, bins=_IHB_BINS)
+    ent = MM.channel_entropy(hist).groupBy("image_id").agg(
+        F.min("ent_bits").alias("min_ent")
+    )
+    grad = MM.image_gradient_stats(images, edge_thr=_IGR_THR).select(
+        "image_id", "edge_px"
+    )
+    clip = hist.groupBy("image_id").agg(
+        F.sum("cnt").alias("__tot"),
+        F.sum(
+            F.when(F.col("bin").isin(0, _IHB_BINS - 1), F.col("cnt"))
+            .otherwise(F.lit(0))
+        ).alias("__ext"),
+    ).select(
+        "image_id",
+        F.expr(
+            "CAST((__ext * 1000000) DIV __tot AS BIGINT)"
+        ).alias("clip_ppm"),
+    )
+    keep = (
+        ent.join(grad, "image_id")
+        .join(clip, "image_id")
+        .filter(
+            (F.col("min_ent") >= _ICP_MIN_ENT)
+            & (F.col("edge_px") >= _ICP_MIN_EDGE)
+            & (F.col("clip_ppm") <= _ICP_CLIP_PPM)
+        )
+        .select("image_id")
+    )
+    patches = MM.patch_stats(images, patch=_PST_P).join(keep, "image_id")
+    return patches.groupBy("image_id").agg(
+        F.count("*").alias("n_patches"),
+        F.sum("sum_r").alias("tot_r"),
+        F.sum("sum_g").alias("tot_g"),
+        F.sum("sum_b").alias("tot_b"),
+    ).select(
+        "image_id",
+        F.col("n_patches").cast("long"),
+        F.col("tot_r").cast("long"),
+        F.col("tot_g").cast("long"),
+        F.col("tot_b").cast("long"),
+    )
+
+
+@_oracle("image_curation_pipeline")
+def _icp_o():
+    hist = _ihb_o().strip()
+    grad = _igr_o().strip()
+    pst = _pst_o().strip()
+    return f"""
+WITH hist AS MATERIALIZED ({hist}),
+ent AS MATERIALIZED (
+  SELECT image_id, MIN(e) AS min_ent FROM (
+    SELECT image_id, channel,
+           SUM(cnt) * len(bin(SUM(cnt))) - SUM(cnt * len(bin(cnt))) AS e
+    FROM hist GROUP BY image_id, channel)
+  GROUP BY image_id
+),
+grad AS MATERIALIZED (
+  SELECT image_id, edge_px FROM ({grad})
+),
+clip AS MATERIALIZED (
+  SELECT image_id,
+         (SUM(CASE WHEN bin IN (0, {_IHB_BINS - 1}) THEN cnt ELSE 0 END)
+          * 1000000) // SUM(cnt) AS clip_ppm
+  FROM hist GROUP BY image_id
+),
+keep AS MATERIALIZED (
+  SELECT e.image_id FROM ent e
+  JOIN grad g ON g.image_id = e.image_id
+  JOIN clip c ON c.image_id = e.image_id
+  WHERE e.min_ent >= {_ICP_MIN_ENT} AND g.edge_px >= {_ICP_MIN_EDGE}
+    AND c.clip_ppm <= {_ICP_CLIP_PPM}
+),
+patches AS MATERIALIZED ({pst})
+SELECT p.image_id, CAST(COUNT(*) AS BIGINT) AS n_patches,
+       CAST(SUM(p.sum_r) AS BIGINT) AS tot_r,
+       CAST(SUM(p.sum_g) AS BIGINT) AS tot_g,
+       CAST(SUM(p.sum_b) AS BIGINT) AS tot_b
+FROM patches p JOIN keep k ON k.image_id = p.image_id
+GROUP BY p.image_id
+"""
