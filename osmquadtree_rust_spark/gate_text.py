@@ -5893,7 +5893,13 @@ def _icp(spark, sf_dir):
     from .sources import fixtures as FX
 
     images = FX.images_spark_df(spark, _IDS_N).filter(F.col("fmt") == "png")
-    hist = MM.image_histogram(images, bins=_IHB_BINS)
+    # hist is consumed twice (entropy + clipping); Spark recomputes
+    # shared subplans per consumer (CLAUDE.md), and each recompute is a
+    # full decode pass — localCheckpoint the <= 3*bins*N-row frame once
+    # (blocks are the returned frame's to release via ContextCleaner)
+    hist = MM.image_histogram(images, bins=_IHB_BINS).localCheckpoint(
+        eager=True
+    )
     ent = MM.channel_entropy(hist).groupBy("image_id").agg(
         F.min("ent_bits").alias("min_ent")
     )
