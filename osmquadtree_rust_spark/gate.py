@@ -5139,3 +5139,83 @@ SELECT CAST(n.road AS BIGINT) AS road,
 FROM net n LEFT JOIN hit h ON h.road = n.road AND h.seg = n.seg
 GROUP BY n.road
 """
+
+
+# ===========================================================================
+# OD flows by departure hour (od_matrix by_hour=True): the time-of-day
+# demand surface — same trips, grouped additionally by the departure
+# hour (UTC) of each trip's first point.
+# ===========================================================================
+
+
+@_register("od_by_hour")
+def _odh(spark, sf_dir):
+    from .operators.trajectory import od_matrix
+
+    out = od_matrix(
+        _xing_pts(spark, sf_dir),
+        max_gap_us=_ODM_GAP_US,
+        chars=_ODM_CHARS,
+        by_hour=True,
+    )
+    return out.select(
+        F.col("o_x").cast("long"),
+        F.col("o_y").cast("long"),
+        F.col("d_x").cast("long"),
+        F.col("d_y").cast("long"),
+        F.col("dep_hour").cast("long"),
+        F.col("n_trips").cast("long"),
+    )
+
+
+@_oracle("od_by_hour")
+def _odh_o() -> str:
+    from .functions import geohash as GH
+
+    xs, ys = GH.geohash_xy_sql("lon", "lat", _ODM_CHARS, "duckdb")
+    return f"""
+WITH {_xing_pts_sql()},
+pp AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lon, lat, epoch_us(ts) AS tus FROM pts
+),
+lagged AS MATERIALIZED (
+  SELECT user_id, event_id, ts, lon, lat, tus, LAG(tus) OVER w AS ptus
+  FROM pp
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+),
+tripped AS MATERIALIZED (
+  SELECT user_id, event_id, lon, lat, tus,
+         CAST(SUM(CASE WHEN ptus IS NULL OR tus - ptus > {_ODM_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - 1 AS trip
+  FROM lagged
+),
+ends AS MATERIALIZED (
+  SELECT user_id, trip, lon, lat, tus,
+         ROW_NUMBER() OVER (PARTITION BY user_id, trip
+                            ORDER BY tus, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, trip
+                            ORDER BY tus DESC, event_id DESC) AS rnd
+  FROM tripped
+),
+cells AS MATERIALIZED (
+  SELECT user_id, trip, rn, rnd, tus, {xs} AS cx, {ys} AS cy
+  FROM ends WHERE rn = 1 OR rnd = 1
+),
+od AS MATERIALIZED (
+  SELECT user_id, trip,
+         MIN(CASE WHEN rn = 1 THEN cx END) AS o_x,
+         MIN(CASE WHEN rn = 1 THEN cy END) AS o_y,
+         MIN(CASE WHEN rnd = 1 THEN cx END) AS d_x,
+         MIN(CASE WHEN rnd = 1 THEN cy END) AS d_y,
+         MIN(CASE WHEN rn = 1 THEN (tus // 3600000000) % 24 END) AS dep_hour
+  FROM cells GROUP BY user_id, trip
+)
+SELECT CAST(o_x AS BIGINT) AS o_x, CAST(o_y AS BIGINT) AS o_y,
+       CAST(d_x AS BIGINT) AS d_x, CAST(d_y AS BIGINT) AS d_y,
+       CAST(dep_hour AS BIGINT) AS dep_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM od GROUP BY o_x, o_y, d_x, d_y, dep_hour
+"""

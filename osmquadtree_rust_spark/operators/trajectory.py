@@ -1088,6 +1088,7 @@ def od_matrix(
     seq_col: str = "event_id",
     max_gap_us: int = 6 * 3600 * 1_000_000,
     chars: int = 6,
+    by_hour: bool = False,
 ) -> DataFrame:
     """Origin-destination flow matrix: split each entity's stream into
     trips (a silence longer than `max_gap_us` starts a new trip — the
@@ -1099,7 +1100,9 @@ def od_matrix(
     Single-point trips count too (origin == destination cell): a trip
     is demand evidence regardless of recorded movement.
 
-    Returns (o_x, o_y, d_x, d_y, n_trips).
+    Returns (o_x, o_y, d_x, d_y, n_trips); with `by_hour` also
+    `dep_hour` (the trip's departure hour-of-day, UTC) — the
+    time-of-day demand surface transport planning slices on.
 
     Scale shape: one entity-keyed window computes the trip counter
     (running sum of gap flags) and the per-(entity, trip) first/last
@@ -1143,15 +1146,25 @@ def od_matrix(
         .withColumn("__cx", F.expr(xs))
         .withColumn("__cy", F.expr(ys))
     )
-    od = ends.groupBy(id_col, "__trip").agg(
+    aggs = [
         F.min(F.when(F.col("__rn") == 1, F.col("__cx"))).alias("o_x"),
         F.min(F.when(F.col("__rn") == 1, F.col("__cy"))).alias("o_y"),
         F.min(F.when(F.col("__rnd") == 1, F.col("__cx"))).alias("d_x"),
         F.min(F.when(F.col("__rnd") == 1, F.col("__cy"))).alias("d_y"),
-    )
-    return od.groupBy("o_x", "o_y", "d_x", "d_y").agg(
-        F.count("*").alias("n_trips")
-    )
+    ]
+    keys = ["o_x", "o_y", "d_x", "d_y"]
+    if by_hour:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__rn") == 1,
+                    F.expr("(__tus DIV 3600000000) % 24"),
+                )
+            ).alias("dep_hour")
+        )
+        keys.append("dep_hour")
+    od = ends.groupBy(id_col, "__trip").agg(*aggs)
+    return od.groupBy(*keys).agg(F.count("*").alias("n_trips"))
 
 
 def simplify_track_grid(

@@ -270,3 +270,25 @@ def test_radius_of_gyration_extent_guard(spark):
     out = radius_of_gyration(df, max_extent_fixed=1_000_000)
     with pytest.raises(Exception, match="max_extent_fixed"):
         out.collect()
+
+
+def test_od_matrix_by_hour(spark):
+    from osmquadtree_rust_spark.operators.trajectory import od_matrix
+
+    H = 3_600_000_000
+    # trip 1 departs hour 2, trip 2 (after an 8h gap) departs hour 13
+    rows = [
+        (1, 1, 2 * H + 5, 0, 0), (1, 2, 3 * H, 200_000, 0),
+        (1, 3, 13 * H, 0, 0), (1, 4, 14 * H, 200_000, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, lon long, lat long"
+    )
+    got = {
+        r["dep_hour"]: r["n_trips"]
+        for r in od_matrix(df, max_gap_us=6 * H, by_hour=True).collect()
+    }
+    assert got == {2: 1, 13: 1}
+    # without by_hour the two identical OD pairs merge
+    plain = od_matrix(df, max_gap_us=6 * H).collect()
+    assert len(plain) == 1 and plain[0]["n_trips"] == 2
