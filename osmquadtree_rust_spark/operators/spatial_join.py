@@ -255,6 +255,57 @@ def auto_radius_chars(d_fixed: int, max_chars: int = 12, ring: int = 1) -> int:
     return _finest_chars(need, max_chars, f"d_fixed={d_fixed}", ring=ring)
 
 
+def auto_radius_grid(
+    d_fixed: int, max_chars: int = 12, max_block_cells: int = 256
+) -> tuple[int, int]:
+    """(chars, ring) minimizing the candidate WINDOW AREA — the quantity
+    candidate-pair counts are proportional to for dense data.
+
+    Char-aligned geohash depths jump by 4-8x per level, so the finest
+    ring=1 depth can leave the cell span several times `d_fixed`: the
+    3x3 window is then tens of d^2 and almost every pair in a dense
+    window becomes a verify candidate (measured: the 500 m metric join
+    over a 0.1-degree window degenerated to ALL pairs).  Pairing a
+    finer depth with a larger ring keeps the per-axis window at
+    (2*ring+1) * span >= ~2*d but bounded near it, at the cost of a
+    (2*ring+1)^2-row broadcast offsets block per point — capped by
+    `max_block_cells` (the block side is points-count-sized, the
+    candidate side density^2-sized, so a few hundred block cells is
+    always the right trade for dense data and harmless for sparse).
+
+    Recall-completeness is per the same invariant as auto_radius_chars:
+    ring * min_axis_span >= d_fixed (two points within d differ by at
+    most `ring` cells per axis), and the lon grid must be wide enough
+    that the modular ring cannot wrap onto itself."""
+    from ..functions import geohash as GH
+
+    if int(d_fixed) <= 0:
+        raise ValueError(f"d_fixed={d_fixed} must be positive")
+    best: tuple[int, int, int] | None = None  # (area_key, chars, ring)
+    for c in range(1, int(max_chars) + 1):
+        lon_bits, lat_bits = GH._bits_for(c)
+        span_lon = 3600000000 // (1 << lon_bits)
+        span_lat = 1800000000 // (1 << lat_bits)
+        span = min(span_lon, span_lat)
+        if span <= 0:
+            continue
+        ring = -(-int(d_fixed) // span)
+        w = 2 * ring + 1
+        if w * w > int(max_block_cells):
+            continue
+        if w > (1 << lon_bits):  # modular ring would wrap onto itself
+            continue
+        area = (w * span_lon) * (w * span_lat)
+        if best is None or (area, ring) < (best[0][0], best[0][1]):
+            best = ((area, ring), c, ring)
+    if best is None:
+        raise ValueError(
+            f"d_fixed={d_fixed} admits no (chars, ring) grid under "
+            f"max_block_cells={max_block_cells}"
+        )
+    return best[1], best[2]
+
+
 def qt_neighbors(
     cells: DataFrame,
     level: int,
@@ -338,7 +389,7 @@ def geohash_radius_join(
     lat: str = "lat",
     chars: int | None = None,
     id_col: str = "id",
-    ring: int = 1,
+    ring: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) within Euclidean distance `d_fixed` (1e-7-degree
     fixed-point units, longitude wrapped at the antimeridian): candidates
@@ -350,12 +401,14 @@ def geohash_radius_join(
 
     Everything is int64-exact: wrapped dlon <= 1.8e9 so dlon^2 + dlat^2
     < 2^63; the DuckDB oracle may therefore stay brute-force quadratic.
-    chars=None (default) derives the finest depth whose ring covers
-    d_fixed (auto_radius_chars); an explicit chars still raises when
-    d_fixed exceeds ring * cell span (recall would silently drop
-    far-in-grid pairs).  `ring` > 1 trades (2*ring+1)^2 explode rows for
-    finer cells — the right move when per-cell populations dominate
-    candidate counts (dense urban data)."""
+    chars=None, ring=None (the defaults) pick the window-area-optimal
+    (depth, ring) pair (auto_radius_grid) — char-aligned depths jump
+    4-8x per level, so the ring=1 depth alone can leave the candidate
+    window several times d on a side; an explicit ring keeps the legacy
+    finest-depth-for-that-ring derivation (auto_radius_chars), and an
+    explicit chars derives the smallest covering ring.  Any combination
+    still raises when d_fixed exceeds ring * cell span (recall would
+    silently drop far-in-grid pairs)."""
     pairs, _ = _radius_join_impl(
         points, d_fixed, lon, lat, chars, id_col, ring, cache=False
     )
@@ -369,7 +422,7 @@ def _radius_join_impl(
     lat: str,
     chars: int | None,
     id_col: str,
-    ring: int,
+    ring: int | None,
     cache: bool,
     keep_coords: bool = False,
 ) -> tuple[DataFrame, DataFrame | None]:
@@ -387,17 +440,34 @@ def _radius_join_impl(
     purely from re-evaluating this subtree)."""
     from ..functions import geohash as GH
 
-    if ring < 1:
+    if ring is not None and ring < 1:
         raise ValueError(f"ring={ring} must be >= 1")
     if chars is None:
-        chars = auto_radius_chars(d_fixed, ring=ring)
+        if ring is None:
+            # window-area-optimal grid (see auto_radius_grid): the
+            # char-aligned ring=1 depth can leave the cell span several
+            # times d_fixed and the candidate window wider than the data
+            chars, ring = auto_radius_grid(d_fixed)
+        else:
+            chars = auto_radius_chars(d_fixed, ring=ring)
+    elif ring is None:
+        # explicit chars keeps the legacy contract: ring=1, and the
+        # validation below raises when the span cannot cover d_fixed
+        # (silently widening the ring would hide a mis-derived grid)
+        ring = 1
     _, span = _cell_span(chars)
     if not 0 < int(d_fixed) <= int(ring) * span:
         raise ValueError(
             f"d_fixed={d_fixed} outside (0, {ring * span}] for chars={chars}, "
             f"ring={ring} — recall-completeness needs d <= ring * cell span"
         )
+    if 2 * int(ring) + 1 > (1 << GH._bits_for(chars)[0]):
+        raise ValueError(
+            f"ring={ring} wraps onto itself at chars={chars} — the "
+            f"exactly-once-match invariant needs alias-free x offsets"
+        )
     spark = points.sparkSession
+    par = spark.sparkContext.defaultParallelism
     lon_bits, lat_bits = GH._bits_for(chars)
     xs, ys = GH.geohash_xy_sql(lon, lat, chars, "spark")
     proj = points.select(
@@ -406,12 +476,25 @@ def _radius_join_impl(
         F.col(lat).alias("__alat"),
         F.expr(xs).alias("__x"),
         F.expr(ys).alias("__y"),
-    )
+    ).repartition(par)
+    # the repartition MATERIALIZES the coordinate projection before the
+    # (2*ring+1)^2 offsets fan-out: caller-supplied lon/lat are often
+    # derived expressions (the gates derive points from hashes), and
+    # CollapseProject + the fan-out would otherwise re-evaluate them per
+    # EXPLODED row on the scan's few input splits (measured: 87 CPU-s of
+    # hash re-derivation on 2 tasks at the driver's SF — the entire
+    # query wall).  Both join sides consume the SAME exchange, which the
+    # AQE stage cache evaluates once; par=defaultParallelism keeps the
+    # fan-out stage at cluster parallelism.
     if cache:
         proj = proj.persist()
-    own_code = GH.interleave_sql("(__x)", "(__y)", chars, "spark")
-    own = proj.withColumn("code", F.expr(own_code).cast("long")).drop(
-        "__x", "__y"
+    # the join key is the (x, y) grid cell DIRECTLY — interleaving into
+    # a single geohash code is a bijection on (x, y), so the equi-join
+    # is identical, and the 5*chars-term interleave expression (inlined
+    # once per BIT by interleave_sql, measured tens of CPU-seconds per
+    # fan-out at the driver's SF) never runs
+    own = proj.withColumnRenamed("__x", "__cx").withColumnRenamed(
+        "__y", "__cy"
     )
     # full block including the center cell — one broadcast join, no union
     block = [(0, 0)] + ring_offsets(ring)
@@ -419,7 +502,6 @@ def _radius_join_impl(
     m = 1 << lon_bits
     xn = f"pmod(__x + dx, {m})"
     yn = "(__y + dy)"
-    nb_code = GH.interleave_sql(f"({xn})", f"({yn})", chars, "spark")
     bset = (
         proj.join(F.broadcast(offsets))
         .filter(F.expr(f"{yn} >= 0 AND {yn} < {1 << lat_bits}"))
@@ -427,21 +509,32 @@ def _radius_join_impl(
             F.col("a").alias("b"),
             F.col("__alon").alias("__blon"),
             F.col("__alat").alias("__blat"),
-            F.expr(nb_code).cast("long").alias("code"),
+            F.expr(xn).cast("long").alias("__cx"),
+            F.expr(yn).cast("long").alias("__cy"),
         )
     )
     dl = F.abs(F.col("__alon") - F.col("__blon"))
     wl = F.least(dl, F.lit(3600000000) - dl)
     da = F.abs(F.col("__alat") - F.col("__blat"))
+    # the cell join EXPLODES (output pairs >> input points) and is
+    # pipelined with the distance verify, so its stage must run at
+    # cluster parallelism: AQE's byte-based coalescing sees only the
+    # tiny pre-join shuffle and would collapse it to 1-2 tasks
+    # (measured: the sf1.0 metric-join verify ran on 2 cores).  An
+    # explicit repartition by the join key pins the partition count —
+    # scale-adaptively, defaultParallelism is the cluster core count —
+    # and both sides share the partitioning, so the join itself adds
+    # no exchange beyond the one it always needed.
     pairs = (
-        own.join(bset, "code")
+        own.repartition(par, "__cx", "__cy")
+        .join(bset.repartition(par, "__cx", "__cy"), ["__cx", "__cy"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("dist_sq", (wl * wl + da * da).cast("long"))
         .filter(F.col("dist_sq") <= int(d_fixed) * int(d_fixed))
         # no distinct needed: a pair matches exactly once — the a-side
-        # contributes its single own cell and the b-side's block codes
-        # are all distinct (the wrap guard in the chars derivation keeps
-        # modular x offsets alias-free), so (a, b) joins on one code
+        # contributes its single own cell and the b-side's block cells
+        # are all distinct (the wrap guard keeps modular x offsets
+        # alias-free), so (a, b) joins on one cell
         .select(
             "a", "b", "dist_sq",
             *(
@@ -486,7 +579,7 @@ def knn_within_radius(
     by its own checkpoint blocks; callers holding it long-term may
     `.unpersist()` it when done."""
     pairs, proj = _radius_join_impl(
-        points, d_fixed, lon, lat, chars, id_col, ring=1, cache=True
+        points, d_fixed, lon, lat, chars, id_col, ring=None, cache=True
     )
     # symmetrize by exploding each row into both directions in ONE pass —
     # a union of pairs with its own swap would evaluate the whole
@@ -660,7 +753,7 @@ def haversine_radius_join(
     id_col: str = "id",
     max_abs_lat_fixed: int | None = None,
     chars: int | None = None,
-    ring: int = 1,
+    ring: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) within `d_meters` GREAT-CIRCLE distance — the
     true-sphere generalization of geohash_radius_join (whose fixed-point
@@ -788,7 +881,7 @@ def knn_great_circle(
     RDDs the caller can't see."""
     pairs, proj = _haversine_pairs_impl(
         points, d_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
-        ring=1, cache=True,
+        ring=None, cache=True,
     )
     sym = pairs.select(
         F.explode(
@@ -865,7 +958,7 @@ def dbscan_metric(
 
     pairs, proj = _haversine_pairs_impl(
         points, eps_meters, lon, lat, id_col, max_abs_lat_fixed, chars,
-        ring=1, cache=True,
+        ring=None, cache=True,
     )
     # ONE explode, not union-with-swap (union branches re-evaluate their
     # whole subtree — the pair join would run twice)

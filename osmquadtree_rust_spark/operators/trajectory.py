@@ -533,6 +533,94 @@ def time_in_fence(
     )
 
 
+@F.pandas_udf(LongType())
+def _hausdorff_mm_udf(
+    axs: pd.Series, ays: pd.Series, bxs: pd.Series, bys: pd.Series
+) -> pd.Series:
+    """Symmetric discrete Hausdorff (integer-mm chords) for one
+    candidate pair per row, arrays carrying each side's decimated
+    points.  The chord matrix is evaluated with EXACTLY the same
+    elementwise numpy ops as _chord_mm_udf (hav_np + sqrt + mul +
+    floor), so every mm value is bit-identical to the former
+    row-per-point-pair shape; minima/maxima are integer reductions.
+
+    Vectorized across the batch: rows are chunked to a bounded
+    point-pair budget (big numpy temporaries are measurably slower on
+    this host), then one flat gather evaluates every pair in the chunk,
+    `minimum.reduceat` over a-major runs gives h(A,B), and a
+    permutation to b-major order gives h(B,A) without re-evaluating the
+    matrix."""
+    n = len(axs)
+    out = np.empty(n, np.int64)
+    if n == 0:
+        return pd.Series(out)
+    ax = [np.asarray(v, np.int64) for v in axs]
+    ay = [np.asarray(v, np.int64) for v in ays]
+    bx = [np.asarray(v, np.int64) for v in bxs]
+    by = [np.asarray(v, np.int64) for v in bys]
+    la = np.fromiter((len(v) for v in ax), np.int64, n)
+    lb = np.fromiter((len(v) for v in bx), np.int64, n)
+    # small chunks keep every temporary cache-resident (measured 3x
+    # faster than a 4M-pair budget — the big-numpy-temporaries trap)
+    budget = 250_000
+    pi = float(np.pi)
+    i0 = 0
+    while i0 < n:
+        i1, tot = i0, 0
+        while i1 < n and (i1 == i0 or tot + la[i1] * lb[i1] <= budget):
+            tot += la[i1] * lb[i1]
+            i1 += 1
+        la_c, lb_c = la[i0:i1], lb[i0:i1]
+        nc = i1 - i0
+        p = la_c * lb_c
+        poff = np.concatenate(([0], np.cumsum(p)))[:-1]
+        P = int(p.sum())
+        rid = np.repeat(np.arange(nc), p)
+        local = np.arange(P, dtype=np.int64) - poff[rid]
+        aoff = np.concatenate(([0], np.cumsum(la_c)))[:-1]
+        boff = np.concatenate(([0], np.cumsum(lb_c)))[:-1]
+        axf = np.concatenate(ax[i0:i1])
+        ayf = np.concatenate(ay[i0:i1])
+        bxf = np.concatenate(bx[i0:i1])
+        byf = np.concatenate(by[i0:i1])
+        ai = aoff[rid] + local // lb_c[rid]
+        bi = boff[rid] + local % lb_c[rid]
+        # hav_np's exact ops with the per-POINT pieces (lat radians,
+        # cos) hoisted out of the pair matrix: cos/radian conversion of
+        # the same double input yields the same double wherever it is
+        # evaluated, and the pairwise combination below keeps hav_np's
+        # pinned operand order — every mm stays bit-identical to
+        # _chord_mm_udf while the matrix pays 2 transcendentals per
+        # element instead of 6
+        ra_a = (ayf.astype(np.float64) * pi) / 1800000000.0
+        ra_b = (byf.astype(np.float64) * pi) / 1800000000.0
+        cra_a = np.cos(ra_a)
+        cra_b = np.cos(ra_b)
+        dl = np.abs(axf[ai] - bxf[bi])
+        wl = np.minimum(dl, 3600000000 - dl)
+        sp = np.sin((ra_a[ai] - ra_b[bi]) * 0.5)
+        sl = np.sin(((wl.astype(np.float64) * pi) / 1800000000.0) * 0.5)
+        hav = sp * sp + (cra_a[ai] * cra_b[bi]) * (sl * sl)
+        mm = np.floor(np.sqrt(hav) * float(CHORD_MM_LIT)).astype(np.int64)
+        # h(A,B): pairs are a-major, so each (row, a-point)'s b-run is
+        # contiguous; per-run minima then per-row maxima
+        la_tot = int(la_c.sum())
+        ra = np.repeat(np.arange(nc), la_c)
+        starts_a = poff[ra] + (np.arange(la_tot) - aoff[ra]) * lb_c[ra]
+        h_ab = np.maximum.reduceat(np.minimum.reduceat(mm, starts_a), aoff)
+        # h(B,A): scatter each pair to its b-major position
+        lb_tot = int(lb_c.sum())
+        perm = poff[rid] + (local % lb_c[rid]) * la_c[rid] + local // lb_c[rid]
+        mmb = np.empty_like(mm)
+        mmb[perm] = mm
+        rb = np.repeat(np.arange(nc), lb_c)
+        starts_b = poff[rb] + (np.arange(lb_tot) - boff[rb]) * la_c[rb]
+        h_ba = np.maximum.reduceat(np.minimum.reduceat(mmb, starts_b), boff)
+        out[i0:i1] = np.maximum(h_ab, h_ba)
+        i0 = i1
+    return pd.Series(out)
+
+
 def track_hausdorff(
     events: DataFrame,
     lon: str = "lon",
@@ -540,6 +628,7 @@ def track_hausdorff(
     id_col: str = "user_id",
     seq_col: str = "event_id",
     step: int = 1,
+    sink: str | None = None,
 ) -> DataFrame:
     """Symmetric discrete Hausdorff distance between every pair of
     entity tracks whose bounding boxes intersect — the trajectory
@@ -561,85 +650,189 @@ def track_hausdorff(
     Returns (user_a, user_b, n_a, n_b, hausdorff_mm) with
     user_a < user_b and n_* the decimated point counts.
 
-    Scale shape: the bbox candidate join is entity-count-sized (one
-    map-side-combinable aggregate per entity, then an inequality join
-    on boxes — never all point pairs corpus-wide); the distance frame
-    is bounded by Σ_pairs |A|·|B|, bounded by step².  Both directed
-    maxima come from ONE explode of that frame (a union-with-swap would
-    re-evaluate the candidate join per branch, the module-wide
-    union-recompute trap) followed by two map-side-combinable
-    aggregates; n_a/n_b are carried THROUGH the aggregation keys so the
-    candidate frame is consumed exactly once."""
+    Scale shape (r8): ONE entity-keyed aggregate builds bbox + count +
+    the decimated point arrays per entity, persisted across its
+    consumers (the r4 cache-lifecycle pattern).  Candidates come from
+    the grid-covered cell EQUI-join with reference-point dedup — the
+    same machinery as segment_crossings / bbox_intersection_join, at a
+    depth derived from the largest track bbox (one aggregate-only
+    scan), never a nested loop over entity pairs.  The |A|·|B| distance
+    work (inherent to discrete Hausdorff, bounded by `step` decimation)
+    runs INSIDE one vectorized Arrow batch per candidate-pair row: the
+    point arrays ride the two entity joins, and a numpy kernel
+    evaluates the exact per-pair chord matrix (elementwise identical to
+    _chord_mm_udf — same hav_np ops, same floor) plus both directed
+    maxima with segment-reductions, emitting one int64 per pair.  That
+    replaces the former pair×|A|×|B| join + double-explode +
+    (pair·(|A|+|B|))-group aggregation — the r7 bench's single most
+    expensive query at the driver's escalated SF — with an
+    entity-pair-sized frame.  The result is localCheckpointed (eager)
+    so the persisted track index can be released before return; pass
+    `sink` (a parquet path) at planet scale to stream the pair results
+    to storage instead (same contract as knn_great_circle)."""
+    ranked, tracks = _track_hausdorff_plan(
+        events, lon, lat, id_col, seq_col, step
+    )
+    if sink is None:
+        res = ranked.localCheckpoint(eager=True)
+    else:
+        ranked.write.mode("overwrite").parquet(sink)
+        res = events.sparkSession.read.parquet(sink)
+    tracks.unpersist()
+    return res
+
+
+def _track_hausdorff_plan(
+    events: DataFrame,
+    lon: str,
+    lat: str,
+    id_col: str,
+    seq_col: str,
+    step: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy track_hausdorff frame + the persisted track index backing
+    it (caller materializes then unpersists) — split out so tests and
+    plan captures can inspect the pre-checkpoint physical plan."""
+    from .spatial_join import auto_bbox_chars
+
+    from ..functions import geohash as GH
+
     if step < 1:
         raise ValueError(f"step={step} must be >= 1")
     pts = events.select(id_col, seq_col, lon, lat)
     if step > 1:
         pts = pts.filter(F.col(seq_col) % step == 0)
-    bbox = pts.groupBy(id_col).agg(
-        F.min(lon).alias("__minx"),
-        F.max(lon).alias("__maxx"),
-        F.min(lat).alias("__miny"),
-        F.max(lat).alias("__maxy"),
-        F.count("*").alias("__n"),
-    )
-    a = bbox.select(
-        F.col(id_col).alias("__ua"),
-        F.col("__minx").alias("__aminx"), F.col("__maxx").alias("__amaxx"),
-        F.col("__miny").alias("__aminy"), F.col("__maxy").alias("__amaxy"),
-        F.col("__n").alias("n_a"),
-    )
-    b = bbox.select(
-        F.col(id_col).alias("__ub"),
-        F.col("__minx").alias("__bminx"), F.col("__maxx").alias("__bmaxx"),
-        F.col("__miny").alias("__bminy"), F.col("__maxy").alias("__bmaxy"),
-        F.col("__n").alias("n_b"),
-    )
-    cand = a.join(
-        b,
-        (F.col("__ua") < F.col("__ub"))
-        & (F.col("__aminx") <= F.col("__bmaxx"))
-        & (F.col("__bminx") <= F.col("__amaxx"))
-        & (F.col("__aminy") <= F.col("__bmaxy"))
-        & (F.col("__bminy") <= F.col("__amaxy")),
-    ).select("__ua", "__ub", "n_a", "n_b")
-    pa = pts.select(
-        F.col(id_col).alias("__pa"), F.col(seq_col).alias("__ea"),
-        F.col(lon).alias("__alon"), F.col(lat).alias("__alat"),
-    )
-    pb = pts.select(
-        F.col(id_col).alias("__pb"), F.col(seq_col).alias("__eb"),
-        F.col(lon).alias("__blon"), F.col(lat).alias("__blat"),
-    )
-    d = (
-        cand.join(pa, F.col("__pa") == F.col("__ua"))
-        .join(pb, F.col("__pb") == F.col("__ub"))
+    tracks = (
+        pts.groupBy(id_col)
+        .agg(
+            F.min(lon).alias("__minx"),
+            F.max(lon).alias("__maxx"),
+            F.min(lat).alias("__miny"),
+            F.max(lat).alias("__maxy"),
+            F.count("*").alias("__n"),
+            F.collect_list(
+                F.struct(
+                    F.col(lon).cast("long").alias("x"),
+                    F.col(lat).cast("long").alias("y"),
+                )
+            ).alias("__pts"),
+        )
         .select(
-            "__ua", "__ub", "n_a", "n_b", "__ea", "__eb",
-            _chord_mm_udf(
-                F.col("__alon"), F.col("__alat"),
-                F.col("__blon"), F.col("__blat"),
-            ).alias("__mm"),
+            F.col(id_col),
+            "__minx", "__maxx", "__miny", "__maxy", "__n",
+            F.expr("transform(__pts, p -> p.x)").alias("__xs"),
+            F.expr("transform(__pts, p -> p.y)").alias("__ys"),
+        )
+        .persist()
+    )
+    # depth for the covering: finest grid where the LARGEST track bbox
+    # stays within the per-axis cell cap (aggregate-only scan over the
+    # persisted index — the in-covering raise guard of the generic
+    # bbox join cannot fire at a depth derived from the true maximum)
+    srow = tracks.agg(
+        F.max(
+            F.greatest(
+                F.col("__maxx") - F.col("__minx"),
+                F.col("__maxy") - F.col("__miny"),
+            )
+        ).alias("s")
+    ).collect()[0]
+    span_max = max(int(srow["s"] or 0), 1)
+    chars = auto_bbox_chars(span_max, max_cells_per_axis=64)
+
+    x0s, y0s = GH.geohash_xy_sql("__minx", "__miny", chars, "spark")
+    x1s, y1s = GH.geohash_xy_sql("__maxx", "__maxy", chars, "spark")
+    light = ["__minx", "__maxx", "__miny", "__maxy", "__n"]
+    cells = (
+        tracks.select(
+            F.col(id_col),
+            *light,
+            F.expr(x0s).alias("__cx0"),
+            F.expr(y0s).alias("__cy0"),
+            F.expr(x1s).alias("__cx1"),
+            F.expr(y1s).alias("__cy1"),
+        )
+        .select(
+            F.col(id_col),
+            *light,
+            F.explode(F.expr("sequence(__cx0, __cx1)")).alias("__cx"),
+            "__cy0",
+            "__cy1",
+        )
+        .select(
+            F.col(id_col),
+            *light,
+            "__cx",
+            F.explode(F.expr("sequence(__cy0, __cy1)")).alias("__cy"),
         )
     )
-    s = d.select(
-        "__ua", "__ub", "n_a", "n_b", "__mm",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("dir"), F.col("__ea").alias("pt")),
-                F.struct(F.lit(1).alias("dir"), F.col("__eb").alias("pt")),
-            )
-        ).alias("__s"),
+    a = cells.select(
+        F.col(id_col).alias("__ua"),
+        *[F.col(c).alias("__a" + c.lstrip("_")) for c in light],
+        "__cx", "__cy",
     )
-    mins = s.groupBy(
-        "__ua", "__ub", "n_a", "n_b", "__s.dir", "__s.pt"
-    ).agg(F.min("__mm").alias("__mn"))
-    return mins.groupBy("__ua", "__ub", "n_a", "n_b").agg(
-        F.max("__mn").alias("hausdorff_mm")
-    ).select(
-        F.col("__ua").alias("user_a"),
-        F.col("__ub").alias("user_b"),
-        "n_a", "n_b", "hausdorff_mm",
+    b = cells.select(
+        F.col(id_col).alias("__ub"),
+        *[F.col(c).alias("__b" + c.lstrip("_")) for c in light],
+        "__cx", "__cy",
     )
+    rx, ry = GH.geohash_xy_sql(
+        "GREATEST(__aminx, __bminx)", "GREATEST(__aminy, __bminy)",
+        chars, "spark",
+    )
+    # the cell join explodes (up to per-cell population² pair rows from
+    # entity-count-sized inputs): pin its stage at cluster parallelism
+    # so AQE's byte-based coalescing of the tiny pre-join shuffle
+    # cannot collapse the exploding stage to 1-2 tasks (see
+    # _radius_join_impl — same measured trap)
+    par = events.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        a.repartition(par, "__cx", "__cy")
+        .join(b.repartition(par, "__cx", "__cy"), ["__cx", "__cy"])
+        .filter(F.col("__ua") < F.col("__ub"))
+        .filter(
+            (F.col("__aminx") <= F.col("__bmaxx"))
+            & (F.col("__bminx") <= F.col("__amaxx"))
+            & (F.col("__aminy") <= F.col("__bmaxy"))
+            & (F.col("__bminy") <= F.col("__amaxy"))
+        )
+        # reference-point dedup: each surviving pair is emitted from
+        # exactly the cell holding the intersection's lower-left corner
+        .filter(
+            (F.col("__cx") == F.expr(rx)) & (F.col("__cy") == F.expr(ry))
+        )
+        .select(
+            "__ua", "__ub",
+            F.col("__an").alias("n_a"), F.col("__bn").alias("n_b"),
+        )
+    )
+    arr_a = tracks.select(
+        F.col(id_col).alias("__ua"),
+        F.col("__xs").alias("__axs"), F.col("__ys").alias("__ays"),
+    )
+    arr_b = tracks.select(
+        F.col(id_col).alias("__ub"),
+        F.col("__xs").alias("__bxs"), F.col("__ys").alias("__bys"),
+    )
+    # the coarse grid can have very few distinct cells (degenerate
+    # all-overlapping tracks — chars=1 has 32 cells worldwide), which
+    # would cap the distance stage's parallelism at the cell count;
+    # re-spread the pair frame by its own key so the |A|·|B| numpy
+    # stage runs evenly at cluster parallelism
+    ranked = (
+        cand.repartition(par, "__ua", "__ub")
+        .join(arr_a, "__ua")
+        .join(arr_b, "__ub")
+        .select(
+            F.col("__ua").alias("user_a"),
+            F.col("__ub").alias("user_b"),
+            "n_a", "n_b",
+            _hausdorff_mm_udf(
+                "__axs", "__ays", "__bxs", "__bys"
+            ).alias("hausdorff_mm"),
+        )
+    )
+    return ranked, tracks
 
 
 def _bounded_segments(
