@@ -31,14 +31,21 @@ def get_spark(
         # pin it instead of inheriting the container default
         .config("spark.sql.session.timeZone", "Etc/UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce small shuffles to the target partition size instead of
-        # stopping at default parallelism (the Spark-docs-recommended
-        # production setting): at bench scale this collapses 32 tiny
-        # post-shuffle partitions per stage into a few, cutting task
-        # overhead; at 100 TB partitions exceed the target size and the
-        # setting is inert
+        # parallelismFirst=true is the Spark DEFAULT: AQE only coalesces
+        # down to default parallelism, not to the advisory byte target.
+        # r6 set this false to cut task overhead on tiny local shuffles,
+        # but at the driver's escalated SF the byte-based target
+        # serialized CPU-heavy post-shuffle stages (keyed windows,
+        # Python-boundary projections) onto 1-2 tasks — a compressed
+        # 10-80 MB shuffle is far more than 2 tasks of WORK.  Measured
+        # r8 (sf1.0, per-query A/B in OPTIMIZATION_r08.md): the default
+        # wins by integer factors on every window/UDF-heavy query and
+        # costs single-digit ms on tiny ones.  At 100 TB partitions
+        # exceed the advisory size and both settings behave identically;
+        # SPARK_GRAFT_PARALLELISM_FIRST overrides for experiments.
         .config(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
