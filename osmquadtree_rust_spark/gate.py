@@ -47,6 +47,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus a one-time spread to cluster parallelism, for gates whose
+    first heavy stage is a derived PROJECTION over the raw table (text
+    splits/shingles, synthetic md5 embeddings, regex scrubs): the bench
+    parquet files are single-row-group, so the scan gets ONE split and
+    everything pipelined with it runs on one core (measured: redact_pii
+    — a pure projection — spent its whole 3.6 s wall single-task at the
+    driver's SF).  The spread is conditional on the scan actually being
+    narrower than the cluster, so pre-split production inputs pay
+    nothing; scan-pushdown-sensitive gates keep using _t."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # ===========================================================================
 # 1. TPC-H Q1 style pricing summary (baseline agg path)
 # ===========================================================================

@@ -21,6 +21,7 @@ from .gate import (  # noqa: F401  (caps shared with gate.py helpers)
     _oracle,
     _register,
     _t,
+    _ts,
 )
 
 # r7 bench-hygiene corpus caps for the pair-quadratic text gates (see
@@ -43,7 +44,7 @@ from .operators import text as TX
 
 @_register("text_metrics")
 def _tm(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = TX.with_token_count(docs)
     out = TX.with_quality_score(out)
     return out.select(
@@ -64,7 +65,7 @@ def _tm_o():
 
 @_register("langid_heuristic")
 def _lh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.with_langid(docs).select(
         F.col("doc_id").cast("long"),
         F.col("en_score").cast("long"),
@@ -85,7 +86,7 @@ def _lh_o():
 
 @_register("token_stats_by_source")
 def _tsb(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.token_stats_by(docs, "source")
 
 
@@ -102,7 +103,7 @@ def _tsb_o():
 
 @_register("doc_fingerprint")
 def _dfp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.with_fingerprint(docs).select(
         F.col("doc_id").cast("long"), F.col("fp").cast("long")
     )
@@ -123,7 +124,7 @@ def _dfp_o():
 
 @_register("dedup_exact")
 def _de(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return D.dedup_exact(docs)
 
 
@@ -137,7 +138,7 @@ def _de_o():
 
 @_register("minhash_signatures")
 def _mh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return D.minhash_signatures(docs).select(
         F.col("doc_id").cast("long"),
         *[F.col(f"mh{i}").cast("long") for i in range(4)],
@@ -161,7 +162,7 @@ def _mh_o():
 
 @_register("simhash64")
 def _sh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return D.simhash64(docs).select(
         F.col("doc_id").cast("long"), F.col("simhash").cast("long")
     )
@@ -212,7 +213,7 @@ def _query_vec(sf_dir: str) -> list[float]:
 
 @_register("ann_dot_topk")
 def _ann(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     q = _query_vec(sf_dir)
     return SIM.brute_force_topk(emb, q, k=_ANN_K).select(
         F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
@@ -251,7 +252,7 @@ _LSH_PLANES = 4
 
 @_register("lsh_topk")
 def _lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     q = _query_vec(sf_dir)
     return SIM.lsh_topk(emb, q, k=_LSH_K, n_planes=_LSH_PLANES).select(
         F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
@@ -776,7 +777,7 @@ _DUP_SHIFT = 100000
 
 def _doubled_docs(spark, sf_dir):
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _DOCS2_CAP)
         .select("doc_id", "text")
     )
@@ -882,7 +883,7 @@ _NG_N = 5
 
 
 def _ngram_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.select(
         "doc_id", F.expr(f"concat(text, '{_NG_FOOTER}')").alias("text")
     )
@@ -965,7 +966,7 @@ _NRM_NOISE_SQL = (
 
 @_register("normalize_dedup")
 def _nrm(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     noised = docs.select(
         (F.col("doc_id") + _NRM_SHIFT).alias("doc_id"),
         F.expr(_NRM_NOISE_SQL).alias("text"),
@@ -1010,7 +1011,7 @@ _CC_Q_MIN = 500000
 
 @_register("corpus_clean_stats")
 def _ccs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
@@ -1090,7 +1091,7 @@ _MM_CAPTION_SQL = (
 
 def _mm_corpus(spark, sf_dir):
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MM_CAP)
         .select("doc_id", "text")
     )
@@ -1248,7 +1249,7 @@ def _ivf_inputs(sf_dir: str):
 
 @_register("ivf_ann_topk")
 def _ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     centroids, query = _ivf_inputs(sf_dir)
     out = SIM.ivf_topk(
         emb, query, centroids, k=_IVF_K, n_probe=_IVF_PROBE
@@ -1408,7 +1409,7 @@ def _h3r_o():
 def _tkps(spark, sf_dir):
     # per-domain curation cut: best 5 docs per source by quality score,
     # deterministic tie-break on doc_id
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     scored = TX.with_quality_score(docs)
     return TX.top_k_per_group(
         scored, group="source", order="quality", k=5
@@ -1590,7 +1591,7 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
 
 @_register("token_count_bpe")
 def _tcb(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = TX.with_bpe_token_count(TX.with_token_count(docs))
     return out.select(
         F.col("doc_id").cast("long"),
@@ -1616,7 +1617,7 @@ def _tcb_o():
 
 @_register("label_centroids")
 def _lc(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     return SIM.label_centroids(emb).select(
         F.col("label").cast("long"),
         F.col("dim").cast("long"),
@@ -1645,7 +1646,7 @@ _REP_N = 3
 
 @_register("repetition_ratio")
 def _rep(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     out = TX.with_repetition_ratio(docs, n=_REP_N)
     return out.select(
         F.col("doc_id").cast("long"), F.col("n_ngrams"), F.col("rep_ppm")
@@ -1689,12 +1690,20 @@ FROM k LEFT JOIN agg a ON a.doc_id = k.doc_id
 
 @_register("quantize_int8")
 def _qi8(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.quantize_int8(emb)
+    emb = _ts(spark, sf_dir, "embeddings")
+    # posexplode_OUTER: plain posexplode makes InferFiltersFromGenerate
+    # synthesize `size(q) > 0 AND isnotnull(q)`, and predicate pushdown
+    # re-inlines the whole quantize expression (per-element amax — the
+    # no-cost-model pushdown trap) into a scan-stage filter, measured at
+    # ~5 s vs ~1 s at the driver's SF.  q always has one entry per
+    # embedding dimension, so outer emits identical rows.
+    out = SIM.quantize_int8(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return out.select(
         F.col("vec_id").cast("long"),
         F.col("scale_ppm"),
-        F.posexplode("q").alias("dim", "qv"),
+        F.posexplode_outer("q").alias("dim", "qv"),
     ).select(
         "vec_id",
         "scale_ppm",
@@ -1735,7 +1744,7 @@ _KM_DIM = 64
 
 @_register("kmeans_clusters")
 def _km(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out, _ = SIM.kmeans_quantized(
         emb, k=_KM_K, iters=_KM_ITERS, quant=_KM_QUANT
     )
@@ -1910,7 +1919,7 @@ FROM reach GROUP BY id
 
 @_register("hash_split")
 def _hsp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.hash_split(docs).select(
         F.col("doc_id").cast("long"), F.col("split")
     )
@@ -1933,7 +1942,7 @@ _SAMPLE_PPM = 250000
 
 @_register("sample_by_hash")
 def _sbh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.sample_by_hash(docs, rate_ppm=_SAMPLE_PPM).select(
         F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
     )
@@ -1957,7 +1966,7 @@ _VOCAB_K = 100
 
 @_register("top_vocabulary")
 def _tv(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return TX.top_vocabulary(docs, k=_VOCAB_K).select(
         F.col("word"), F.col("cnt").cast("long"), F.col("rank").cast("long")
     )
@@ -1988,7 +1997,7 @@ FROM counts ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
 def _tqs(spark, sf_dir):
     from .operators import stats as ST
 
-    docs = TX.with_token_count(_t(spark, sf_dir, "documents"))
+    docs = TX.with_token_count(_ts(spark, sf_dir, "documents"))
     out = ST.group_quantiles(docs, "source", "n_tokens", "doc_id")
     return out.select(
         F.col("source"),
@@ -2167,7 +2176,7 @@ _CMS_TEXT_DUCK = _CMS_TEXT_SPARK.replace("AS STRING", "AS VARCHAR")
 
 
 def _cms_corpus(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    return _ts(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_CMS_TEXT_SPARK).alias("text")
     )
 
@@ -2237,7 +2246,7 @@ _ANNJ_K = 10
 
 @_register("ann_topk_join")
 def _annj(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     centroids, _ = _ivf_inputs(sf_dir)
     queries = emb.filter(F.col("vec_id") < _ANNJ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -2327,7 +2336,7 @@ _COOC_WINDOW = 3
 @_register("token_cooccurrence")
 def _cooc(spark, sf_dir):
     out = TX.token_cooccurrence(
-        _t(spark, sf_dir, "documents"), window=_COOC_WINDOW
+        _ts(spark, sf_dir, "documents"), window=_COOC_WINDOW
     )
     return out.select("w_a", "w_b", F.col("cnt").cast("long"))
 
@@ -2362,7 +2371,7 @@ _TFPS_FRAC_PPM = 400000
 
 @_register("top_frac_per_source")
 def _tfps(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     scored = TX.with_quality_score(docs)
     out = TX.top_frac_per_group(
         scored, group="source", order="quality", frac_ppm=_TFPS_FRAC_PPM
@@ -2412,7 +2421,7 @@ _RP_DIM = 64
 
 @_register("random_projection")
 def _rp(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     out = SIM.random_projection(
         emb, out_dim=_RP_OUT, quant=_RP_QUANT, dim=_RP_DIM
     )
@@ -2448,7 +2457,7 @@ _RPT_CAND = 40
 
 @_register("rp_topk_rescore")
 def _rpt(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     _, query = _ivf_inputs(sf_dir)
     out = SIM.rp_topk(
         emb, query, k=_RPT_K, candidates=_RPT_CAND,
@@ -2511,7 +2520,7 @@ _CUT_FRAC_PPM = 400000
 def _cut(spark, sf_dir):
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     doubled = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"), "source", "text"
@@ -2595,7 +2604,7 @@ def _ndc(spark, sf_dir):
     # _DOCS2_CAP (not a private cap): the oracle composes _shn_o(), whose
     # pair corpus is _doubled_docs-capped — both sides must agree
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _DOCS2_CAP)
         .select("doc_id", "source", "text")
     )
@@ -2666,7 +2675,7 @@ _WIN_W = 4
 
 @_register("winnow_fingerprints")
 def _wfp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = D.winnow_fingerprints(docs, n=_WIN_N, window=_WIN_W)
     return out.select(F.col("doc_id").cast("long"), F.col("fp").cast("long"))
 
@@ -2710,7 +2719,7 @@ _WND_T = 300000
 @_register("winnow_neardup")
 def _wnd(spark, sf_dir):
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _WND_DOC_CAP)
         .select("doc_id", "text")
     )
@@ -2807,7 +2816,7 @@ _CONT_T = 800000
 
 @_register("ngram_containment")
 def _ngc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.unionByName(
         docs.select(
             (F.col("doc_id") + _DUP_SHIFT).alias("doc_id"),
@@ -2870,7 +2879,7 @@ _CHUNK_O = 4
 
 @_register("chunk_documents")
 def _chk(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = TX.chunk_documents(
         docs, chunk_tokens=_CHUNK_T, overlap=_CHUNK_O
     )
@@ -2919,7 +2928,7 @@ _DC_MOD = 31
 def _dc(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     ws = docs.withColumn("__ws", split_words("text"))
     bench = (
         ws.filter((F.col("doc_id") % _DC_MOD) == 0)
@@ -2989,7 +2998,7 @@ def _ssp(spark, sf_dir):
     # doc_id % 4: bench hygiene (r6, was % 2 — the span gates were the
     # only ones over the ~3.5s wall); full density stays covered by the
     # winnow_neardup gate
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text").filter(
         F.col("doc_id") % 4 == 0
     )
     doubled = docs.unionByName(
@@ -3099,7 +3108,7 @@ def _inc(spark, sf_dir):
 
     from .operators import incremental as INC
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 2 == 0)
     planted = base.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + _INC_SHIFT).alias("doc_id"),
@@ -3209,7 +3218,7 @@ def _cfpi(spark, sf_dir):
 
     from .operators import incremental as INC
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="gate_cfpi_")
     try:
         # doc_id % 4 < 2: bench hygiene (r6) — the round-trip semantics,
@@ -3292,7 +3301,7 @@ FROM fp f JOIN sz s USING (doc_id)
 def _sdc(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
     ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
@@ -3396,7 +3405,7 @@ FROM surv
 
 @_register("dedup_keep_best")
 def _dkb(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
     doubled = docs.unionByName(
@@ -3476,7 +3485,7 @@ GROUP BY source
 
 @_register("trim_spans_corpus")
 def _tsc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.col("text"), F.lit(" " + _SSP_FOOTER)).alias("text"),
     ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
@@ -3623,7 +3632,7 @@ _SKG_SALT = "gate-strat-v1"
 
 @_register("stratified_sample")
 def _skg(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source")
     out = TX.sample_k_per_group(docs, k=_SKG_K, salt=_SKG_SALT)
     return out.select(
         F.col("doc_id").cast("long"),
@@ -3664,7 +3673,7 @@ FROM ranked WHERE sample_rk <= {_SKG_K}
 def _dcr(spark, sf_dir):
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     ws = docs.withColumn("__ws", split_words("text"))
     bench = (
         ws.filter((F.col("doc_id") % _DC_MOD) == 0)
@@ -3723,7 +3732,7 @@ GROUP BY sh.doc_id, b.bench_id
 
 @_register("rarity_score")
 def _rar(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = TX.with_rarity_score(docs)
     return out.select(
         F.col("doc_id").cast("long"), F.col("rarity_ppm").cast("long")
@@ -3770,7 +3779,7 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 
 @_register("redact_pii")
 def _rpii(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     did = F.col("doc_id")
     planted = docs.select(
         "doc_id",
@@ -3854,7 +3863,7 @@ def _cp2(spark, sf_dir):
     # doc_id % 2: bench hygiene (r6) — the composition is the point of
     # this gate, not corpus size; every stage is individually gated at
     # full density
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).filter(F.col("doc_id") % 2 == 0)
     ws = docs.withColumn("__ws", split_words("text"))
@@ -3989,7 +3998,7 @@ def _kmv(spark, sf_dir):
     from .operators.sketch import approx_distinct_kmv
     from .operators.text import split_words
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     words = docs.select(
         "source", F.explode(split_words("text")).alias("word")
     )
@@ -4057,7 +4066,7 @@ _LQS_PLANT = (
 
 @_register("line_quality_signals")
 def _lqs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_LQS_PLANT).alias("text")
     )
     out = TX.with_line_stats(docs)
@@ -4112,7 +4121,7 @@ _SMK_PLANT = (
 
 @_register("strip_markup")
 def _smk(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_SMK_PLANT).alias("text")
     )
     out = TX.strip_markup(docs)
@@ -4157,7 +4166,7 @@ _UHS_PLANT = (
 
 @_register("url_host_stats")
 def _uhs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_UHS_PLANT).alias("text")
     )
     return TX.url_host_stats(docs).select(
@@ -4196,7 +4205,7 @@ FROM hx GROUP BY host
 
 @_register("weighted_sample")
 def _wsmp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     scored = TX.with_quality_score(docs)
     weighted = scored.withColumn(
         "weight_ppm", F.expr("quality DIV 2 + 250000")
@@ -4248,7 +4257,7 @@ _IDK_DQUAL_SQL = (
 def _idk(spark, sf_dir):
     from .operators import multimodal as MM
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id")
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
     base = docs.select(
         F.col("doc_id").alias("image_id"),
@@ -4332,7 +4341,7 @@ _BPL_MIN_DF = 50
 
 @_register("boilerplate_lines")
 def _bpl(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_BPL_PLANT).alias("text")
     )
     out = TX.remove_boilerplate_lines(docs, min_df=_BPL_MIN_DF)
@@ -4403,7 +4412,7 @@ _WCP_QCUT = 400000
 
 @_register("web_curation_pipeline")
 def _wcp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_WCP_PLANT).alias("text")
     )
     step1 = TX.remove_boilerplate_lines(docs, min_df=_WCP_MIN_DF)
@@ -4520,7 +4529,7 @@ _TMS_THIN = "(doc_id % (2 + CAST(substr(source, 4) AS INT) % 3)) = 0"
 @_register("temperature_mixture")
 def _tms(spark, sf_dir):
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .select("doc_id", "source")
         .filter(F.expr(_TMS_THIN))
     )
@@ -4572,7 +4581,7 @@ def _pks(spark, sf_dir):
     from .operators.packing import pack_sequences
 
     out = pack_sequences(
-        _t(spark, sf_dir, "documents"),
+        _ts(spark, sf_dir, "documents"),
         _PACK_BUDGET,
         bucket_width=_PACK_BUCKET_W,
     )
@@ -4680,7 +4689,7 @@ def _bm25(spark, sf_dir):
     from .operators.retrieval import bm25_topk
 
     docs = (
-        _t(spark, sf_dir, "documents")
+        _ts(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _BM25_CAP)
         .select("doc_id", "text")
     )
@@ -4771,7 +4780,7 @@ def _gid_corpus(spark, sf_dir):
     from .sources import synth
 
     e = synth.synth_geo_exprs("doc_id")
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id")
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
     base = docs.select(
         F.col("doc_id").alias("image_id"),
@@ -4874,7 +4883,7 @@ def _pkg(spark, sf_dir):
     from .operators.packing import pack_sequences
 
     out = pack_sequences(
-        _t(spark, sf_dir, "documents"), _PACK_BUDGET, group_col="source"
+        _ts(spark, sf_dir, "documents"), _PACK_BUDGET, group_col="source"
     )
     return out.select(
         F.col("source"),
@@ -5208,7 +5217,7 @@ _BPE_K = 8
 def _bpem(spark, sf_dir):
     from .operators.bpe import learn_bpe_merges
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = learn_bpe_merges(docs, _BPE_K)
     return out.select(
         F.col("rk").cast("long"),
@@ -5270,7 +5279,7 @@ def _bpem_o():
 
 @_register("bigram_surprisal")
 def _bgs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = TX.with_bigram_surprisal(docs)
     return out.select(
         F.col("doc_id").cast("long"), F.col("surprisal_ppm").cast("long")
@@ -5321,7 +5330,7 @@ _CSC_CUT = 4600000
 
 @_register("curation_surprisal_cut")
 def _csc(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _ts(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_CSC_PLANT).alias("text")
     )
     step1 = TX.strip_markup(docs)
@@ -5401,7 +5410,7 @@ _SHD_SEED = "r7shard"
 def _shd(spark, sf_dir):
     from .operators.shards import shard_assignments
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id")
     out = shard_assignments(docs, _SHD_ROWS, _SHD_SEED)
     return out.select(
         F.col("doc_id").cast("long"),
@@ -5444,7 +5453,7 @@ _TBM_DEFAULT = 400
 
 @_register("token_budget_mixture")
 def _tbm(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
     out = TX.sample_to_token_budget(
         docs, _TBM_BUDGETS, seed=_TBM_SEED, default_budget=_TBM_DEFAULT
     )
@@ -5502,7 +5511,7 @@ _KSO_SALT = "kmv-v1"
 def _kso(spark, sf_dir):
     from .operators.sketch import kmv_set_ops
 
-    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    docs = _ts(spark, sf_dir, "documents").select("source", "text")
     # stage the split ONCE per row: inlining filter(split(...)) into the
     # transform lambda re-splits the text per element (~4s -> ~0.4s at
     # sf0.1; CollapseProject keeps the stage, gate_text convention shared
@@ -5618,7 +5627,7 @@ _ENC_MERGES = [
 def _enc(spark, sf_dir):
     from .operators.bpe import encode_bpe_ids
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     out = encode_bpe_ids(docs, _ENC_MERGES)
     return out.select(
         F.col("doc_id").cast("long"),

@@ -15,6 +15,20 @@ from pyspark.sql import functions as F
 from ..functions import text_sql as TS
 
 
+def _pin(df: DataFrame, *cols: str) -> DataFrame:
+    """repartition by the downstream window/join key with an EXPLICIT
+    partition count (defaultParallelism — the cluster core count, never
+    a constant): the window/join needed this exact hash partitioning
+    anyway, so no extra exchange is added, but the explicit count is
+    exempt from AQE's byte-based coalescing, which otherwise collapses
+    these CPU-heavy sort/join stages onto 1-2 tasks once the compressed
+    shuffle is a few tens of MB (measured r8: the n-gram verify chain
+    spent ~21 s wall on 2 cores at the driver's SF).  At 100 TB the
+    shuffles exceed the advisory size and the pin is inert."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, *cols)
+
+
 def dedup_exact(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate groups: hash-groupBy on content; keeper = min id."""
     return df.groupBy(F.md5(F.col(key)).alias("content_hash")).agg(
@@ -104,7 +118,9 @@ def ngram_jaccard_pairs(
     reused, so the whole word-hash subtree would recompute twice more
     (same pathology and fix as ngram_neardup_pairs)."""
     wh = word_hashes(df, text, id_col).distinct()
-    wh = wh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    wh = _pin(wh, id_col).withColumn(
+        "__sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     la = wh.select(
         F.col(id_col).alias("a"), F.col("wh").alias("wha"), F.col("__sz").alias("sza")
     )
@@ -203,15 +219,18 @@ def ngram_neardup_pairs(
             raise ValueError(f"df_cap={df_cap} must be >= 1")
         # hot-shingle drop first: sizes must count the CAPPED space
         sh = (
-            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            _pin(sh, "shh")
+            .withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
             .filter(F.col("__df") <= df_cap)
             .drop("__df")
         )
-    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    sh = _pin(sh, id_col).withColumn(
+        "__sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
     lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
     inter = (
-        la.join(lb, "shh")
+        _pin(la, "shh").join(_pin(lb, "shh"), "shh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(
@@ -281,7 +300,7 @@ def winnow_fingerprints(
     md5-prefix text, so the DuckDB oracle is the identical program."""
     if n < 1 or window < 1:
         raise ValueError(f"n={n} and window={window} must be >= 1")
-    sh = positional_shingles(df, text, id_col, n)
+    sh = _pin(positional_shingles(df, text, id_col, n), id_col)
     wmin = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -419,7 +438,8 @@ def ngram_jaccard_on_pairs(
         if df_cap < 1:
             raise ValueError(f"df_cap={df_cap} must be >= 1")
         sh = (
-            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            _pin(sh, "shh")
+            .withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
             .filter(F.col("__df") <= df_cap)
             .drop("__df")
         )
@@ -427,7 +447,9 @@ def ngram_jaccard_on_pairs(
         F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
     ).distinct()
     sh = sh.join(ids, id_col, "left_semi")
-    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    sh = _pin(sh, id_col).withColumn(
+        "__sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
     lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
     inter = (
@@ -483,15 +505,18 @@ def ngram_containment_pairs(
         if df_cap < 1:
             raise ValueError(f"df_cap={df_cap} must be >= 1")
         sh = (
-            sh.withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
+            _pin(sh, "shh")
+            .withColumn("__df", F.count("*").over(Window.partitionBy("shh")))
             .filter(F.col("__df") <= df_cap)
             .drop("__df")
         )
-    sh = sh.withColumn("__sz", F.count("*").over(Window.partitionBy(id_col)))
+    sh = _pin(sh, id_col).withColumn(
+        "__sz", F.count("*").over(Window.partitionBy(id_col))
+    )
     la = sh.select(F.col(id_col).alias("a"), "shh", F.col("__sz").alias("__sza"))
     lb = sh.select(F.col(id_col).alias("b"), "shh", F.col("__sz").alias("__szb"))
     inter = (
-        la.join(lb, "shh")
+        _pin(la, "shh").join(_pin(lb, "shh"), "shh")
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("__i"), F.max("__sza").alias("__sza"))
@@ -943,7 +968,9 @@ def shared_span_pairs(
         .withColumn("__diag", F.col("__pa") - F.col("__pb"))
     )
     w = Window.partitionBy("a", "b", "__diag").orderBy("__pa")
-    isl = m.withColumn("__grp", F.col("__pa") - F.row_number().over(w))
+    isl = _pin(m, "a", "b", "__diag").withColumn(
+        "__grp", F.col("__pa") - F.row_number().over(w)
+    )
     return (
         isl.groupBy("a", "b", "__diag", "__grp")
         .agg(

@@ -98,8 +98,17 @@ def asof_join(
         .orderBy(F.col(ts), F.col("__is_evt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = tagged_e.unionByName(tagged_u).withColumn(
-        "__upd", F.last("__upd", ignorenulls=True).over(w)
+    # pin the keyed window's stage at cluster parallelism: the window
+    # is CPU-heavy (per-key sort of events+updates) and AQE's
+    # byte-based coalescing of the small union shuffle would run it on
+    # 1-2 tasks (measured at the driver's SF); the explicit
+    # repartition-by-key satisfies the window's required distribution,
+    # so no extra exchange is added
+    par = events.sparkSession.sparkContext.defaultParallelism
+    filled = (
+        tagged_e.unionByName(tagged_u)
+        .repartition(par, key)
+        .withColumn("__upd", F.last("__upd", ignorenulls=True).over(w))
     )
     def out_col(c):
         v = F.col(f"__upd.{c}")
@@ -257,9 +266,12 @@ def asof_join_bucketed(
         .orderBy(F.col(ts), F.col("__is_evt"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # same stage-parallelism pin as asof_join (see there)
+    par = events.sparkSession.sparkContext.defaultParallelism
     filled = (
         tagged_e.unionByName(tagged_u)
         .unionByName(tagged_s)
+        .repartition(par, key, "__bkt")
         .withColumn("__upd", F.last("__upd", ignorenulls=True).over(w))
     )
     def out_col(c):

@@ -766,23 +766,34 @@ def token_cooccurrence(
     caller because cross-engine log is outside this repo's determinism
     contract (see CLAUDE.md).
 
-    Shape: positions via ONE posexplode per side, the pair space built
-    by an (id, position) EQUI-join against `window` exploded offsets —
-    linear in tokens*window, never a per-document quadratic theta join.
-    Tokenization is the shared split_words construction."""
+    Shape (r8): the pair space is built INSIDE the per-document word
+    array — for each offset 1..window, struct(ws[i], ws[i+off]) via an
+    array transform — then ONE explode feeds a partial-aggregating
+    count.  The former (id, position) self-equi-join shuffled the
+    token stream twice and joined it back to itself; pairs-in-array
+    needs zero joins and its only exchange is the vocabulary²-sized
+    final aggregate.  The tokenized array is spread to cluster
+    parallelism first (one narrow shuffle of word arrays): the bench's
+    single-row-group inputs give the scan one split, and the explode
+    would otherwise run on one core.  Tokenization is the shared
+    split_words construction."""
     if window < 1:
         raise ValueError(f"window={window} must be >= 1")
-    base = df.select(F.col(id_col), split_words(text).alias("__ws"))
-    left = (
-        base.select(F.col(id_col), F.posexplode("__ws").alias("__pos", "w_a"))
-        .withColumn("__off", F.explode(F.expr(f"sequence(1, {int(window)})")))
-        .withColumn("__pos_b", F.col("__pos") + F.col("__off"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    base = df.select(F.col(id_col), split_words(text).alias("__ws")).repartition(
+        par
     )
-    right = base.select(
-        F.col(id_col), F.posexplode("__ws").alias("__pos_b", "w_b")
+    # offsets capped at size-1: Spark's sequence(a, b) steps DOWNWARD
+    # when b < a, so an unguarded off > size-1 would fabricate pairs
+    pair_arr = (
+        f"flatten(transform(sequence(1, least({int(window)}, size(__ws) - 1)), "
+        f"off -> transform(sequence(1, size(__ws) - off), i -> "
+        f"struct(__ws[i - 1] AS w_a, __ws[i - 1 + off] AS w_b))))"
     )
     return (
-        left.join(right, [id_col, "__pos_b"])
+        base.filter(F.size("__ws") >= 2)
+        .select(F.explode(F.expr(pair_arr)).alias("__p"))
+        .select(F.col("__p.w_a").alias("w_a"), F.col("__p.w_b").alias("w_b"))
         .groupBy("w_a", "w_b")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -967,25 +978,53 @@ def with_bigram_surprisal(
     both engines.  Predictable running text scores low; scrambled or
     rare-continuation text scores high — cut above a threshold.
 
-    Shape: one explode to bigrams, two aggregate-only scans for the
-    bigram and left-unigram count tables, then shuffle joins back (the
-    tables are corpus-vocabulary-sized — no broadcast assumption) and a
-    per-doc aggregate.  Documents with < 2 words score 0 (no bigrams —
-    same convention as rarity's token-free 0)."""
-    reserved = {out, "__ws", "__b", "__c1", "__c12", "__sp"} & set(df.columns)
+    Shape (r8): one explode to bigrams folded immediately into the
+    per-(doc, bigram) count table — the three former consumers of the
+    raw bigram stream (two count aggregates + the scoring join's probe
+    side) each re-evaluated the whole split/explode subtree, and both
+    count joins shuffled every bigram INSTANCE.  Now everything hangs
+    off the doc-bigram aggregate's exchange (its consumers share it at
+    runtime via the AQE stage cache): the corpus bigram table is a
+    re-aggregation of it, c1 is a vocabulary-sized window over THAT
+    table (carried through, not joined back), and the single corpus
+    join attaches the per-bigram surprisal to the doc-bigram counts
+    with the per-doc mean as the weighted integer sum
+    (sum(n*sp) * 1e6) DIV sum(n) — identical integers, since the
+    former form summed sp once per bigram instance.  The tokenized
+    array is spread to cluster parallelism first (single-row-group
+    bench inputs give the scan one split).  Documents with < 2 words
+    score 0 (no bigrams — same convention as rarity's token-free 0)."""
+    from pyspark.sql import Window
+
+    reserved = {out, "__ws", "__b", "__c1", "__c12", "__sp", "__n"} & set(
+        df.columns
+    )
     if reserved:
         raise ValueError(f"column(s) {sorted(reserved)} already exist")
+    par = df.sparkSession.sparkContext.defaultParallelism
     bg = (
         df.select(F.col(id_col), split_words(text).alias("__ws"))
+        .repartition(par)
         .filter(F.size("__ws") >= 2)
         .select(F.col(id_col), F.explode(F.expr(_BIGRAM_EXPR)).alias("__b"))
         .select(id_col, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
     )
-    lefts = bg.groupBy("w1").agg(F.count("*").alias("__c1"))
-    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    dbc = bg.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("__n"))
+    # both corpus counts as windows over ONE lineage: a fork (count
+    # tables joined back, or re-aggregated from a shared frame) plans
+    # the doc-bigram subtree once per consumer — measured: the shared
+    # exchange was NOT reused at runtime and the whole explode ran
+    # twice.  HashPartitioning(w1) satisfies both windows' clustering
+    # ((w1) and (w1, w2)), so the explicit pin adds exactly one
+    # exchange and both window sorts run at cluster parallelism (the
+    # vocabulary-sized shuffle would otherwise byte-coalesce to one
+    # task).  Hot-word caveat: a Zipf-head w1 concentrates its
+    # (doc, bigram) rows on one task — bounded by docs*distinct-w2 for
+    # that word, the usual keyed-token skew class.
     scored = (
-        bg.join(bgc, ["w1", "w2"])
-        .join(lefts, "w1")
+        dbc.repartition(par, "w1")
+        .withColumn("__c12", F.sum("__n").over(Window.partitionBy("w1", "w2")))
+        .withColumn("__c1", F.sum("__n").over(Window.partitionBy("w1")))
         .withColumn(
             "__sp",
             F.length(F.bin(F.col("__c1"))) - F.length(F.bin(F.col("__c12"))),
@@ -993,7 +1032,7 @@ def with_bigram_surprisal(
         .groupBy(id_col)
         .agg(
             F.expr(
-                "CAST((sum(__sp) * 1000000) DIV count(*) AS BIGINT)"
+                "CAST((sum(__n * __sp) * 1000000) DIV sum(__n) AS BIGINT)"
             ).alias(out)
         )
     )

@@ -31,21 +31,23 @@ def get_spark(
         # pin it instead of inheriting the container default
         .config("spark.sql.session.timeZone", "Etc/UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # parallelismFirst=true is the Spark DEFAULT: AQE only coalesces
-        # down to default parallelism, not to the advisory byte target.
-        # r6 set this false to cut task overhead on tiny local shuffles,
-        # but at the driver's escalated SF the byte-based target
-        # serialized CPU-heavy post-shuffle stages (keyed windows,
-        # Python-boundary projections) onto 1-2 tasks — a compressed
-        # 10-80 MB shuffle is far more than 2 tasks of WORK.  Measured
-        # r8 (sf1.0, per-query A/B in OPTIMIZATION_r08.md): the default
-        # wins by integer factors on every window/UDF-heavy query and
-        # costs single-digit ms on tiny ones.  At 100 TB partitions
-        # exceed the advisory size and both settings behave identically;
+        # parallelismFirst=false coalesces small shuffles to the
+        # advisory byte target instead of stopping at default
+        # parallelism (r6 setting).  r8 A/B'd BOTH full sf1.0 benches:
+        # false 530 s vs true (the Spark default) 609 s — true's
+        # per-stage task-count overhead compounds across many-stage
+        # queries (rel_qt_fixpoint 3.1->6.1 s, road_speed_quantiles
+        # 3.5->7.2 s, raster/route/pack families 2-3x) and outweighs its
+        # wins on window/UDF-heavy queries.  Queries the byte target
+        # genuinely under-parallelizes (exploding candidate joins,
+        # CPU-heavy keyed windows) pin their own stage parallelism with
+        # explicit repartition-by-key instead (spatial_join, temporal,
+        # dedup).  At 100 TB partitions exceed the advisory size and
+        # both settings behave identically;
         # SPARK_GRAFT_PARALLELISM_FIRST overrides for experiments.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "false"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -195,3 +195,71 @@ def test_hausdorff_kernel_chunk_boundaries():
     # empty batch
     e = pd.Series([], dtype=object)
     assert len(f(e, e, e, e)) == 0
+
+
+# ---------------------------------------------------------------------------
+# token_cooccurrence pairs-in-array rewrite and with_bigram_surprisal
+# single-lineage rewrite: seeded nets vs pure python
+# ---------------------------------------------------------------------------
+
+
+def test_token_cooccurrence_vs_python(spark):
+    from collections import Counter
+
+    from osmquadtree_rust_spark.operators.text import token_cooccurrence
+
+    rng = random.Random(80)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    for window in (1, 2, 3, 5):
+        rows = []
+        for d in range(40):
+            n = rng.randrange(0, 7)  # includes docs shorter than window
+            words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+            rows.append((d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["w_a"], r["w_b"]): r["cnt"]
+            for r in token_cooccurrence(df, window=window).collect()
+        }
+        ref = Counter()
+        for _, text in rows:
+            ws = [w for w in text.split(" ") if w]
+            for i, wa in enumerate(ws):
+                for off in range(1, window + 1):
+                    if i + off < len(ws):
+                        ref[(wa, ws[i + off])] += 1
+        assert got == dict(ref), f"window={window}"
+
+
+def test_bigram_surprisal_vs_python(spark):
+    from collections import Counter
+
+    from osmquadtree_rust_spark.operators.text import with_bigram_surprisal
+
+    rng = random.Random(81)
+    vocab = ["x", "yy", "z", "w"]
+    rows = []
+    for d in range(60):
+        n = rng.randrange(0, 9)
+        rows.append((d, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["surprisal_ppm"]
+        for r in with_bigram_surprisal(df).collect()
+    }
+    c12, c1, perdoc = Counter(), Counter(), {}
+    for d, text in rows:
+        ws = [w for w in text.split(" ") if w]
+        bgs = list(zip(ws, ws[1:]))
+        perdoc[d] = bgs
+        for b in bgs:
+            c12[b] += 1
+            c1[b[0]] += 1
+    ref = {}
+    for d, bgs in perdoc.items():
+        if not bgs:
+            ref[d] = 0
+            continue
+        sp = sum(c1[b[0]].bit_length() - c12[b].bit_length() for b in bgs)
+        ref[d] = (sp * 1000000) // len(bgs)
+    assert got == ref
