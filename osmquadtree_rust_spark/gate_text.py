@@ -252,7 +252,7 @@ _LSH_PLANES = 4
 
 @_register("lsh_topk")
 def _lsh(spark, sf_dir):
-    emb = _ts(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(sf_dir)
     return SIM.lsh_topk(emb, q, k=_LSH_K, n_planes=_LSH_PLANES).select(
         F.col("vec_id").cast("long"), F.col("score_ppm").cast("long")
@@ -777,7 +777,7 @@ _DUP_SHIFT = 100000
 
 def _doubled_docs(spark, sf_dir):
     docs = (
-        _ts(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _DOCS2_CAP)
         .select("doc_id", "text")
     )
@@ -1091,7 +1091,7 @@ _MM_CAPTION_SQL = (
 
 def _mm_corpus(spark, sf_dir):
     docs = (
-        _ts(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _MM_CAP)
         .select("doc_id", "text")
     )
@@ -1249,7 +1249,7 @@ def _ivf_inputs(sf_dir: str):
 
 @_register("ivf_ann_topk")
 def _ivf(spark, sf_dir):
-    emb = _ts(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     centroids, query = _ivf_inputs(sf_dir)
     out = SIM.ivf_topk(
         emb, query, centroids, k=_IVF_K, n_probe=_IVF_PROBE
@@ -1744,7 +1744,7 @@ _KM_DIM = 64
 
 @_register("kmeans_clusters")
 def _km(spark, sf_dir):
-    emb = _ts(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     out, _ = SIM.kmeans_quantized(
         emb, k=_KM_K, iters=_KM_ITERS, quant=_KM_QUANT
     )
@@ -2534,6 +2534,11 @@ def _cut(spark, sf_dir):
     final = kept.withColumn("__keep", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("__keep")
     ).drop("__keep")
+    # the histogram-refinement cut drives several aggregate-only rounds
+    # over `final`; checkpoint it so each round scans the materialized
+    # frame instead of re-running the langid/quality regex chain (the
+    # image-curation gate's r7 fix, same reason)
+    final = final.localCheckpoint(eager=True)
     cut = TX.top_frac_per_group(
         final, group="source", order="quality", frac_ppm=_CUT_FRAC_PPM
     )
@@ -2604,7 +2609,7 @@ def _ndc(spark, sf_dir):
     # _DOCS2_CAP (not a private cap): the oracle composes _shn_o(), whose
     # pair corpus is _doubled_docs-capped — both sides must agree
     docs = (
-        _ts(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _DOCS2_CAP)
         .select("doc_id", "source", "text")
     )
@@ -3218,7 +3223,7 @@ def _cfpi(spark, sf_dir):
 
     from .operators import incremental as INC
 
-    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     base = tempfile.mkdtemp(prefix="gate_cfpi_")
     try:
         # doc_id % 4 < 2: bench hygiene (r6) — the round-trip semantics,
@@ -3405,7 +3410,7 @@ FROM surv
 
 @_register("dedup_keep_best")
 def _dkb(spark, sf_dir):
-    docs = _ts(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     ).filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < _SPAN_DOC_CAP))
     doubled = docs.unionByName(
@@ -4257,7 +4262,7 @@ _IDK_DQUAL_SQL = (
 def _idk(spark, sf_dir):
     from .operators import multimodal as MM
 
-    docs = _ts(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
     base = docs.select(
         F.col("doc_id").alias("image_id"),
@@ -4780,7 +4785,7 @@ def _gid_corpus(spark, sf_dir):
     from .sources import synth
 
     e = synth.synth_geo_exprs("doc_id")
-    docs = _ts(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     ph0 = TS.md5_prefix_int_sql("CAST(doc_id AS STRING)", TS.SPARK)
     base = docs.select(
         F.col("doc_id").alias("image_id"),
@@ -5410,7 +5415,7 @@ _SHD_SEED = "r7shard"
 def _shd(spark, sf_dir):
     from .operators.shards import shard_assignments
 
-    docs = _ts(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
     out = shard_assignments(docs, _SHD_ROWS, _SHD_SEED)
     return out.select(
         F.col("doc_id").cast("long"),
@@ -5453,7 +5458,7 @@ _TBM_DEFAULT = 400
 
 @_register("token_budget_mixture")
 def _tbm(spark, sf_dir):
-    docs = _ts(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
     out = TX.sample_to_token_budget(
         docs, _TBM_BUDGETS, seed=_TBM_SEED, default_budget=_TBM_DEFAULT
     )

@@ -846,17 +846,25 @@ def top_k_per_group(
         F.col(order).asc() if ascending else F.col(order).desc(),
         F.col(id_col).asc(),
     )
+    # both window stages pinned at cluster parallelism (explicit
+    # repartition by the window's own partition key — no extra exchange,
+    # just a partition count AQE's byte-based coalescing cannot shrink:
+    # the metric-kNN ranking window measured 4 tasks over 12M rows at
+    # the driver's SF before the pin)
+    par = df.sparkSession.sparkContext.defaultParallelism
     if salt_buckets > 1:
         salt = F.pmod(F.hash(F.col(id_col)), F.lit(int(salt_buckets)))
         w1 = Window.partitionBy(F.col(group), salt).orderBy(*ordering)
         df = (
-            df.withColumn("__lrk", F.row_number().over(w1))
+            df.repartition(par, F.col(group), salt)
+            .withColumn("__lrk", F.row_number().over(w1))
             .filter(F.col("__lrk") <= k)
             .drop("__lrk")
         )
     w = Window.partitionBy(group).orderBy(*ordering)
     return (
-        df.withColumn(out, F.row_number().over(w))
+        df.repartition(par, group)
+        .withColumn(out, F.row_number().over(w))
         .filter(F.col(out) <= k)
     )
 
