@@ -966,8 +966,11 @@ def _asof_updates(spark, sf_dir):
         F.col("o_orderkey"),
     )
     w = Window.partitionBy("user_id", "ets").orderBy(F.col("o_orderkey").desc())
+    # pin the dedup window's stage (byte-coalesced to 1 task at sf1.0)
+    par = spark.sparkContext.defaultParallelism
     return (
-        u0.withColumn("__rn", F.row_number().over(w))
+        u0.repartition(par, "user_id", "ets")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "ets", "price")
     )

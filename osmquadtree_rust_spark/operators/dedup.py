@@ -174,6 +174,11 @@ def ngram_shingles(
             F.col(id_col),
             F.expr(TS.md5_prefix_int_sql("__sh", TS.SPARK)).alias("shh"),
         )
+        # the distinct requires exactly this hash partitioning; the
+        # explicit pin only fixes its reduce-side task count (see _pin)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, id_col, "shh"
+        )
         .distinct()
     )
 

@@ -219,8 +219,11 @@ def asof_join_bucketed(
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # same stage-parallelism pin as the main window below
+    par0 = events.sparkSession.sparkContext.defaultParallelism
     seeds = (
-        domain.withColumn(
+        domain.repartition(par0, key)
+        .withColumn(
             "__carry",
             F.max_by(F.col("__last"), F.col("__last.__t")).over(wcarry),
         )
