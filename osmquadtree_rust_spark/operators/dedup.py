@@ -959,7 +959,12 @@ def shared_span_pairs(
     ids = pairs.select(
         F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
     ).distinct()
-    psh = psh.join(ids, id_col, "left_semi")
+    # pin an exchange on top of the restricted shingle frame: its two
+    # join-side consumers (pa, pb) then share ONE evaluation of the
+    # split/shingle/md5 build via the runtime stage cache instead of
+    # re-running it per side (measured: 2 of the 3 heaviest stages of
+    # the shared_spans gate were byte-identical shingle builds)
+    psh = _pin(psh.join(ids, id_col, "left_semi"), id_col)
     pa = psh.select(
         F.col(id_col).alias("a"), F.col("pos").alias("__pa"), "shh"
     )
